@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType|DoubleType)` columns, built
+  * entirely from codegen'd higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) — no UDFs, so every expression stays inside
+  * whole-stage codegen and survives a 1000-executor scale-up unchanged.
+  *
+  * Semantics mirror the reference's cosine scalar
+  * (reference: src/embedding/Clustering.cpp:7-27): dimension mismatch or a
+  * zero-norm side yields 0.0 rather than null/NaN.
+  *
+  * All arithmetic is done in Double regardless of input element type, with
+  * a strict left-fold (`aggregate`), so results are deterministic and
+  * reproducible across engines.
+  */
+object VectorFunctions {
+
+  /** Cast an array column to array<double> element-wise. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Left-fold sum of an array<double>. */
+  private def fsum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two numeric array columns (Double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = {
+    val d = toDouble(a)
+    fsum(zip_with(d, d, (x, y) => x * y))
+  }
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity with the reference's guard semantics:
+    * 0.0 on dimension mismatch or when either vector has zero norm.
+    * (reference: src/embedding/Clustering.cpp:7-27)
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(size(a) =!= size(b) || na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Euclidean (L2) distance; 0-guard-free — used by IVF assignment. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(fsum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y))))
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The relational query core: scan/filter/sort/paginate/count (reference
+  * Q1-Q3, src/core/GraphDB.cpp:45-230), joins, aggregation, windows,
+  * set ops, scalar functions — expressed as idiomatic DataFrame plans so
+  * Catalyst gets full pushdown/pruning/reorder freedom.
+  *
+  * Numeric policy (cross-engine determinism): money/quantity sums are
+  * computed over DECIMAL(18,2) casts (exact, order-independent) and the
+  * final aggregate is cast to DOUBLE — bit-identical in Spark and the
+  * DuckDB oracle. Raw double columns pass through untouched.
+  */
+object RelationalPack extends QueryPack {
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1 parity: full-scan aggregate (TPC-H Q1 shape) ----
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount".cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          (sum($"l_quantity".cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- Q1/Q2 parity: filter + sort + offset/limit pagination ----
+    "q02_filter_sort_paginate" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_size" >= 25)
+        .select($"p_partkey", $"p_name", $"p_size", $"p_retailprice")
+        .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+        .offset(10).limit(20)
+    },
+
+    // ---- Q3 parity: filtered count ----
+    "q03_count_filtered" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R" && $"l_quantity" >= 10 && $"l_quantity" <= 20)
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- C1 parity: point lookup by primary key ----
+    "q04_point_lookup" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderkey" === 42L)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate_str"))
+    },
+
+    // ---- join + aggregate: revenue by nation (broadcast dim) ----
+    "q05_join_agg_nation_revenue" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy($"n_name")
+    },
+
+    // ---- two-level broadcast dim join ----
+    "q06_region_customer_stats" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_acctbal"))
+        .orderBy($"r_name")
+    },
+
+    // ---- left-semi join (EXISTS) ----
+    "q07_semi_join" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter($"o_totalprice" > 100000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- left-anti join (NOT EXISTS) ----
+    "q08_anti_join" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- global top-k (TakeOrderedAndProject, no full sort) ----
+    "q09_topk_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(15)
+    },
+
+    // ---- window: per-group top-n ----
+    "q10_window_rank" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // ---- distinct aggregates ----
+    "q11_distinct_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"l_partkey").as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- rollup (grouping sets) ----
+    "q12_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- set op: INTERSECT ----
+    "q13_intersect" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.lineitem(s, d).filter($"l_returnflag" === "A")
+        .select($"l_suppkey".as("suppkey")).distinct()
+      val b = Tables.supplier(s, d).filter($"s_acctbal" > 0)
+        .select($"s_suppkey".as("suppkey"))
+      a.intersect(b).orderBy($"suppkey")
+    },
+
+    // ---- set op: EXCEPT ----
+    "q14_except" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.part(s, d).filter($"p_size" >= 40)
+        .select($"p_partkey".as("partkey"))
+      val b = Tables.lineitem(s, d)
+        .filter($"l_quantity" > 45 && $"l_returnflag" === "A")
+        .select($"l_partkey".as("partkey")).distinct()
+      a.except(b).orderBy($"partkey")
+    },
+
+    // ---- string scalar functions (contains = reference title filter) ----
+    "q15_string_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_name".contains("a"))
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          substring($"p_name", 1, 5).as("name_pfx"),
+          length($"p_name").as("name_len"),
+          concat_ws("-", $"p_brand", $"p_type").as("brand_type"))
+        .orderBy($"p_partkey")
+    },
+
+    // ---- date functions + grouping ----
+    "q16_date_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(
+          year($"o_orderdate").cast("int").as("y"),
+          month($"o_orderdate").cast("int").as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"y", $"m")
+    },
+
+    // ---- CASE expression buckets ----
+    "q17_case_buckets" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .withColumn("bucket",
+          when($"c_acctbal" < 0, "negative")
+            .when($"c_acctbal" < 5000, "low")
+            .otherwise("high"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"bucket")
+    },
+
+    // ---- Q2 parity: conjunctive multi-filter + sort + paginate ----
+    "q18_conjunctive_filter" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "N" && $"l_linestatus" === "O" &&
+          $"l_quantity" >= 30.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .offset(5).limit(100)
+    },
+
+    // ---- HAVING (post-aggregation filter) ----
+    "q19_having" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+        .filter($"n_items" >= 50)
+        .orderBy($"l_suppkey")
+    },
+
+    // ---- C2 parity: existence flag ----
+    "q20_exists_flag" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderkey" === 999L)
+        .agg((count(lit(1)) > 0).as("exists_flag"))
+    },
+
+    // ---- 5-way join chain, mixed broadcast + shuffle ----
+    "q21_five_way_join" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", year($"o_orderdate").cast("int").as("y"))
+        .agg(
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount".cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"y")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_sort_paginate" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part WHERE p_size >= 25
+        |ORDER BY p_retailprice DESC, p_partkey ASC
+        |LIMIT 20 OFFSET 10""".stripMargin,
+
+    "q03_count_filtered" ->
+      """SELECT COUNT(*) AS cnt FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 10 AND l_quantity <= 20""".stripMargin,
+
+    "q04_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+
+    "q05_join_agg_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_region_customer_stats" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin,
+
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q13_intersect" ->
+      """SELECT DISTINCT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |INTERSECT
+        |SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 0
+        |ORDER BY suppkey""".stripMargin,
+
+    "q14_except" ->
+      """SELECT p_partkey AS partkey FROM part WHERE p_size >= 40
+        |EXCEPT
+        |SELECT DISTINCT l_partkey AS partkey FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'A'
+        |ORDER BY partkey""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  SUBSTRING(p_name, 1, 5) AS name_pfx,
+        |  LENGTH(p_name) AS name_len,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+
+    "q16_date_agg" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "q17_case_buckets" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q18_conjunctive_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'N' AND l_linestatus = 'O' AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100 OFFSET 5""".stripMargin,
+
+    "q19_having" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING COUNT(*) >= 50 ORDER BY l_suppkey""".stripMargin,
+
+    "q20_exists_flag" ->
+      """SELECT COUNT(*) > 0 AS exists_flag FROM orders WHERE o_orderkey = 999""".stripMargin,
+
+    "q21_five_way_join" ->
+      """SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, y ORDER BY r_name, y""".stripMargin,
+  )
+}
