@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.SimilarityOps
+
+/** Embedding-similarity operators (SURVEY §2.5 V1-V5 + ANN extensions)
+  * over the `embeddings` table.
+  *
+  * Oracle strategy: the DuckDB SQL recomputes cosine/L2 with the exact
+  * same strict-left-fold sequence as Spark's `zip_with`+`aggregate`
+  * (fold from 0.0 over the zipped products), so the doubles are
+  * bit-identical before the final 6-dp round.
+  */
+object SimilarityPack extends QueryPack {
+
+  // -- DuckDB SQL fragments mirroring VectorFunctions' fold order --
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
+  private def l2Sql(a: String, b: String): String =
+    s"ROUND(SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)), 6)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- V5 parity: top-k similar to one vector, payload joined ----
+    "q30_cosine_topk" -> { (s, d) =>
+      SimilarityOps.topKSimilar(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("vec_id"), col("label"), col("sim"))
+    },
+
+    // ---- V2 parity: exact all-pairs similarity join ----
+    "q31_allpairs_cosine" -> { (s, d) =>
+      SimilarityOps.allPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- ANN baseline: brute-force kNN per query vector ----
+    "q32_knn_per_vector" -> { (s, d) =>
+      SimilarityOps.knnForIds(Tables.embeddings(s, d), "vec_id", "embedding",
+          maxQueryId = 30L, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- V1 building block: norms + dimensions ----
+    "q33_embedding_norms" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- IVF scale path: centroid assignment ----
+    "q34_centroid_assign" -> { (s, d) =>
+      SimilarityOps.assignToCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+        .select(col("vec_id"), col("centroid"), col("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- similarity graph degree (V2+V3 composition) ----
+    "q35_sim_degree" -> { (s, d) =>
+      SimilarityOps.similarityDegree(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.3)
+        .orderBy(col("id"))
+    },
+
+    // ---- per-label centroid profile (element-wise aggregate) ----
+    "q36_label_centroid" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .filter($"pos0" < 8)
+        .groupBy($"label", ($"pos0" + 1).cast("int").as("pos"))
+        .agg(round(avg($"v".cast("double")), 6).as("avg_v"))
+        .orderBy($"label", $"pos")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_cosine_topk" ->
+      s"""SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qv")} AS sim
+         |FROM embeddings e,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q31_allpairs_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_knn_per_vector" ->
+      s"""SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 30 AND q.vec_id <> c.vec_id) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q33_embedding_norms" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+         |  ROUND(SQRT(${dotSql("embedding", "embedding")}), 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q34_centroid_assign" ->
+      s"""SELECT vec_id, centroid, dist FROM (
+         |  SELECT e.vec_id, c.centroid,
+         |    ${l2Sql("e.embedding", "c.cv")} AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |  FROM embeddings e,
+         |    (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |     WHERE vec_id < 8) c) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q35_sim_degree" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.3),
+         |d AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT ia AS id FROM p UNION ALL SELECT ib AS id FROM p)
+         |  GROUP BY id)
+         |SELECT e.vec_id AS id, COALESCE(d.deg, 0) AS degree
+         |FROM embeddings e LEFT JOIN d ON e.vec_id = d.id
+         |ORDER BY id""".stripMargin,
+
+    "q36_label_centroid" ->
+      """SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 6) AS avg_v
+        |FROM (SELECT label, unnest(embedding)::DOUBLE AS v,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings) t
+        |WHERE pos <= 8
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+  )
+}
