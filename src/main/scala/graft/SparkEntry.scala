@@ -16,6 +16,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
     SimilarityPack,
+    TextPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

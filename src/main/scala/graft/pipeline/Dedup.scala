@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document-deduplication operators for training-data pipelines:
+  * exact (content-hash), MinHash+LSH, SimHash, and n-gram Jaccard.
+  * Embedding-cosine near-dup lives in SimilarityOps.allPairs.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on a 16-byte key (md5), not the
+  *    full text — group keys stay small.
+  *  - MinHash/LSH never materializes O(n²): docs explode to (bandKey,
+  *    doc) rows, and the candidate join is an equi-join on bandKey —
+  *    shuffle-partitionable, skew-safe via AQE.
+  *  - SimHash pairs use chunk blocking (pigeonhole: hamming ≤ c-1 ⇒
+  *    some one of c chunks equal), also an equi-join, provably equal
+  *    to the naive O(n²) scan.
+  *  - every hash is engine-portable (md5 / explicit polynomial fold),
+  *    so the DuckDB oracle replays the identical pipeline.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct content with
+    * copy count and the minimum id as the canonical keeper.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Tokenized + shingled view: (id, shingle-set) with word n-grams. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), n)).as("shingle_set"))
+
+  /** MinHash signatures over word-n-gram shingles. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("id"), minhashSignature(col("shingle_set"), k).as("sig"))
+
+  /** MinHash + LSH near-dup pairs: docs sharing ≥1 LSH band are
+    * candidates; candidates are verified against true shingle-set
+    * Jaccard >= `threshold`. Returns (id_a < id_b, jaccard).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPer = k / bands
+    val sh = shingleSets(df, idCol, textCol, n).cache()
+    val banded = sh
+      .select(col("id"),
+        explode(lshBandKeys(minhashSignature(col("shingle_set"), k), bands, rowsPer))
+          .as("band_key"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band_key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingle_set").as("__sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle_set").as("__sb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Frequency-weighted SimHash over tokens, `bits` wide (≤ 62).
+    * Token hash = portable polynomial hash; bit b of the sketch is the
+    * sign of Σ_tokens (±1 by token-hash bit b).
+    * Docs with no tokens are dropped (no signal to sketch).
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 24): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), polyHash(col("tok")).as("h"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val sketch = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sketch.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found via
+    * chunk blocking: the sketch is cut into `chunks` equal slices; any
+    * pair with hamming <= chunks-1 must share at least one exact chunk
+    * (pigeonhole), so the candidate set is an equi-join on
+    * (chunkIdx, chunkValue) — no O(n²) scan, and exact for
+    * maxDist <= chunks-1.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 24, chunks: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= chunks - 1, "chunk blocking is exact only for maxDist <= chunks-1")
+    val sh = simhashTable(df, idCol, textCol, bits).cache()
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val chunked = sh.select(col("id"), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).as("cv"))
+      }: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.ci"), col("ch.cv"))
+    chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (the small-scale oracle path;
+    * minhashLshPairs is the approximate scale path for the same goal).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val a = sh.select(col("id").as("id_a"), col("shingle_set").as("__sa"))
+    val b = sh.select(col("id").as("id_b"), col("shingle_set").as("__sb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: token stats,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All pure column expressions (codegen'd, shuffle-free
+  * map-side work) — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** English function-word markers for the language-ID heuristic. */
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword list used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  /** Per-document token statistics: total/distinct token counts, char
+    * count, average token length, type-token ratio.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      length(col(textCol)).as("n_chars"),
+      round(
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(
+            aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+              size(toks)), 6).as("avg_token_len"),
+      round(
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(array_distinct(toks)).cast("double") / size(toks)), 6)
+        .as("type_token_ratio"))
+  }
+
+  /** Stopword ratio: fraction of token occurrences that are stopwords. */
+  def stopwordRatio(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val stops = filter(toks, t => t.isin(Stopwords.map(lit): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards length (saturating at
+    * 100 tokens), lexical diversity, and a moderate stopword ratio.
+    * Deterministic integer-ratio arithmetic → portable to the oracle.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val diversity = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / nTok)
+    val stopScore = lit(1.0) - abs(stopwordRatio(col(textCol)) - 0.3)
+    df.select(
+      col(idCol),
+      round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+      round(lenScore, 6).as("len_score"),
+      round(diversity, 6).as("diversity"),
+      round((lenScore * 0.4 + diversity * 0.3 + stopScore * 0.3), 6)
+        .as("quality_score"))
+  }
+
+  /** N-gram-heuristic language ID: score = fraction of tokens that are
+    * English function words; >= cutoff ⇒ "en", else falls back to a
+    * character heuristic bucket. (Real systems use char-n-gram models;
+    * the operator shape — pure column expression, broadcast marker
+    * list — is what scales.)
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String,
+                 cutoff: Double = 0.05): DataFrame = {
+    val toks = tokens(col(textCol))
+    val markers = filter(toks, t => t.isin(EnMarkers.map(lit): _*))
+    val score = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(markers).cast("double") / size(toks))
+    df.select(
+      col(idCol),
+      round(score, 6).as("en_score"),
+      when(size(toks) === 0, "unknown")
+        .when(score >= cutoff, "en").otherwise("other").as("pred_lang"))
+  }
+
+  /** Order-sensitive rolling fingerprint of the token stream. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(tokens(col(textCol))).as("fingerprint"))
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Training-data text-pipeline operators over `documents`: token stats,
+  * tag-style membership / overlap semi-joins (SURVEY §2.4 T3-T6 shapes),
+  * exact + MinHash/LSH + SimHash + n-gram-Jaccard dedup, quality
+  * scoring, language ID, fingerprints.
+  *
+  * Oracle strategy: every hash is md5 or an explicit polynomial fold,
+  * and the DuckDB SQL replays the identical pipeline (same shingling,
+  * same banding, same folds) so even the *approximate* operators
+  * (LSH candidates, SimHash blocking) produce identical rows.
+  */
+object TextPack extends QueryPack {
+
+  // ---- DuckDB fragments mirroring TextFunctions exactly ----
+  private val toksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  // shingles (n=3) over a token-list expression `tk`
+  private def shingleSql(tk: String): String =
+    s"""CASE WHEN len($tk) <= 3 THEN [array_to_string($tk, ' ')]
+       | ELSE list_transform(range(1, len($tk) - 1), i -> array_to_string(($tk)[i:i+2], ' ')) END""".stripMargin
+  private def jaccardSql(a: String, b: String): String =
+    s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
+  private def minhashSql(ss: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> coalesce(list_aggregate(list_transform($ss, t -> md5(i::VARCHAR || ':' || t)), 'min'), '~empty~'))"
+  private def bandsSql(sig: String, bands: Int, rowsPer: Int): String =
+    s"list_transform(range(0, $bands), b -> b::VARCHAR || '|' || md5(array_to_string(($sig)[b*$rowsPer+1:b*$rowsPer+$rowsPer], ',')))"
+  private def polyhashSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(list_filter(string_split($e, ''), c -> c <> ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+  private def fingerprintSql(tk: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform($tk, t -> ${polyhashSql("t")})), (a, b) -> (a * 131 + b) % 2147483647)"
+  private val tokLenSumSql =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(tk, t -> length(t)::BIGINT)), (a, b) -> a + b)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- token statistics ----
+    "q40_token_stats" -> { (s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- T3 parity shape: membership search on the token set ----
+    "q41_word_membership" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(array_contains(TextFunctions.tokens(col("text")), "spark"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- T5/T6 + n-gram dedup: exact shingle-Jaccard pairs ----
+    "q42_ngram_jaccard_pairs" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- T4 parity shape: shared-element semi-join vs one doc ----
+    "q43_shared_shingle_overlap" -> { (s, d) =>
+      val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+      val target = sh.filter(col("id") === 7)
+        .select(col("shingle_set").as("__target"))
+      sh.filter(col("id") =!= 7)
+        .crossJoin(broadcast(target))
+        .filter(arrays_overlap(col("shingle_set"), col("__target")))
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash + LSH near-dup pairs ----
+    "q44_minhash_lsh_pairs" -> { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- exact content-hash dedup ----
+    "q45_exact_dedup" -> { (s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    },
+
+    // ---- order-sensitive rolling fingerprint ----
+    "q46_fingerprint" -> { (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SimHash sketches ----
+    "q47_simhash" -> { (s, d) =>
+      Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text", bits = 24)
+        .orderBy(col("id"))
+    },
+
+    // ---- SimHash near-dup pairs (chunk-blocked, exact ≤3 bits) ----
+    "q48_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          bits = 24, chunks = 4, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- quality scoring ----
+    "q49_quality_score" -> { (s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- language-ID heuristic ----
+    "q50_language_id" -> { (s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus rollup by lang × source ----
+    "q51_corpus_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy($"lang", $"source")
+    },
+  )
+
+  def oracleSql: Map[String, String] = {
+    val k = 16; val bands = 4; val rowsPer = 4
+    Map(
+      "q40_token_stats" ->
+        s"""SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+           |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+           |  CAST(length(text) AS INT) AS n_chars,
+           |  ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+           |    ELSE $tokLenSumSql::DOUBLE / CAST(len(tk) AS INT) END, 6) AS avg_token_len,
+           |  ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+           |    ELSE CAST(len(list_distinct(tk)) AS INT)::DOUBLE / CAST(len(tk) AS INT) END, 6) AS type_token_ratio
+           |FROM (SELECT doc_id, text, $toksSql AS tk FROM documents) t
+           |ORDER BY doc_id""".stripMargin,
+
+      "q41_word_membership" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE list_contains($toksSql, 'spark')
+           |ORDER BY doc_id""".stripMargin,
+
+      "q42_ngram_jaccard_pairs" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  ${jaccardSql("a.ss", "b.ss")} AS jaccard
+           |FROM sh a, sh b
+           |WHERE a.doc_id < b.doc_id AND ${jaccardSql("a.ss", "b.ss")} >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q43_shared_shingle_overlap" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id FROM sh a,
+           |  (SELECT ss AS target FROM sh WHERE doc_id = 7) q
+           |WHERE a.doc_id <> 7 AND len(list_intersect(a.ss, q.target)) > 0
+           |ORDER BY a.doc_id""".stripMargin,
+
+      "q44_minhash_lsh_pairs" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+           |banded AS (SELECT doc_id, unnest(${bandsSql(minhashSql("ss", k), bands, rowsPer)}) AS band_key FROM sh),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band_key = y.band_key
+           |  WHERE x.doc_id < y.doc_id)
+           |SELECT c.id_a, c.id_b, ${jaccardSql("a.ss", "b.ss")} AS jaccard
+           |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+           |WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q45_exact_dedup" ->
+        """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+          |  MIN(doc_id) AS keeper_id
+          |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+      "q46_fingerprint" ->
+        s"""SELECT doc_id, ${fingerprintSql("tk")} AS fingerprint
+           |FROM (SELECT doc_id, $toksSql AS tk FROM documents) t
+           |ORDER BY doc_id""".stripMargin,
+
+      "q47_simhash" -> simhashSql(24),
+
+      "q48_simhash_pairs" ->
+        s"""WITH sh AS (${simhashSqlBody(24)})
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM sh a, sh b
+           |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q49_quality_score" ->
+        s"""SELECT doc_id,
+           |  ROUND(sr, 6) AS stopword_ratio,
+           |  ROUND(ls, 6) AS len_score,
+           |  ROUND(dv, 6) AS diversity,
+           |  ROUND(ls * 0.4 + dv * 0.3 + (1.0 - abs(sr - 0.3)) * 0.3, 6) AS quality_score
+           |FROM (SELECT doc_id,
+           |    CASE WHEN len(tk) = 0 THEN 0.0
+           |      ELSE len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in')))::DOUBLE / len(tk) END AS sr,
+           |    least(len(tk)::DOUBLE / 100.0, 1.0) AS ls,
+           |    CASE WHEN len(tk) = 0 THEN 0.0
+           |      ELSE len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE END AS dv
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t) s
+           |ORDER BY doc_id""".stripMargin,
+
+      "q50_language_id" ->
+        s"""SELECT doc_id, ROUND(sc, 6) AS en_score,
+           |  CASE WHEN n = 0 THEN 'unknown'
+           |    WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+           |FROM (SELECT doc_id, len(tk) AS n,
+           |    CASE WHEN len(tk) = 0 THEN 0.0
+           |      ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE / len(tk) END AS sc
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t) s
+           |ORDER BY doc_id""".stripMargin,
+
+      "q51_corpus_stats" ->
+        """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+          |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+          |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    )
+  }
+
+  /** SimHash SQL: bit b of the sketch = sign of Σ_tokens ±1 by token-hash
+    * bit b — identical to Dedup.simhashTable.
+    */
+  private def simhashSqlBody(bits: Int): String = {
+    val terms = (0 until bits).map { b =>
+      s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id AS id, ($terms) AS simhash
+       |FROM (SELECT doc_id, ${polyhashSql("tok")} AS h
+       |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) u) w
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  private def simhashSql(bits: Int): String =
+    simhashSqlBody(bits) + "\nORDER BY id"
+}
