@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics over the `events` table — the batch
+  * equivalents of the Structured Streaming operators in
+  * `graft.streaming` (tumbling windows, sessionization), plus JSON
+  * extraction and top-k rollups.
+  *
+  * Time policy: all window/gap arithmetic is done on exact int64
+  * nanoseconds (`ts_ns`) — never on doubles (int64 nanos overflow a
+  * double mantissa) and never on engine-truncated timestamps — so the
+  * DuckDB oracle (`epoch_ns(ts)`) is bit-identical.
+  */
+object EventsPack extends QueryPack {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val Win15Ns = 900L * 1000 * 1000 * 1000
+  private val SessionGapNs = 1800L * 1000 * 1000 * 1000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling 1h window aggregate (streaming window, batch form) ----
+    "q60_hourly_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("hour_id", expr(s"ts_ns div $HourNs"))
+        .groupBy($"hour_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+          countDistinct($"user_id").as("n_users"))
+        .withColumn("hour_ts",
+          date_format(timestamp_micros($"hour_id" * (HourNs / 1000)), "yyyy-MM-dd HH:mm:ss"))
+        .select("hour_id", "hour_ts", "n_events", "total_value", "n_users")
+        .orderBy($"hour_id")
+    },
+
+    // ---- sessionization: 30-min inactivity gap (lag window) ----
+    "q61_sessionize" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ns", lag($"ts_ns", 1).over(w))
+        .withColumn("new_session",
+          when($"prev_ns".isNull || $"ts_ns" - $"prev_ns" > SessionGapNs, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"new_session").as("n_sessions"))
+        .orderBy($"user_id")
+    },
+
+    // ---- per-type value stats ----
+    "q62_event_type_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"))
+        .orderBy($"event_type")
+    },
+
+    // ---- JSON property extraction + bucket rollup ----
+    "q63_json_extract" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy(pmod($"k", lit(10)).cast("int").as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy($"k_mod")
+    },
+
+    // ---- tumbling 15-min windows × type (finer streaming window) ----
+    "q64_tumbling_15min" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("win_id", expr(s"ts_ns div $Win15Ns"))
+        .groupBy($"win_id", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("win_ts",
+          date_format(timestamp_micros($"win_id" * (Win15Ns / 1000)), "yyyy-MM-dd HH:mm:ss"))
+        .select("win_id", "win_ts", "event_type", "n")
+        .orderBy($"win_id", $"event_type")
+    },
+
+    // ---- top-k users by total value ----
+    "q65_top_users" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy($"total_value".desc, $"user_id".asc)
+        .limit(20)
+    },
+
+    // ---- per-user activity-span / gap statistics ----
+    "q66_gap_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          min($"ts_ns").as("min_ns"), max($"ts_ns").as("max_ns"))
+        .filter($"n" >= 2)
+        .select(
+          $"user_id", $"n",
+          // exact integer arithmetic end-to-end: engines' double round()
+          // implementations disagree at decimal boundaries
+          expr("(max_ns - min_ns) div 1000000000").as("span_sec"),
+          expr("((max_ns - min_ns) div (n - 1)) div 1000000").as("avg_gap_ms"))
+        .orderBy($"user_id")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q60_hourly_agg" ->
+      s"""SELECT epoch_ns(ts) // $HourNs AS hour_id,
+         |  strftime(make_timestamp((epoch_ns(ts) // $HourNs) * ${HourNs / 1000}), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY hour_id, hour_ts ORDER BY hour_id""".stripMargin,
+
+    "q61_sessionize" ->
+      s"""SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+         |FROM (SELECT user_id,
+         |    CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > $SessionGapNs
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM (SELECT user_id, ts,
+         |      LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+         |        ORDER BY epoch_ns(ts), event_id) AS prev_ns
+         |    FROM events) t) u
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q62_event_type_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q63_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k')::INT % 10 AS INT) AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "q64_tumbling_15min" ->
+      s"""SELECT epoch_ns(ts) // $Win15Ns AS win_id,
+         |  strftime(make_timestamp((epoch_ns(ts) // $Win15Ns) * ${Win15Ns / 1000}), '%Y-%m-%d %H:%M:%S') AS win_ts,
+         |  event_type, COUNT(*) AS n
+         |FROM events GROUP BY win_id, win_ts, event_type
+         |ORDER BY win_id, event_type""".stripMargin,
+
+    "q65_top_users" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id ASC LIMIT 20""".stripMargin,
+
+    "q66_gap_stats" ->
+      """SELECT user_id, n,
+        |  (max_ns - min_ns) // 1000000000 AS span_sec,
+        |  ((max_ns - min_ns) // (n - 1)) // 1000000 AS avg_gap_ms
+        |FROM (SELECT user_id, COUNT(*) AS n,
+        |    MIN(epoch_ns(ts)) AS min_ns, MAX(epoch_ns(ts)) AS max_ns
+        |  FROM events GROUP BY user_id) t
+        |WHERE n >= 2 ORDER BY user_id""".stripMargin,
+  )
+}
