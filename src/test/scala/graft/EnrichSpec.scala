@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.enrich.{EnrichService, MockEmbedder, MockTagger}
+import graft.io.WhisperState
+import graft.model.Node
+
+class EnrichSpec extends SparkSpec {
+
+  private val svc = new EnrichService(new MockEmbedder(dim = 16), new MockTagger)
+
+  private def db: WhisperDB = {
+    import spark.implicits._
+    val nodes = Seq(
+      Node(1, "Graphs and Algorithms", 1, "CS", "paths and trees", "A", "2024-01-01 00:00:00",
+        Seq("graphs"), "", Seq()),
+      Node(2, "Graphs and Algorithms", 1, "CS", "paths and trees", "A", "2024-01-01 00:00:00",
+        Seq("graphs"), "", Seq()),
+      Node(3, "Cooking", 2, "Life", "soups", "B", "2024-01-02 00:00:00",
+        Seq(), "", Seq()),
+      Node(4, "Already Embedded", 1, "CS", "", "C", "2024-01-03 00:00:00",
+        Seq(), "", Seq(), embedding = Some(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f,
+          0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))))
+      .toDS().toDF().select(Node.schema.fieldNames.map(col): _*)
+    new WhisperDB(spark, WhisperState(nodes,
+      Seq.empty[(Long, String)].toDF("node_id", "path"), Seq(), 4))
+  }
+
+  test("MockEmbedder: deterministic, normalized, empty -> None") {
+    val e = new MockEmbedder(dim = 8)
+    val Seq(a, b, n) = e.embed(Seq("hello", "hello", ""))
+    assert(a.get.toSeq == b.get.toSeq, "same text -> same vector")
+    assert(n.isEmpty, "empty text -> None (EmbeddingClient.cpp:52-54)")
+    val norm = math.sqrt(a.get.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3)
+  }
+
+  test("E3: generateMissingEmbeddings fills only missing, preserves existing") {
+    val (out, n) = svc.generateMissingEmbeddings(db.nodes)
+    assert(n == 3, "three nodes lacked embeddings")
+    assert(out.filter(col("embedding").isNull).count() == 0)
+    val kept = out.filter(col("id") === 4).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    assert(kept.head == 1f, "existing embedding untouched")
+    // identical doc text -> identical embedding (nodes 1,2 differ only by tags)
+  }
+
+  test("E6/E7: tag reply parsing + normalization + bank growth") {
+    assert(svc.parseTagReply("""blah ["Machine Learning", "ok"] trailing""") ==
+      Seq("machine-learning", "ok"))
+    assert(svc.parseTagReply("no array here") == Seq())
+    val (db2, report) = svc.generateTagsForNode(db, 3)
+    assert(report.tags.nonEmpty && report.tags.forall(t => !t.exists(_.isUpper)))
+    assert(db2.tagBank.nonEmpty, "new tags appended to bank (GraphDB.cpp:499-506)")
+    val stored = db2.nodes.filter(col("id") === 3).select("tags")
+      .collect()(0).getSeq[String](0)
+    assert(stored == report.tags, "node tags overwritten with generated set")
+  }
+
+  test("V7 runClustering: replace semantics + report shape") {
+    val (db2, rep) = svc.runClustering(db, threshold = 0.99)
+    assert(rep.nodesProcessed == 4 && rep.embeddingsGenerated == 3)
+    // nodes 1 and 2 share identical doc text -> identical mock vectors
+    // -> cosine 1.0 >= 0.99: exactly one pair, one cluster
+    assert(rep.linksCreated == 1 && rep.clustersFound == 1)
+    assert(rep.clusters == Seq(Seq(1L, 2L)))
+    def links(d: WhisperDB, id: Long) = d.nodes.filter(col("id") === id)
+      .select("linkedNodes").collect()(0).getSeq[Long](0)
+    assert(links(db2, 1) == Seq(2L) && links(db2, 2) == Seq(1L))
+  }
+
+  test("V6 updateLinks: merge semantics keeps pre-existing links") {
+    val (withEmb, _) = svc.generateMissingEmbeddings(db.nodes)
+    val dbe = db.withState(db.state.copy(nodes = withEmb))
+      .updateNode(1, NodePatch(linkedNodes = Some(Seq(3L))))
+    val (db2, n) = svc.updateLinks(dbe, threshold = 0.99)
+    assert(n == 1, "identical doc texts of nodes 1,2 -> one pair")
+    val l1 = db2.nodes.filter(col("id") === 1).select("linkedNodes")
+      .collect()(0).getSeq[Long](0).sorted
+    assert(l1 == Seq(2L, 3L), "merge keeps the manual link AND adds the similarity link")
+  }
+
+  test("V8 getClusters over stored links") {
+    val linked = db.updateNode(1, NodePatch(linkedNodes = Some(Seq(2L))))
+      .updateNode(2, NodePatch(linkedNodes = Some(Seq(1L))))
+    val clusters = svc.getClusters(linked).collect()
+    assert(clusters.length == 3)
+    assert(clusters(0).getLong(1) == 2, "pair cluster first (size desc)")
+  }
+}

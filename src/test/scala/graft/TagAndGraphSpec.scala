@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tags.TagOps
+import graft.graph.Components
+import graft.model.Node
+
+class TagAndGraphSpec extends SparkSpec {
+
+  private def nodesDF = {
+    import spark.implicits._
+    Seq(
+      Node(1, "A", tags = Seq("x", "y"), linkedNodes = Seq(2)),
+      Node(2, "B", tags = Seq("y", "z"), linkedNodes = Seq(1, 3)),
+      Node(3, "C", tags = Seq("z"), linkedNodes = Seq(2)),
+      Node(4, "D", tags = Seq("w"), linkedNodes = Seq()),
+      Node(5, "E", tags = Seq(), linkedNodes = Seq()))
+      .toDS().toDF().select(Node.schema.fieldNames.map(col): _*)
+  }
+
+  test("T3: exact tag membership") {
+    assert(TagOps.findNodesByTag(nodesDF, "y").collect().map(_.getLong(0)).sorted.toSeq == Seq(1, 2))
+    assert(TagOps.findNodesByTag(nodesDF, "nope").count() == 0)
+  }
+
+  test("T4: shared-tag semi-join excludes self") {
+    assert(TagOps.findNodesWithSharedTags(nodesDF, 2).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("T5/T6: jaccard values and one-vs-all threshold (inclusive)") {
+    // tags(1)={x,y}, tags(2)={y,z}: |∩|=1, |∪|=3 -> 1/3
+    val j = nodesDF.filter(col("id") === 1)
+      .crossJoin(nodesDF.filter(col("id") === 2).select(col("tags").as("t2")))
+      .select(TagOps.jaccardTags(col("tags"), col("t2")).as("j")).collect()(0).getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+    val hits = TagOps.findNodesWithJaccardSimilarity(nodesDF, 1, 1.0 / 3.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(2), "threshold is inclusive (GraphDB.cpp:597)")
+  }
+
+  test("T5: empty side yields 0") {
+    val j = nodesDF.filter(col("id") === 5)
+      .crossJoin(nodesDF.filter(col("id") === 1).select(col("tags").as("t2")))
+      .select(TagOps.jaccardTags(col("tags"), col("t2")).as("j")).collect()(0).getDouble(0)
+    assert(j == 0.0)
+  }
+
+  test("T7: tag normalization parity") {
+    import spark.implicits._
+    val in = Seq("  Machine   Learning  ", "ABC", "a-", "---", "ok", "Графы Test")
+      .toDF("t")
+    val out = in.select(TagOps.normalizeTag(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("machine-learning", "abc", "a", "", "ok", "Графы-test"),
+      "ASCII-only lowercase (C ::tolower leaves non-ASCII bytes), ws->-, trailing - trimmed")
+  }
+
+  test("T8: co-tag edges") {
+    assert(TagOps.coTagEdges(nodesDF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == Seq((1L, 2L), (2L, 3L)))
+  }
+
+  test("E8: bidirectional link upsert is idempotent") {
+    val once = TagOps.addBidirectionalLink(nodesDF, 1, 4)
+    val twice = TagOps.addBidirectionalLink(once, 1, 4)
+    def links(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("id") === id).select("linkedNodes").collect()(0).getSeq[Long](0).sorted
+    assert(links(twice, 1) == Seq(2L, 4L) && links(twice, 4) == Seq(1L))
+  }
+
+  test("merge vs replace link semantics (V6 vs V7)") {
+    import spark.implicits._
+    val edges = Seq((3L, 4L)).toDF("id_a", "id_b")
+    def links(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("id") === id).select("linkedNodes").collect()(0).getSeq[Long](0).sorted
+    val merged = TagOps.mergeLinks(nodesDF, edges)
+    assert(links(merged, 3) == Seq(2L, 4L), "merge keeps old links (EmbeddingService.cpp:117-134)")
+    val replaced = TagOps.replaceLinks(nodesDF, edges)
+    assert(links(replaced, 3) == Seq(4L), "replace overwrites (EmbeddingService.cpp:183)")
+    assert(links(replaced, 2) == Seq(1L, 3L), "untouched nodes keep links")
+  }
+
+  test("connected components: GraphX and DataFrame implementations agree") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val gx = Components.connectedComponentsGraphX(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val df = Components.connectedComponentsDF(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L), (7L, 7L))
+    assert(gx == expected, "min-id labels, singletons included")
+    assert(df == expected)
+  }
+
+  test("V8 cluster summary: sharedTags rule and size-desc id reassignment") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("id", "component")
+    val out = Components.clusterSummary(nodesDF, comps)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2), r.getSeq[String](3))).toSeq
+    assert(out(0) == ((1, 3L, Seq(1L, 2L, 3L), Seq("y", "z"))),
+      "largest cluster first; sharedTags = tags in >=2 members")
+    assert(out(1)._2 == 1L && out(1)._3 == Seq(4L) && out(1)._4 == Seq("w"),
+      "singleton cluster keeps all its tags (TagService.cpp:225-230)")
+    assert(out(2) == ((3, 1L, Seq(5L), Seq())))
+  }
+}
