@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: media travels as an
+  * opaque `binary` column plus a typed metadata struct; decode /
+  * feature-extraction / resize / frame-sampling run as batch-iterator
+  * `mapPartitions` operators (the Scala analogue of `mapInPandas` —
+  * one partition = one batch through the codec).
+  *
+  * The codecs themselves are STUBBED with deterministic fakes (no
+  * image/audio libraries exist in this runtime): `decodeStub` parses a
+  * tiny fake header, `featureStub` computes a byte histogram. The
+  * Spark-side contract — schema, partitioning, batch shape, null
+  * behavior — is real and tested; swapping a real codec in changes one
+  * function.
+  *
+  * Scale notes: binary payloads stay columnar (parquet/binaryFile) and
+  * never pass through the driver; feature extraction is map-side only;
+  * `spark.sql.files.maxPartitionBytes` governs batch sizing for large
+  * blobs.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Ingest a directory of raw files as a media table:
+    * (path, modificationTime, length, content). Spark's binaryFile
+    * source handles splitting/listing at scale.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** Deterministic fake "decode": byte 0,1 → width, byte 2,3 → height,
+    * first printable run → format tag. Stands in for an image decoder.
+    */
+  def decodeStub(bytes: Array[Byte]): Row =
+    if (bytes == null || bytes.isEmpty) Row(null, null, null, 0L)
+    else Row(
+      if (bytes.length >= 4) f"fmt${bytes(0) & 0x03}" else "unknown",
+      if (bytes.length >= 2) ((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) else 0,
+      if (bytes.length >= 4) ((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) else 0,
+      bytes.length.toLong)
+
+  /** Attach the decoded metadata struct — batch-iterator operator. */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("media_meta", mediaMetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+ decodeStub(bytes))
+        }
+      }, schema)
+  }
+
+  /** Deterministic feature extraction stub: normalized 16-bin byte
+    * histogram (stands in for an embedding model over pixels/samples).
+    */
+  def featureStub(bytes: Array[Byte], bins: Int = 16): Array[Float] = {
+    val h = new Array[Float](bins)
+    if (bytes == null || bytes.isEmpty) return h
+    bytes.foreach(b => h((b & 0xff) * bins / 256) += 1f)
+    val n = bytes.length.toFloat
+    h.map(_ / n)
+  }
+
+  /** Attach a feature vector column — batch-iterator operator. */
+  def withFeatures(df: DataFrame, binCol: String, bins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+ featureStub(bytes, bins).toSeq)
+        }
+      }, schema)
+  }
+
+  /** Frame sampling stub: every `stride`-th fixed-size chunk of the blob
+    * becomes a "frame" row (explodes 1 media row → n frame rows, the
+    * shape a video pipeline needs).
+    */
+  def sampleFrames(df: DataFrame, binCol: String, frameSize: Int = 64,
+                   stride: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val binIdx = df.schema.fieldIndex(binCol)
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = if (r.isNullAt(binIdx)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](binIdx)
+          val nFrames = math.max(bytes.length / (frameSize * stride), 0)
+          (0 until nFrames).iterator.map { i =>
+            val start = i * frameSize * stride
+            Row.fromSeq(r.toSeq ++ Seq(i,
+              bytes.slice(start, math.min(start + frameSize, bytes.length))))
+          }
+        }
+      }, schema)
+  }
+}

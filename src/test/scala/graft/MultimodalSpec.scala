@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def mediaDF = {
+    import spark.implicits._
+    Seq(
+      (1L, Array[Byte](1, 44, 0, 100, 5, 6, 7, 8, 9, 10)),
+      (2L, Array[Byte](-1, -1, -1, -1)),
+      (3L, Array.emptyByteArray))
+      .toDF("media_id", "content")
+  }
+
+  test("decode stub: schema + deterministic metadata") {
+    val out = Multimodal.withMediaMeta(mediaDF, "content")
+    assert(out.schema.fieldNames.contains("media_meta"))
+    val rows = out.orderBy("media_id").select("media_meta.*").collect()
+    assert(rows(0).getString(0) == "fmt1" && rows(0).getInt(1) == (1 << 8 | 44))
+    assert(rows(0).getInt(2) == 100 && rows(0).getLong(3) == 10)
+    assert(rows(2).getLong(3) == 0, "empty blob -> zero-byte meta")
+  }
+
+  test("feature stub: normalized histogram, stable across runs") {
+    val f1 = Multimodal.withFeatures(mediaDF, "content")
+      .orderBy("media_id").select("features").collect()
+    val f2 = Multimodal.withFeatures(mediaDF, "content")
+      .orderBy("media_id").select("features").collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    val h = f1(0).getSeq[Float](0)
+    assert(h.length == 16 && math.abs(h.sum - 1.0) < 1e-5, "histogram sums to 1")
+    assert(f1(2).getSeq[Float](0).sum == 0f, "empty blob -> zero vector")
+  }
+
+  test("frame sampling: explode shape and bounds") {
+    import spark.implicits._
+    val big = Seq((1L, Array.tabulate[Byte](1024)(i => (i % 127).toByte)))
+      .toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(big, "content", frameSize = 64, stride = 4)
+    assert(frames.count() == 4, "1024 bytes / (64*4) = 4 frames")
+    val r = frames.orderBy("frame_idx").collect()
+    assert(r(0).getInt(2) == 0 && r(0).getAs[Array[Byte]](3).length == 64)
+  }
+
+  test("binaryFile source ingests a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.bin"), Array[Byte](4, 5))
+    val df = Multimodal.readBinaryDir(spark, dir.toString, "*.bin")
+    assert(df.count() == 2)
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+  }
+}

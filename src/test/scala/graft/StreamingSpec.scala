@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  test("stream hourly agg == batch hourly agg (AvailableNow over sf0.001)") {
+    // stage the events file into a stream-source dir
+    val dir = Files.createTempDirectory("evstream").toString
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+
+    val stream = EventStreams.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    val result = EventStreams.runToMemory(
+      EventStreams.hourlyAgg(stream), "hourly_test", OutputMode.Update())
+
+    val batch = EventStreams.hourlyAgg(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val s = result.orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    val b = batch.orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    assert(s == b, "streaming AvailableNow result must equal the batch plan")
+  }
+
+  test("mapGroupsWithState sessionization == batch lag-window sessionization") {
+    val dir = Files.createTempDirectory("evstream2").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val sessions = EventStreams.runToMemory(
+      EventStreams.sessionize(stream).toDF(), "sessions_test", OutputMode.Update())
+    val batch = graft.queries.EventsPack
+      .queries("q61_sessionize")(spark, "/root/testdata/sf0.001")
+    val s = sessions.orderBy("user_id")
+      .select("user_id", "n_events", "n_sessions").collect().map(_.toString).toSeq
+    val b = batch.select("user_id", "n_events", "n_sessions")
+      .collect().map(_.toString).toSeq
+    assert(s == b, "custom-state sessionization must match the oracle-checked batch query")
+  }
+}
