@@ -18,6 +18,7 @@ object SparkEntry {
     SimilarityPack,
     TextPack,
     EventsPack,
+    GraphPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.graph.Components
+import graft.pipeline.Dedup
+import graft.similarity.SimilarityOps
+
+/** Graph operators (SURVEY §2.5 V2-V4/V8): similarity graph →
+  * connected components → cluster summaries, plus near-dup clustering
+  * (the production use of CC in a dedup pipeline: pick one keeper per
+  * duplicate cluster).
+  *
+  * Oracle strategy: component labels are canonical (min reachable id),
+  * which a DuckDB recursive CTE reproduces exactly — labels propagate
+  * only downhill (comp < target id), which is lossless because the
+  * component minimum is smaller than every member it must reach.
+  */
+object GraphPack extends QueryPack {
+
+  // same fold-exact cosine fragments as SimilarityPack
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- V2+V4: components of the cosine>=0.4 similarity graph ----
+    "q37_connected_components" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.allPairs(emb, "vec_id", "embedding", 0.4)
+      Components.connectedComponentsDF(emb.select("vec_id"), pairs)
+        .orderBy(col("id"))
+    },
+
+    // ---- V8 shape: cluster size summary, ids reassigned by size ----
+    "q38_cluster_sizes" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.allPairs(emb, "vec_id", "embedding", 0.4)
+      val comps = Components.connectedComponentsDF(emb.select("vec_id"), pairs)
+      val w = Window.orderBy(col("cluster_size").desc, col("component").asc)
+      comps.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+        .withColumn("cluster_id", row_number().over(w))
+        .select("cluster_id", "component", "cluster_size")
+        .orderBy("cluster_id")
+    },
+
+    // ---- near-dup clustering: CC over shingle-jaccard pairs with a
+    //      canonical keeper per cluster (the dedup decision table) ----
+    "q39_neardup_clusters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Components.connectedComponentsDF(docs.select("doc_id"), pairs)
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  private def simEdgesSql: String =
+    s"""SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < b.vec_id
+       |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin
+
+  private def ccSql(edges: String, vertTable: String, vertCol: String): String =
+    s"""WITH RECURSIVE e AS MATERIALIZED ($edges),
+       |sym AS (SELECT ia AS src, ib AS dst FROM e
+       |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+       |r(id, comp) AS (
+       |  SELECT $vertCol, $vertCol FROM $vertTable
+       |  UNION
+       |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+       |  WHERE r.comp < sym.dst)
+       |SELECT id, MIN(comp) AS component FROM r GROUP BY id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q37_connected_components" ->
+      (ccSql(simEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
+
+    "q38_cluster_sizes" ->
+      s"""WITH cc AS (${ccSql(simEdgesSql, "embeddings", "vec_id")})
+         |SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, component ASC) AS cluster_id,
+         |  component, COUNT(*) AS cluster_size
+         |FROM cc GROUP BY component
+         |ORDER BY cluster_id""".stripMargin,
+
+    "q39_neardup_clusters" -> {
+      val toksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val shingle =
+        s"""CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+           | ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END""".stripMargin
+      val jac = (a: String, b: String) =>
+        s"CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+      val edges =
+        s"""WITH sh AS (SELECT doc_id, list_distinct($shingle) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+           |WHERE a.doc_id < b.doc_id AND ROUND(${jac("a.ss", "b.ss")}, 6) >= 0.5"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH RECURSIVE e AS MATERIALIZED ($edges),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+         |r(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+         |  WHERE r.comp < sym.dst)
+         |SELECT id AS doc_id, MIN(comp) AS component,
+         |  id = MIN(comp) AS is_keeper
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+  )
+}
