@@ -14,6 +14,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.install(spark)
     val df = SparkEntry.entry(spark)
     println(s"[smoke] entry rows=${df.count()}")
     df.show(5, truncate = false)

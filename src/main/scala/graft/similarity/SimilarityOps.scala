@@ -20,8 +20,17 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityOps {
 
+  /** Set by Graft.install: route cosine through the native codegen
+    * Expression (bit-identical to the HOF fold — same accumulation
+    * order — so results are unchanged, just faster).
+    */
+  @volatile var nativeCosineEnabled: Boolean = false
+
+  private def cosineImpl(a: Column, b: Column): Column =
+    if (nativeCosineEnabled) graft.Graft.cosineSim(a, b) else cosine(a, b)
+
   /** Rounded cosine similarity — the canonical comparison key. */
-  def sim6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+  def sim6(a: Column, b: Column): Column = round(cosineImpl(a, b), 6)
 
   /** V5: top-k most similar rows to `queryId`'s vector; excludes self;
     * keeps all payload columns + `sim` (reference main.cpp:518-577,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.similarity.SimilarityOps
+
+class CosineExpressionSpec extends SparkSpec {
+
+  test("native cosine_sim is bit-identical to the HOF fold") {
+    Graft.install(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .filter(col("id_a") < 80)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val diff = pairs.select(
+      VectorFunctions.cosine(col("ea"), col("eb")).as("hof"),
+      Graft.cosineSim(col("ea"), col("eb")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0, "accumulation order matches -> bit-identical doubles")
+  }
+
+  test("native cosine_sim guards: dim mismatch and zero norm give 0.0") {
+    Graft.install(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f, 0f)), // dim mismatch
+      (Seq(0f, 0f), Seq(1f, 1f)), // zero norm
+      (Seq(1f, 0f), Seq(0f, 1f)) // orthogonal
+    ).toDF("a", "b")
+    val out = df.select(Graft.cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(0.0, 0.0, 0.0))
+    val same = Seq((Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Graft.cosineSim(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-12)
+  }
+
+  test("whole-stage codegen keeps the expression inline (no fallback)") {
+    Graft.install(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = emb.select(Graft.cosineSim(col("embedding"), col("embedding")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert(plan.contains("*(1) Project") && plan.contains("cosine_sim"),
+      s"expected the expression inside a codegen stage:\n$plan")
+  }
+}
