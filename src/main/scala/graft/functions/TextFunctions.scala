@@ -57,19 +57,41 @@ object TextFunctions {
       lit(0L),
       (h, c) => pmod(h * 31 + c, lit(1000000007L)))
 
-  /** MinHash signature of a token-set column: k independent "permutations"
-    * simulated by seeding md5 — sig(i) = min over tokens of
-    * md5(i || ':' || token). Lexicographic min over identical hex strings
-    * is engine-independent, so the DuckDB oracle reproduces it exactly.
-    * Empty token sets get a sentinel so banding never matches them.
+  /** Mersenne prime 2^31-1: universal-hash modulus. Base hashes are
+    * reduced below it, so a*h+b stays < 2^62 — overflow-free identical
+    * int64 arithmetic in Spark and DuckDB.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Engine-portable strong hash of a string to [0, 2^31-1): first 15
+    * hex chars of md5, parsed as an integer. (DuckDB mirrors the parse
+    * with a fold over hex digits.)
+    */
+  def md5Long(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP))
+
+  /** MinHash signature of a token-set column: ONE md5 per token, then k
+    * universal-hash permutations h_i(x) = (a_i·x + b_i) mod P with
+    * deterministic odd multipliers — 16× fewer strong hashes than
+    * seeding md5 per permutation, same theory. Empty sets get sentinel P
+    * (greater than any real value) so banding never matches them.
     */
   def minhashSignature(tokSet: Column, k: Int): Column =
+    minhashFromHashes(transform(tokSet, t => md5Long(t)), k)
+
+  /** Signature from a PRE-HASHED long-array column. Callers doing bulk
+    * work must materialize the hash array first (e.g. cache a
+    * projection): Column trees are duplicated per use, so passing the
+    * raw md5 transform here would recompute every md5 k times.
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       i =>
         coalesce(
-          array_min(transform(tokSet, t => md5(concat(i.cast("string"), lit(":"), t)))),
-          lit("~empty~")))
+          array_min(transform(hashes,
+            h => pmod(((i * 2 + 1) * h + (i * i + 98765)), lit(MinhashP)))),
+          lit(MinhashP)))
 
   /** LSH band keys from a minhash signature: `bands` groups of `rowsPer`
     * signature entries, each hashed to one band key. Docs sharing ANY band
@@ -82,7 +104,8 @@ object TextFunctions {
         concat(
           b.cast("string"),
           lit("|"),
-          md5(concat_ws(",", slice(sig, b * rowsPer + 1, lit(rowsPer))))))
+          md5(concat_ws(",",
+            transform(slice(sig, b * rowsPer + 1, lit(rowsPer)), x => x.cast("string"))))))
 
   /** Rolling/document fingerprint: polynomial fold over the token stream
     * (order-sensitive, unlike the minhash set signature).

@@ -57,21 +57,25 @@ object Components {
       .distinct().cache()
     var labels = vertices.select(col(vidName).cast("long").as("id"))
       .withColumn("component", col("id")).localCheckpoint()
+    // labels only ever decrease, so sum(component) is strictly monotone
+    // while anything changes — convergence check is one cheap aggregate,
+    // not a join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("component")).as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+      labels = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() > 0
-      labels = next
-      converged = !changed
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels

@@ -49,9 +49,14 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val rowsPer = k / bands
     val sh = shingleSets(df, idCol, textCol, n).cache()
-    val banded = sh
+    // materialization barrier: md5 exactly once per shingle — the k
+    // permutations then run on the cached long array (see
+    // TextFunctions.minhashFromHashes)
+    val hashed = sh.select(col("id"),
+      transform(col("shingle_set"), t => md5Long(t)).as("__hashes")).cache()
+    val banded = hashed
       .select(col("id"),
-        explode(lshBandKeys(minhashSignature(col("shingle_set"), k), bands, rowsPer))
+        explode(lshBandKeys(minhashFromHashes(col("__hashes"), k), bands, rowsPer))
           .as("band_key"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band_key"))
       .filter(col("x.id") < col("y.id"))
@@ -116,17 +121,31 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (the small-scale oracle path;
-    * minhashLshPairs is the approximate scale path for the same goal).
+  /** Exact n-gram Jaccard near-dup pairs via set-similarity join:
+    * explode shingles, equi-join on the shingle to count |∩| per pair
+    * in ONE shuffle, then |∪| = |A| + |B| - |∩| from the per-doc sizes.
+    * No quadratic loop and no per-pair array intersections — identical
+    * values to the naive |∩|/|∪| definition (the DuckDB oracle computes
+    * it naively and hash-matches). Pairs with empty intersection can't
+    * reach any threshold > 0, so skipping them is exact.
+    * At 100 TB add prefix filtering to cut hot-shingle candidate
+    * inflation; here AQE's skew handling suffices.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
-    val a = sh.select(col("id").as("id_a"), col("shingle_set").as("__sa"))
-    val b = sh.select(col("id").as("id_b"), col("shingle_set").as("__sb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 6))
+      .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
+      .cache()
+    val ex = sh.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
+    val inter = ex.as("x").join(ex.as("y"), "__s")
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.__sz").as("__na"), col("y.__sz").as("__nb"))
+      .agg(count(lit(1)).as("__c"))
+    inter
+      .withColumn("jaccard", round(
+        col("__c").cast("double") /
+          (col("__na") + col("__nb") - col("__c")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -26,8 +26,13 @@ object TextPack extends QueryPack {
        | ELSE list_transform(range(1, len($tk) - 1), i -> array_to_string(($tk)[i:i+2], ' ')) END""".stripMargin
   private def jaccardSql(a: String, b: String): String =
     s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
+  /** Parse the first 15 hex chars of md5 into a BIGINT, mod 2^31-1 —
+    * mirrors TextFunctions.md5Long bit-for-bit.
+    */
+  private def md5LongSql(e: String): String =
+    s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 2147483647)"
   private def minhashSql(ss: String, k: Int): String =
-    s"list_transform(range(0, $k), i -> coalesce(list_aggregate(list_transform($ss, t -> md5(i::VARCHAR || ':' || t)), 'min'), '~empty~'))"
+    s"list_transform(range(0, $k), i -> coalesce(list_min(list_transform($ss, t -> ((i * 2 + 1) * ${md5LongSql("t")} + (i * i + 98765)) % 2147483647)), 2147483647))"
   private def bandsSql(sig: String, bands: Int, rowsPer: Int): String =
     s"list_transform(range(0, $bands), b -> b::VARCHAR || '|' || md5(array_to_string(($sig)[b*$rowsPer+1:b*$rowsPer+$rowsPer], ',')))"
   private def polyhashSql(e: String): String =
@@ -59,15 +64,17 @@ object TextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // ---- T4 parity shape: shared-element semi-join vs one doc ----
+    // ---- T4 parity shape: shared-element semi-join vs one doc.
+    //      explode + broadcast equi-join (hash probe per shingle), not
+    //      arrays_overlap (O(|A|·|B|) per row) ----
     "q43_shared_shingle_overlap" -> { (s, d) =>
       val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
       val target = sh.filter(col("id") === 7)
-        .select(col("shingle_set").as("__target"))
+        .select(explode(col("shingle_set")).as("__s")).distinct()
       sh.filter(col("id") =!= 7)
-        .crossJoin(broadcast(target))
-        .filter(arrays_overlap(col("shingle_set"), col("__target")))
-        .select(col("id").as("doc_id"))
+        .select(col("id"), explode(col("shingle_set")).as("__s"))
+        .join(broadcast(target), "__s")
+        .select(col("id").as("doc_id")).distinct()
         .orderBy(col("doc_id"))
     },
 
