@@ -13,8 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The testdata files are single-row-group parquet, which Spark cannot
+    * byte-range split — every scan would otherwise run as ONE task,
+    * serializing all pre-shuffle compute (tokenizing, shingling, hashing,
+    * partial aggregation). Spread deficient inputs across the cluster;
+    * a no-op whenever the source already provides >= one split per core
+    * (any real multi-file / multi-row-group layout, i.e. always at scale).
+    * Catalyst still pushes filters and column pruning below the exchange.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spread(spark, spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -31,7 +31,7 @@ object GraphPack extends QueryPack {
     "q37_connected_components" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.allPairs(emb, "vec_id", "embedding", 0.4)
-      Components.connectedComponentsDF(emb.select("vec_id"), pairs)
+      Components.connectedComponentsFast(emb.select("vec_id"), pairs)
         .orderBy(col("id"))
     },
 
@@ -39,7 +39,7 @@ object GraphPack extends QueryPack {
     "q38_cluster_sizes" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.allPairs(emb, "vec_id", "embedding", 0.4)
-      val comps = Components.connectedComponentsDF(emb.select("vec_id"), pairs)
+      val comps = Components.connectedComponentsFast(emb.select("vec_id"), pairs)
       val w = Window.orderBy(col("cluster_size").desc, col("component").asc)
       comps.groupBy("component")
         .agg(count(lit(1)).as("cluster_size"))
@@ -53,7 +53,7 @@ object GraphPack extends QueryPack {
     "q39_neardup_clusters" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
-      Components.connectedComponentsDF(docs.select("doc_id"), pairs)
+      Components.connectedComponentsFast(docs.select("doc_id"), pairs)
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("is_keeper"))
         .orderBy(col("doc_id"))

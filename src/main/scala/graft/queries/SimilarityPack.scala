@@ -69,6 +69,19 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // ---- IVF search: top-k within the query's centroid block ----
+    "q52_ivf_topk" -> { (s, d) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, nCentroids = 8, k = 10)
+    },
+
+    // ---- blocked (IVF) all-pairs: the scale path for q31 ----
+    "q53_blocked_allpairs" -> { (s, d) =>
+      SimilarityOps.allPairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.3, nCentroids = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -135,6 +148,39 @@ object SimilarityPack extends QueryPack {
          |SELECT e.vec_id AS id, COALESCE(d.deg, 0) AS degree
          |FROM embeddings e LEFT JOIN d ON e.vec_id = d.id
          |ORDER BY id""".stripMargin,
+
+    "q52_ivf_topk" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1),
+         |q AS (SELECT centroid AS qc, embedding AS qv FROM assign WHERE vec_id = 0)
+         |SELECT a.vec_id, a.centroid, ${cosSql("a.embedding", "q.qv")} AS sim
+         |FROM assign a, q
+         |WHERE a.centroid = q.qc AND a.vec_id <> 0
+         |ORDER BY sim DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q53_blocked_allpairs" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM assign a JOIN assign b
+         |  ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q36_label_centroid" ->
       """SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 6) AS avg_v

@@ -68,7 +68,9 @@ object TextPack extends QueryPack {
     //      explode + broadcast equi-join (hash probe per shingle), not
     //      arrays_overlap (O(|A|·|B|) per row) ----
     "q43_shared_shingle_overlap" -> { (s, d) =>
-      val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+      // cache: the shingled view feeds both the target subquery and the
+      // probe side — uncached it would be shingled twice
+      val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3).cache()
       val target = sh.filter(col("id") === 7)
         .select(explode(col("shingle_set")).as("__s")).distinct()
       sh.filter(col("id") =!= 7)

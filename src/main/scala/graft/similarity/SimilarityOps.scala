@@ -116,6 +116,25 @@ object SimilarityOps {
       .drop("__rn", "__cvec")
   }
 
+  /** IVF search: probe only the query vector's centroid block, then
+    * brute-force cosine top-k within it. The 100 TB path for V5: the
+    * block join shuffles one partition's worth of vectors instead of
+    * broadcasting the query against the full table; recall is traded at
+    * block boundaries exactly like `allPairsBlocked`.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, nCentroids: Int, k: Int = 10): DataFrame = {
+    val assigned = assignToCentroids(emb, idCol, vecCol, nCentroids)
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("centroid").as("__qc"), col(vecCol).as("__query_vec"))
+    assigned.join(broadcast(q), col("centroid") === col("__qc"))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("sim", sim6(col(vecCol), col("__query_vec")))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("centroid"), col("sim"))
+  }
+
   /** Per-vector similarity degree: number of other vectors with
     * sim >= threshold (0 for isolated vectors).
     */

@@ -40,9 +40,10 @@ class CosineExpressionSpec extends SparkSpec {
     Graft.install(spark)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val df = emb.select(Graft.cosineSim(col("embedding"), col("embedding")).as("c"))
+    df.collect() // AQE finalizes (and codegen-compiles) the plan only on execution
     val plan = df.queryExecution.executedPlan.toString
     // '*(n)' prefixes mark WholeStageCodegen spans in the plan string
-    assert(plan.contains("*(1) Project") && plan.contains("cosine_sim"),
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined && plan.contains("cosine_sim"),
       s"expected the expression inside a codegen stage:\n$plan")
   }
 }

@@ -88,9 +88,12 @@ class TagAndGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val df = Components.connectedComponentsDF(verts, edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fast = Components.connectedComponentsFast(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L), (7L, 7L))
     assert(gx == expected, "min-id labels, singletons included")
     assert(df == expected)
+    assert(fast == expected)
   }
 
   test("V8 cluster summary: sharedTags rule and size-desc id reassignment") {
