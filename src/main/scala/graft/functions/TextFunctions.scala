@@ -115,4 +115,18 @@ object TextFunctions {
       toks,
       lit(0L),
       (h, t) => pmod(h * 131 + polyHash(t), lit(2147483647L)))
+
+  /** BPE-ish piece split: letter runs, digit runs, single other
+    * non-space chars — the lexical pre-split every BPE tokenizer does.
+    */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Approximate BPE token count: each piece costs ceil(len/4) tokens
+    * (~4 chars/subword, the usual BPE average). Integer arithmetic only,
+    * so the oracle reproduces it exactly.
+    */
+  def bpeTokenCount(text: Column): Column =
+    aggregate(bpePieces(text), lit(0L),
+      (a, p) => a + floor((length(p) + lit(3)) / lit(4)).cast("long"))
 }

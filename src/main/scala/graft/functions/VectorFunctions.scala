@@ -52,4 +52,30 @@ object VectorFunctions {
   /** Euclidean (L2) distance; 0-guard-free — used by IVF assignment. */
   def l2Distance(a: Column, b: Column): Column =
     sqrt(fsum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y))))
+
+  /** Deterministic pseudo-random sign for hyperplane j, dimension i
+    * (both 0-based): a middle bit of an integer mix — portable integer
+    * arithmetic, identical in the DuckDB oracle.
+    */
+  private def hpSign(i: Column, j: Int): Column = {
+    val mixed = (i.cast("long") + 1L) * lit((j + 7).toLong) * lit(2654435761L)
+    when(pmod(floor(mixed / 1024).cast("long"), lit(2L)) === 1L, lit(1.0))
+      .otherwise(lit(-1.0))
+  }
+
+  /** Random-hyperplane (sign) LSH signature: bit j = [Σ_i sign_ij·v_i > 0].
+    * Cosine-similar vectors collide with probability 1 − θ/π per bit;
+    * bucketing on the signature is the LSH scale path for similarity
+    * search (SimHash-for-embeddings). Strict left-fold accumulation —
+    * engine-portable.
+    */
+  def hyperplaneSignature(v: Column, bits: Int): Column = {
+    val d = toDouble(v)
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(d, transform(d, (_, i) => hpSign(i, j)), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

@@ -82,6 +82,17 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- sign-LSH bucketing: hyperplane signatures + bucket sizes ----
+    "q55_hyperplane_lsh" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions
+            .hyperplaneSignature(col("embedding"), 12).as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("bucket_size"), min(col("vec_id")).as("min_vec_id"))
+        .orderBy(col("sig"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -148,6 +159,21 @@ object SimilarityPack extends QueryPack {
          |SELECT e.vec_id AS id, COALESCE(d.deg, 0) AS degree
          |FROM embeddings e LEFT JOIN d ON e.vec_id = d.id
          |ORDER BY id""".stripMargin,
+
+    "q55_hyperplane_lsh" -> {
+      val bits = 12
+      // bit j of the signature: sign-projection fold, same index/mix
+      // arithmetic as VectorFunctions.hyperplaneSignature (i here is
+      // DuckDB's 1-based position = Spark's 0-based index + 1)
+      val terms = (0 until bits).map { j =>
+        val sign = s"(CASE WHEN (i::BIGINT * ${j + 7} * 2654435761) // 1024 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        val proj = s"list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * $sign)), (a, b) -> a + b)"
+        s"CASE WHEN $proj > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT sig, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+         |FROM (SELECT vec_id, ($terms) AS sig FROM embeddings) t
+         |GROUP BY sig ORDER BY sig""".stripMargin
+    },
 
     "q52_ivf_topk" ->
       s"""WITH assign AS (

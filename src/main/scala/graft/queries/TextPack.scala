@@ -124,6 +124,16 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE-ish token counting (whitespace count vs subword cost) ----
+    "q54_token_count_bpe" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("ws_tokens"),
+          size(TextFunctions.bpePieces(col("text"))).as("bpe_pieces"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus rollup by lang × source ----
     "q51_corpus_stats" -> { (s, d) =>
       import s.implicits._
@@ -228,6 +238,17 @@ object TextPack extends QueryPack {
            |    CASE WHEN len(tk) = 0 THEN 0.0
            |      ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE / len(tk) END AS sc
            |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t) s
+           |ORDER BY doc_id""".stripMargin,
+
+      "q54_token_count_bpe" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toksSql) AS INT) AS ws_tokens,
+           |  CAST(len(pieces) AS INT) AS bpe_pieces,
+           |  list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(pieces, p -> (length(p) + 3) // 4)), (a, b) -> a + b) AS bpe_tokens
+           |FROM (SELECT doc_id, text,
+           |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pieces
+           |      FROM documents) t
            |ORDER BY doc_id""".stripMargin,
 
       "q51_corpus_stats" ->
