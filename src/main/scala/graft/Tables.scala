@@ -26,8 +26,22 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Per-session memo of the loaded (and spread) table DataFrame: a
+    * DataFrame is an immutable plan, safe to share across queries in a
+    * session — this avoids re-listing files, re-reading footers, and
+    * re-running the spread partition probe on every call.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark, spark.read.parquet(s"$dir/$name.parquet"))
+    memo.computeIfAbsent((spark, dir, name), { _ =>
+      // events carries TIMESTAMP(NANOS); the legacy conf must be set
+      // before the first read plans against it (see `events` below)
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spread(spark, spark.read.parquet(s"$dir/$name.parquet"))
+    })
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
@@ -43,7 +57,6 @@ object Tables {
     * `ts` (microsecond-truncated TimestampType for date functions).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
