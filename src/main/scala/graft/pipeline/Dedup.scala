@@ -77,9 +77,14 @@ object Dedup {
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 24): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), polyHash(col("tok")).as("h"))
+    val occ = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    // hash each DISTINCT token once (char-fold polyHash is the pricey
+    // part; occurrences follow a Zipf law, so distinct << total) and
+    // hash-join the occurrences back — same value per occurrence
+    val tokHash = occ.select(col("tok")).distinct()
+      .select(col("tok"), polyHash(col("tok")).as("h"))
+    val toks = occ.join(tokHash, "tok").select(col("id"), col("h"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$b")
