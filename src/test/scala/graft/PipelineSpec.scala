@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.pipeline.{Dedup, TextAnalysis}
+import graft.similarity.SimilarityOps
+
+/** Invariant tests for the training-data pipeline operators (SURVEY §5
+  * test pyramid, level 1): dedup recall on exact duplicates, signature
+  * invariances, set-similarity-join equivalence to the naive definition.
+  * The DuckDB oracle (graft.Verify + tools/validate.py) is the stronger
+  * cross-engine gate; these pin the algebraic properties.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy cat"),   // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactDedup: duplicate texts collapse to one keeper (min id)") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.length == 4, "4 distinct contents")
+    assert(out.contains((2L, 1L)), "dup pair keeps min id as keeper")
+  }
+
+  test("ngramJaccardPairs matches the naive crossJoin definition") {
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val naive = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("j", round(TextFunctions.jaccard(col("a.shingle_set"), col("b.shingle_set")), 6))
+      .filter(col("j") >= 0.1)
+      .select(col("a.id"), col("b.id"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == naive)
+    assert(fast.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 },
+      "exact duplicates have jaccard 1.0")
+  }
+
+  test("minhashLshPairs: exact duplicates are always candidates (sig equality)") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      "identical docs share every band key")
+  }
+
+  test("simhash: identical docs get identical sketches; pairs report hamming 0") {
+    val sk = Dedup.simhashTable(docs, "doc_id", "text", bits = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sk(1L) == sk(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bits = 24,
+        chunks = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
+  test("bpeTokenCount: exact piece arithmetic; empty text costs 0") {
+    val out = Seq((1L, "hello world!"), (2L, "abcdefgh 12345"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hello(2) + world(2) + !(1) = 5 ; abcdefgh(2) + 12345(2) = 4
+    assert(out == Map(1L -> 5L, 2L -> 4L, 3L -> 0L))
+  }
+
+  test("hyperplaneSignature: deterministic and invariant to positive scaling") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 2.0f, 0.1f)),
+      (2L, Seq(1.0f, -2.0f, 4.0f, 0.2f)), // 2 × vector 1
+      (3L, Seq(-0.5f, 1.0f, -2.0f, -0.1f))) // −1 × vector 1
+      .toDF("id", "v")
+    val sig = vecs.select(col("id"),
+        VectorFunctions.hyperplaneSignature(col("v"), 12).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig(1L) == sig(2L), "cosine-identical vectors share the signature")
+    assert(sig(1L) != sig(3L), "opposite vector flips bits")
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 12)))
+  }
+
+  test("ivfTopK: results come from the query's block, sorted by sim desc") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assigned = SimilarityOps.assignToCentroids(emb, "vec_id", "embedding", 4)
+    val qc = assigned.filter(col("vec_id") === 0).select("centroid")
+      .collect()(0).getLong(0)
+    val out = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        queryId = 0L, nCentroids = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length <= 5 && out.nonEmpty)
+    assert(out.forall(_._2 == qc), "all hits share the query's centroid")
+    assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "descending similarity")
+    assert(!out.exists(_._1 == 0L), "self excluded")
+  }
+
+  test("quality/language/fingerprint: empty text is scored, not crashed") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .filter(col("doc_id") === 5).collect()(0)
+    assert(q.getDouble(1) == 0.0 && q.getDouble(2) == 0.0)
+    val l = TextAnalysis.languageId(docs, "doc_id", "text")
+      .filter(col("doc_id") === 5).collect()(0)
+    assert(l.getString(2) == "unknown")
+    val f = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .filter(col("doc_id") === 5).collect()(0)
+    assert(f.getLong(1) == 0L)
+  }
+}
