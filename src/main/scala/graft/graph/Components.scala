@@ -118,13 +118,14 @@ object Components {
     val sc = spark.sparkContext
     val vidName = vertices.columns.head
     val vRdd = vertices.select(col(vidName).cast("long")).as[Long].rdd
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val eRdd = edges.select(col(edges.columns.head).cast("long"),
         col(edges.columns(1)).cast("long")).as[(Long, Long)].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nV = vRdd.count(); val nE = eRdd.count()
+    // size partitions from the edge count alone (CC work is
+    // edge-dominated; defaultParallelism caps the vertex-heavy case)
+    val nE = eRdd.count()
     val parts = math.max(1L, math.min(sc.defaultParallelism.toLong,
-      (nV + 2 * nE) / 500000L)).toInt
+      3 * nE / 500000L)).toInt
     val part = new org.apache.spark.HashPartitioner(parts)
     // duplicate edges are harmless to min-propagation: skip distinct()
     val sym = eRdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
@@ -134,7 +135,7 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     def sumLabels(r: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
       r.map(_._2).fold(0L)(_ + _)
-    var prevSum = sumLabels(labels)
+    var prevSum = -1L // first round always runs; sum only ever decreases
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -157,7 +158,6 @@ object Components {
       prevSum = s
       i += 1
     }
-    vRdd.unpersist(false)
     val out = labels.toDF("id", "component")
     out
   }
