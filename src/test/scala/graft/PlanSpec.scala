@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: the 100 TB story depends on plan
+  * SHAPE, not just row-level correctness — filters must reach the scan,
+  * small dims must broadcast, top-k must compile to
+  * TakeOrderedAndProject (no full sort), aggregates must be hash-based
+  * with a map-side partial. These assert those properties on the real
+  * driver-contract queries so a refactor that silently degrades a plan
+  * fails the build.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def plan(q: String): String = {
+    Graft.install(spark)
+    finalPlan(SparkEntry.queries(q)(spark, sf))
+  }
+
+  test("q09 top-k compiles to TakeOrderedAndProject, not sort + limit") {
+    assert(plan("q09_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q30 cosine top-k: TakeOrderedAndProject over the native expression") {
+    val p = plan("q30_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("cosine_sim"), "native codegen expression in use")
+  }
+
+  test("q18 conjunctive filter pushes predicates into the parquet scan") {
+    val p = plan("q18_conjunctive_filter")
+    assert("""PushedFilters: \[[^\]]""".r.findFirstIn(p).isDefined,
+      s"expected non-empty PushedFilters in:\n$p")
+  }
+
+  test("q05 join broadcasts the small dimension") {
+    assert(plan("q05_join_agg_nation_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q01 aggregation is hash-based with a map-side partial") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), "hash aggregation")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial + final aggregate pair")
+  }
+
+  test("q02 pagination scan prunes columns (no full-row read)") {
+    val p = plan("q02_filter_sort_paginate")
+    assert(p.contains("ReadSchema"), s"parquet scan present:\n$p")
+    // lineitem has 16 columns; the query needs far fewer
+    val read = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && read.split(",").length < 16,
+      s"pruned read schema, got: $read")
+  }
+}
