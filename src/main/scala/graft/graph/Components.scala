@@ -118,19 +118,23 @@ object Components {
     val sc = spark.sparkContext
     val vidName = vertices.columns.head
     val vRdd = vertices.select(col(vidName).cast("long")).as[Long].rdd
-    val eRdd = edges.select(col(edges.columns.head).cast("long"),
-        col(edges.columns(1)).cast("long")).as[(Long, Long)].rdd
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cache the edge DATAFRAME, not the RDD: DataFrame caching is
+    // plan-keyed, so other queries deriving the same edge set (e.g. a
+    // cluster-size query after a components query) reuse the
+    // materialization across the session
+    val eDf = edges.select(col(edges.columns.head).cast("long"),
+      col(edges.columns(1)).cast("long")).cache()
+    val eRdd = eDf.as[(Long, Long)].rdd
     // size partitions from the edge count alone (CC work is
     // edge-dominated; defaultParallelism caps the vertex-heavy case)
-    val nE = eRdd.count()
+    val nE = eDf.count()
     val parts = math.max(1L, math.min(sc.defaultParallelism.toLong,
       3 * nE / 500000L)).toInt
     val part = new org.apache.spark.HashPartitioner(parts)
     // duplicate edges are harmless to min-propagation: skip distinct()
     val sym = eRdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count(); eRdd.unpersist(false)
+    sym.count()
     var labels = vRdd.map(id => (id, id)).partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     def sumLabels(r: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
