@@ -25,6 +25,21 @@ class StreamingSpec extends SparkSpec {
     assert(s == b, "streaming AvailableNow result must equal the batch plan")
   }
 
+  test("streaming exact dedup: duplicated input files collapse to distinct contents") {
+    val dir = Files.createTempDirectory("evstream3").toString
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    // two identical micro-batches: every event arrives twice
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val deduped = EventStreams.runToMemory(
+      EventStreams.dedupStream(stream, keyCols = Seq("event_id")),
+      "dedup_test", OutputMode.Append())
+    val expected = graft.Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(deduped.count() == expected,
+      "each event kept exactly once despite arriving in two micro-batches")
+  }
+
   test("mapGroupsWithState sessionization == batch lag-window sessionization") {
     val dir = Files.createTempDirectory("evstream2").toString
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
