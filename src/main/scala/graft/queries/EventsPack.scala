@@ -116,9 +116,48 @@ object EventsPack extends QueryPack {
           expr("((max_ns - min_ns) div (n - 1)) div 1000000").as("avg_gap_ms"))
         .orderBy($"user_id")
     },
+
+    // ---- as-of join: each click picks up the latest prior (or
+    //      simultaneous) purchase of the same user ----
+    "q67_asof_join" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      // right side unique per (key, time): max event_id wins the tie
+      val w = Window.partitionBy(col("user_id"), col("ts_ns"))
+        .orderBy(col("p_event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts_ns"), col("value"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, "user_id", "ts_ns",
+          payload = Seq("p_event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_event_id").as("prior_purchase_id"),
+          col("asof_value").as("prior_value"))
+        .orderBy(col("event_id"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q67_asof_join" ->
+      """WITH r AS (
+        |  SELECT * FROM (
+        |    SELECT event_id AS p_event_id, user_id, epoch_ns(ts) AS tns, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, r.p_event_id AS prior_purchase_id,
+        |  r.value AS prior_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.tns >= r.tns
+        |ORDER BY l.event_id""".stripMargin,
+
     "q60_hourly_agg" ->
       s"""SELECT epoch_ns(ts) // $HourNs AS hour_id,
          |  strftime(make_timestamp((epoch_ns(ts) // $HourNs) * ${HourNs / 1000}), '%Y-%m-%d %H:%M:%S') AS hour_ts,

@@ -99,6 +99,21 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(_._1 == 0L), "self excluded")
   }
 
+  test("asofJoin matches the naive latest-at-or-before definition; no match => null") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L), (3L, 50L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 7L, "c"))
+      .toDF("k", "t", "pay")
+    val out = graft.operators.AsofJoin
+      .asofJoin(left, right, "k", "t", payload = Seq("pay"))
+      .collect().map(r => (r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out == Map(
+      100L -> Some("a"),  // equal time matches (<= semantics)
+      101L -> Some("b"),  // latest prior
+      102L -> None,       // right row is later -> no match
+      103L -> None))      // key has no right rows at all
+  }
+
   test("quality/language/fingerprint: empty text is scored, not crashed") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .filter(col("doc_id") === 5).collect()(0)
