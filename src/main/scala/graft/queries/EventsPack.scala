@@ -140,9 +140,35 @@ object EventsPack extends QueryPack {
           col("asof_value").as("prior_value"))
         .orderBy(col("event_id"))
     },
+    // ---- range join: clicks inside the 1-hour window after each
+    //      error event of the same user (bin-bucketed equi-join) ----
+    "q68_range_join" -> { (s, d) =>
+      val winNs = 3600L * 1000 * 1000 * 1000 // 1 hour
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_ns"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts_ns").as("w_start"),
+          (col("ts_ns") + winNs).as("w_end"))
+      graft.operators.RangeJoin
+        .rangeJoin(clicks, errors, "user_id", "ts_ns", "w_start", "w_end",
+          binWidth = winNs)
+        .select(col("click_id"), col("error_id"), col("user_id"))
+        .orderBy(col("click_id"), col("error_id"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q68_range_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND epoch_ns(c.ts) >= epoch_ns(e.ts)
+        | AND epoch_ns(c.ts) <= epoch_ns(e.ts) + 3600000000000
+        |ORDER BY click_id, error_id""".stripMargin,
+
     "q67_asof_join" ->
       """WITH r AS (
         |  SELECT * FROM (

@@ -114,6 +114,24 @@ class PipelineSpec extends SparkSpec {
       103L -> None))      // key has no right rows at all
   }
 
+  test("rangeJoin matches the naive BETWEEN join, boundaries inclusive") {
+    val pts = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 31L, 102L), (2L, 10L, 103L))
+      .toDF("k", "t", "pid")
+    val ivs = Seq((1L, 10L, 30L, "A"), (1L, 20L, 26L, "B"), (2L, 11L, 12L, "C"))
+      .toDF("k", "s", "e", "iv")
+    val fast = graft.operators.RangeJoin
+      .rangeJoin(pts, ivs, "k", "t", "s", "e", binWidth = 7)
+      .select("pid", "iv")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = pts.join(ivs, "k")
+      .filter(col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iv")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast == naive)
+    assert(fast == Set((100L, "A"), (101L, "A"), (101L, "B")),
+      "inclusive bounds; out-of-window and other-key points excluded")
+  }
+
   test("quality/language/fingerprint: empty text is scored, not crashed") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .filter(col("doc_id") === 5).collect()(0)
