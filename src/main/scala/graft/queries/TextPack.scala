@@ -134,6 +134,20 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- KMV sketch: approx distinct tokens per source (bounded-state
+    //      native aggregate; deterministic, oracle replays it exactly) ----
+    "q56_kmv_distinct" -> { (s, d) =>
+      graft.Graft.install(s)
+      val hashed = Tables.documents(s, d)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("source"), TextFunctions.md5Long(col("tok")).as("h"))
+      hashed.groupBy(col("source"))
+        .agg(
+          round(graft.Graft.kmvSketch(col("h"), 64), 6).as("est_distinct"),
+          countDistinct(col("h")).as("n_distinct_hashes"))
+        .orderBy(col("source"))
+    },
+
     // ---- corpus rollup by lang × source ----
     "q51_corpus_stats" -> { (s, d) =>
       import s.implicits._
@@ -250,6 +264,17 @@ object TextPack extends QueryPack {
            |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pieces
            |      FROM documents) t
            |ORDER BY doc_id""".stripMargin,
+
+      "q56_kmv_distinct" ->
+        s"""WITH h AS (SELECT source, ${md5LongSql("tok")} AS hv
+           |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents) u),
+           |g AS (SELECT source, list_sort(list_distinct(list(hv))) AS hs
+           |      FROM h GROUP BY source)
+           |SELECT source,
+           |  ROUND(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+           |    ELSE 63.0 * 2147483647 / hs[64]::DOUBLE END, 6) AS est_distinct,
+           |  len(hs) AS n_distinct_hashes
+           |FROM g ORDER BY source""".stripMargin,
 
       "q51_corpus_stats" ->
         """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,

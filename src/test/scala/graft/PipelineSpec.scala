@@ -132,6 +132,24 @@ class PipelineSpec extends SparkSpec {
       "inclusive bounds; out-of-window and other-key points excluded")
   }
 
+  test("kmv_sketch: exact below k, (k-1)P/h_k beyond, merge across partitions") {
+    Graft.install(spark)
+    // 8 distinct values, k=64 -> exact count
+    val small = spark.range(1, 9).select((col("id") * 1000).as("h"))
+      .agg(Graft.kmvSketch(col("h"), 64)).collect()(0).getDouble(0)
+    assert(small == 8.0)
+    // hashes 1..1000 over 8 partitions -> 64th smallest is 64;
+    // estimate = 63 * P / 64 regardless of partitioning (merge-safe)
+    val big = spark.range(1, 1001, 1, 8).select(col("id").as("h"))
+      .agg(Graft.kmvSketch(col("h"), 64)).collect()(0).getDouble(0)
+    assert(big == 63.0 * 2147483647L / 64.0)
+    // duplicates don't inflate the estimate
+    val dup = spark.range(1, 1001, 1, 8)
+      .select(explode(array(col("id"), col("id"), col("id"))).as("h"))
+      .agg(Graft.kmvSketch(col("h"), 64)).collect()(0).getDouble(0)
+    assert(dup == big)
+  }
+
   test("quality/language/fingerprint: empty text is scored, not crashed") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .filter(col("doc_id") === 5).collect()(0)
