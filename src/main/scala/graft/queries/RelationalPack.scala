@@ -244,6 +244,23 @@ object RelationalPack extends QueryPack {
     },
 
     // ---- 5-way join chain, mixed broadcast + shuffle ----
+    // ---- skew-salted join: orders x customer on a deterministic
+    //      8-way salt; results identical to the plain join, so the
+    //      oracle is the unsalted SQL ----
+    "q22_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+        $"o_totalprice")
+      val c = Tables.customer(s, d)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+      graft.operators.SaltedJoin.saltedJoin(o, c, "o_custkey", r = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy($"c_mktsegment")
+    },
+
     "q21_five_way_join" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d)
@@ -266,6 +283,12 @@ object RelationalPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q22_salted_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -150,6 +150,19 @@ class PipelineSpec extends SparkSpec {
     assert(dup == big)
   }
 
+  test("saltedJoin == plain join (row multiset), including skewed keys") {
+    val probe = Seq.tabulate(100)(i => (if (i < 80) 1L else i.toLong, i.toLong))
+      .toDF("k", "p") // 80% of rows share key 1 (skew)
+    val build = Seq((1L, "hot"), (85L, "cold"), (999L, "unmatched"))
+      .toDF("k", "b")
+    val fast = graft.operators.SaltedJoin.saltedJoin(probe, build, "k", r = 8)
+      .select("k", "p", "b").collect().map(_.toString).sorted.toSeq
+    val plain = probe.join(build, "k")
+      .select("k", "p", "b").collect().map(_.toString).sorted.toSeq
+    assert(fast == plain)
+    assert(fast.size == 81, "80 hot-key rows + 1 cold")
+  }
+
   test("quality/language/fingerprint: empty text is scored, not crashed") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .filter(col("doc_id") === 5).collect()(0)
