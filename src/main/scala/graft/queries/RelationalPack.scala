@@ -261,6 +261,29 @@ object RelationalPack extends QueryPack {
         .orderBy($"c_mktsegment")
     },
 
+    // ---- CUBE grouping sets (beyond q12's rollup) ----
+    "q23_cube" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- exact percentiles (linear interpolation, Spark percentile ==
+    //      DuckDB quantile_cont on the same sorted multiset) ----
+    "q24_percentiles" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
     "q21_five_way_join" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d)
@@ -283,6 +306,19 @@ object RelationalPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q23_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q24_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q22_salted_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
