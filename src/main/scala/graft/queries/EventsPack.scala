@@ -140,6 +140,20 @@ object EventsPack extends QueryPack {
           col("asof_value").as("prior_value"))
         .orderBy(col("event_id"))
     },
+    // ---- cumulative (running) per-user value, exact decimal ----
+    "q69_running_total" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_ns", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter($"user_id" < 20)
+        .select($"user_id", $"event_id",
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+            .as("running_value"))
+        .orderBy($"user_id", $"event_id")
+    },
+
     // ---- range join: clicks inside the 1-hour window after each
     //      error event of the same user (bin-bucketed equi-join) ----
     "q68_range_join" -> { (s, d) =>
@@ -160,6 +174,15 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q69_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q68_range_join" ->
       """SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
         |FROM events c JOIN events e

@@ -284,6 +284,17 @@ object RelationalPack extends QueryPack {
         .orderBy($"o_orderpriority")
     },
 
+    // ---- deterministic string aggregation (sorted collect + join) ----
+    "q25_group_concat" -> { (s, d) =>
+      import s.implicits._
+      Tables.nation(s, d)
+        .groupBy($"n_regionkey")
+        .agg(
+          array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_regionkey")
+    },
+
     "q21_five_way_join" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d)
@@ -306,6 +317,12 @@ object RelationalPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q25_group_concat" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
     "q23_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
