@@ -115,15 +115,15 @@ object Dedup {
           shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).as("cv"))
       }: _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.ci"), col("ch.cv"))
+    // hamming-filter BEFORE the dedup shuffle: the distinct then runs on
+    // narrow (id_a, id_b, hamming) rows and only on surviving pairs
+    // (duplicates arise solely from pairs sharing several chunks)
     chunked.as("x").join(chunked.as("y"), Seq("ci", "cv"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs via set-similarity join:
