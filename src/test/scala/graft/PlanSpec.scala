@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression tests: the 100 TB story depends on plan
   * SHAPE, not just row-level correctness — filters must reach the scan,
@@ -49,6 +50,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "hash aggregation")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "partial + final aggregate pair")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).as("v"))
+    df.write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("b1")
+    df.write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("b2")
+    // force the shuffle-join path (tiny test tables would broadcast)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b1").join(spark.table("b2"), "id")
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin") && !p.contains("ShuffleExchange")
+          && !p.contains("Exchange hashpartitioning"),
+        s"bucketed SMJ must not shuffle either side:\n$p")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE b1"); spark.sql("DROP TABLE b2")
+    }
   }
 
   test("q02 pagination scan prunes columns (no full-row read)") {
