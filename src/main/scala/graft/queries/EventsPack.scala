@@ -140,6 +140,21 @@ object EventsPack extends QueryPack {
           col("asof_value").as("prior_value"))
         .orderBy(col("event_id"))
     },
+    // ---- pivot: users x event-type count matrix (explicit value list
+    //      keeps the plan single-pass and the column set stable) ----
+    "q70_pivot" -> { (s, d) =>
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, d)
+        .filter($"user_id" < 30)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pivoted)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy($"user_id")
+    },
+
     // ---- cumulative (running) per-user value, exact decimal ----
     "q69_running_total" -> { (s, d) =>
       import s.implicits._
@@ -174,6 +189,16 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q70_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events WHERE user_id < 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q69_running_total" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
