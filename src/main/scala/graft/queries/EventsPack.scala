@@ -155,6 +155,19 @@ object EventsPack extends QueryPack {
         .orderBy($"user_id")
     },
 
+    // ---- native session_window (vs q61's manual lag/cumsum form).
+    //      Spark opens a NEW session when gap >= 30min (window end is
+    //      exclusive: [start, last+gap)) — the oracle mirrors >=. ----
+    "q71_session_window" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id" < 30)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"w.start").as("start_us"), $"n_events")
+        .orderBy($"user_id", $"start_us")
+    },
+
     // ---- cumulative (running) per-user value, exact decimal ----
     "q69_running_total" -> { (s, d) =>
       import s.implicits._
@@ -189,6 +202,22 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q71_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(tus) AS start_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
     "q70_pivot" ->
       """SELECT user_id,
         |  COUNT(*) FILTER (event_type = 'click') AS click,
