@@ -168,6 +168,23 @@ object EventsPack extends QueryPack {
         .orderBy($"user_id", $"start_us")
     },
 
+    // ---- unpivot (melt): the wide per-type matrix back to long form ----
+    "q72_unpivot" -> { (s, d) =>
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .filter($"user_id" < 30)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val filled = types.foldLeft(wide)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      filled.unpivot(
+          Array($"user_id"), types.map(col).toArray, "event_type", "n")
+        .filter($"n" > 0)
+        .orderBy($"user_id", $"event_type")
+    },
+
     // ---- cumulative (running) per-user value, exact decimal ----
     "q69_running_total" -> { (s, d) =>
       import s.implicits._
@@ -202,6 +219,14 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // round-tripping pivot -> unpivot with zero-drop equals the plain
+    // long-form aggregation
+    "q72_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events WHERE user_id < 30
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "q71_session_window" ->
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS tus,
