@@ -48,6 +48,20 @@ object GraphPack extends QueryPack {
         .orderBy("cluster_id")
     },
 
+    // ---- V8 cluster membership: per non-singleton near-dup cluster,
+    //      size + sorted member roster (joined string — portable) ----
+    "q73_cluster_members" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Components.connectedComponentsFast(docs.select("doc_id"), pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          array_join(sort_array(collect_list(col("id").cast("string"))), ",")
+            .as("member_ids"))
+        .filter(col("cluster_size") >= 2)
+        .orderBy(col("component"))
+    },
+
     // ---- near-dup clustering: CC over shingle-jaccard pairs with a
     //      canonical keeper per cluster (the dedup decision table) ----
     "q39_neardup_clusters" -> { (s, d) =>
@@ -112,6 +126,34 @@ object GraphPack extends QueryPack {
          |SELECT id AS doc_id, MIN(comp) AS component,
          |  id = MIN(comp) AS is_keeper
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "q73_cluster_members" -> {
+      val toksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val shingle =
+        s"""CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+           | ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END""".stripMargin
+      val jac = (a: String, b: String) =>
+        s"CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+      val edges =
+        s"""WITH sh AS (SELECT doc_id, list_distinct($shingle) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+           |WHERE a.doc_id < b.doc_id AND ROUND(${jac("a.ss", "b.ss")}, 6) >= 0.5"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH RECURSIVE e AS MATERIALIZED ($edges),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+         |r(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+         |  WHERE r.comp < sym.dst),
+         |cc AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id)
+         |SELECT component, COUNT(*) AS cluster_size,
+         |  array_to_string(list_sort(list(id::VARCHAR)), ',') AS member_ids
+         |FROM cc GROUP BY component HAVING COUNT(*) >= 2
+         |ORDER BY component""".stripMargin
     },
   )
 }
