@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.io.{WdbIO, WhisperState}
+import graft.io.{FileStore, WdbIO, WhisperState}
 import graft.model.{Node, NodeCodec}
 
 /** Conjunctive filter set for Q2/Q3 (reference accepts exactly these
@@ -132,6 +132,17 @@ class WhisperDB(val spark: SparkSession, val state: WhisperState) {
       nodeFiles = nodeFiles.filter(col("node_id") =!= id),
       declaredSize = math.max(0, state.declaredSize - 1)))
 
+  /** C5 + S7: delete cascade incl. stored blobs (GraphDB.cpp:398-407
+    * loops the node's paths through FileStorage::deleteFile). The
+    * per-node roster collect is bounded by one node's attachment count —
+    * same shape as the reference's in-memory loop, not a table scan.
+    */
+  def deleteNode(id: Long, store: FileStore): WhisperDB = {
+    nodeFiles.filter(col("node_id") === id).select("path").collect()
+      .foreach(r => store.deleteFile(r.getString(0)))
+    deleteNode(id)
+  }
+
   /** C6: attach a file path; first attachment also sets storage_path
     * (GraphDB.cpp:416-448).
     */
@@ -146,6 +157,17 @@ class WhisperDB(val spark: SparkSession, val state: WhisperState) {
     withState(state.copy(nodes = ns, nodeFiles = files))
   }
 
+  /** C6 + S5: attach file CONTENT — the reference's real entry point
+    * (GraphDB.cpp:416-448): FileStorage::saveFile writes the blob under
+    * the date-partitioned tree, then the stored path is recorded and
+    * storage_path set on the first attachment. Returns (newDb, storedPath).
+    */
+  def addFileToNode(id: Long, filename: String, content: Array[Byte],
+                    store: FileStore): (WhisperDB, String) = {
+    val rel = store.saveFile(filename, content)
+    (addFileToNode(id, rel), rel)
+  }
+
   /** C7: detach a file path; clears storage_path when it was the last
     * (GraphDB.cpp:450-475).
     */
@@ -157,6 +179,16 @@ class WhisperDB(val spark: SparkSession, val state: WhisperState) {
       else nodes.withColumn("storage_path",
         when(col("id") === id, lit("")).otherwise(col("storage_path")))
     withState(state.copy(nodes = ns, nodeFiles = files))
+  }
+
+  /** C7 + S7: detach AND delete the blob (GraphDB.cpp:463 calls
+    * FileStorage::deleteFile before erasing the list entry).
+    */
+  def removeFileFromNode(id: Long, path: String, store: FileStore): WhisperDB = {
+    val attached = !nodeFiles
+      .filter(col("node_id") === id && col("path") === path).limit(1).isEmpty
+    if (attached) store.deleteFile(path)
+    removeFileFromNode(id, path)
   }
 
   /** C8: list file paths for a node (GraphDB.cpp:477-483). */

@@ -48,7 +48,8 @@ object Validation {
   * underneath); `checkpoint*` persists on demand.
   */
 class WhisperApi(initial: WhisperDB,
-                 enrich: EnrichService) {
+                 enrich: EnrichService,
+                 store: Option[graft.io.FileStore] = None) {
 
   @volatile private var current: WhisperDB = initial
   def db: WhisperDB = current
@@ -92,18 +93,59 @@ class WhisperApi(initial: WhisperDB,
     if (!current.exists(id)) ApiError(404, s"Node $id not found")
     else { current = current.updateNode(id, patch); ApiOk(id) }
 
-  /** DELETE /api/nodes/:id (C5). */
+  /** DELETE /api/nodes/:id (C5); cascades blob deletes through the
+    * configured FileStore (reference GraphDB.cpp:398-407).
+    */
   def deleteNode(id: Long): ApiResult[Long] =
     if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else { current = current.deleteNode(id); ApiOk(id) }
+    else {
+      current = store match {
+        case Some(st) => current.deleteNode(id, st)
+        case None => current.deleteNode(id)
+      }
+      ApiOk(id)
+    }
 
   /** GET /api/nodes/:id/files (C8). */
   def listFiles(id: Long): DataFrame = current.getNodeFiles(id)
 
-  /** POST /api/nodes/:id/files (C6). */
+  /** POST /api/nodes/:id/files (C6), path-only variant: records a
+    * pre-stored path without writing a blob.
+    */
   def attachFile(id: Long, path: String): ApiResult[String] =
     if (!current.exists(id)) ApiError(404, s"Node $id not found")
     else { current = current.addFileToNode(id, path); ApiOk(path) }
+
+  /** POST /api/nodes/:id/files (C6 + S5) with CONTENT — the reference's
+    * multipart upload path (main.cpp routes → GraphDB.cpp:416-448):
+    * saves the blob via FileStore, records the stored path, sets
+    * storage_path on first attach. Returns the stored relative path.
+    */
+  def attachFile(id: Long, filename: String,
+                 content: Array[Byte]): ApiResult[String] =
+    store match {
+      case None => ApiError(500, "No file store configured")
+      case Some(st) =>
+        if (!current.exists(id)) ApiError(404, s"Node $id not found")
+        else {
+          val (db2, rel) = current.addFileToNode(id, filename, content, st)
+          current = db2
+          ApiOk(rel)
+        }
+    }
+
+  /** DELETE /api/nodes/:id/files (C7 + S7): detaches and deletes the
+    * blob when a store is configured (GraphDB.cpp:450-475).
+    */
+  def detachFile(id: Long, path: String): ApiResult[String] =
+    if (!current.exists(id)) ApiError(404, s"Node $id not found")
+    else {
+      current = store match {
+        case Some(st) => current.removeFileFromNode(id, path, st)
+        case None => current.removeFileFromNode(id, path)
+      }
+      ApiOk(path)
+    }
 
   /** GET /api/nodes/:id/similar?limit (V5, default k=10). */
   def similarNodes(id: Long, limit: Int = 10): ApiResult[DataFrame] =

@@ -2,8 +2,9 @@ package graft.enrich
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
 import graft.WhisperDB
+import graft.io.TextExtractor
 import graft.similarity.SimilarityOps
 import graft.graph.Components
 import graft.tags.TagOps
@@ -32,24 +33,96 @@ case class TaggingReport(
   * MERGE back by id. All behavior is pinned by the deterministic mocks.
   */
 class EnrichService(embedder: Embedder, tagger: Tagger,
-                    maxNewTags: Int = 3) extends Serializable {
+                    maxNewTags: Int = 3,
+                    extractor: Option[TextExtractor] = None) extends Serializable {
 
-  /** E4: document text assembly
-    * (reference: EmbeddingService.cpp:8-43): labeled metadata lines,
-    * description/tags only when present, optional extracted file
-    * content truncated to `maxChars`.
+  /** E4 metadata part (reference: EmbeddingService.cpp:10-29): labeled
+    * lines each newline-terminated; description/tags only when present.
     */
   def buildTextColumn(maxChars: Int = 8000): org.apache.spark.sql.Column = {
     val base = concat(
-      lit("Title: "), col("title"),
-      lit("\nSubject: "), col("subject"),
-      lit("\nAuthor: "), col("author"))
+      lit("Title: "), col("title"), lit("\n"),
+      lit("Subject: "), col("subject"), lit("\n"),
+      lit("Author: "), col("author"), lit("\n"))
     val withDesc = when(length(col("description")) > 0,
-      concat(base, lit("\nDescription: "), col("description"))).otherwise(base)
+      concat(base, lit("Description: "), col("description"), lit("\n")))
+      .otherwise(base)
     val withTags = when(size(col("tags")) > 0,
-      concat(withDesc, lit("\nTags: "), concat_ws(", ", col("tags"))))
+      concat(withDesc, lit("Tags: "), concat_ws(", ", col("tags")), lit("\n")))
       .otherwise(withDesc)
     substring(withTags, 1, maxChars)
+  }
+
+  /** Tagging metadata (reference: TagService.cpp:12-23): Title/Subject/
+    * Author/Description only — no Tags line (the bank is supplied in
+    * the prompt instead).
+    */
+  def buildTaggingTextColumn: org.apache.spark.sql.Column = {
+    val base = concat(
+      lit("Title: "), col("title"), lit("\n"),
+      lit("Subject: "), col("subject"), lit("\n"),
+      lit("Author: "), col("author"), lit("\n"))
+    when(length(col("description")) > 0,
+      concat(base, lit("Description: "), col("description"), lit("\n")))
+      .otherwise(base)
+  }
+
+  /** S8 wiring: (storage_path → extracted text) side table. IO happens
+    * executor-side in `mapPartitions` over DISTINCT paths only; joined
+    * back by key so each blob is read once however many nodes share it.
+    * No broadcast hint — AQE picks broadcast when the table is small,
+    * shuffle join when every node has an attachment (100 TB case).
+    */
+  private def fileTextTable(nodes: DataFrame): DataFrame = {
+    val ex = extractor.get
+    val spark = nodes.sparkSession
+    val paths = nodes
+      .filter(col("storage_path").isNotNull && length(col("storage_path")) > 0)
+      .select("storage_path").distinct()
+    val schema = StructType(Seq(
+      StructField("storage_path", StringType, nullable = false),
+      StructField("__file_text", StringType, nullable = true)))
+    spark.createDataFrame(
+      paths.rdd.mapPartitions { it =>
+        it.map { r =>
+          val p = r.getString(0)
+          Row(p, ex.extractFromFile(p).orNull)
+        }
+      }, schema)
+  }
+
+  /** E4 + S8: full embedding text — metadata plus `\nContent:\n` tail
+    * when the node's storage_path extracts (EmbeddingService.cpp:31-40;
+    * the 8000-char cap lives in the extractor, TextExtractor.cpp:14-24).
+    * Adds a `__text` column; no extractor configured = metadata only.
+    */
+  def embeddingText(nodes: DataFrame): DataFrame = extractor match {
+    case None => nodes.withColumn("__text", buildTextColumn())
+    case Some(_) =>
+      nodes.join(fileTextTable(nodes), Seq("storage_path"), "left")
+        .withColumn("__text",
+          when(col("__file_text").isNotNull,
+            concat(buildTextColumn(), lit("\nContent:\n"), col("__file_text")))
+          .otherwise(buildTextColumn()))
+        .drop("__file_text")
+  }
+
+  /** E7 + S8: tagging content — metadata plus `\nFile content:\n` tail
+    * capped at 2000 chars with a literal `...` marker
+    * (TagService.cpp:25-40).
+    */
+  def taggingText(nodes: DataFrame): DataFrame = extractor match {
+    case None => nodes.withColumn("__text", buildTaggingTextColumn)
+    case Some(_) =>
+      nodes.join(fileTextTable(nodes), Seq("storage_path"), "left")
+        .withColumn("__text",
+          when(col("__file_text").isNotNull,
+            concat(buildTaggingTextColumn, lit("\nFile content:\n"),
+              when(length(col("__file_text")) > 2000,
+                concat(substring(col("__file_text"), 1, 2000), lit("...")))
+              .otherwise(col("__file_text"))))
+          .otherwise(buildTaggingTextColumn))
+        .drop("__file_text")
   }
 
   /** E3: embed every node lacking an embedding and merge the vectors
@@ -59,8 +132,8 @@ class EnrichService(embedder: Embedder, tagger: Tagger,
   def generateMissingEmbeddings(nodes: DataFrame): (DataFrame, Long) = {
     val spark = nodes.sparkSession
     val emb = embedder
-    val missing = nodes.filter(col("embedding").isNull)
-      .select(col("id"), buildTextColumn().as("__text"))
+    val missing = embeddingText(nodes.filter(col("embedding").isNull))
+      .select(col("id"), col("__text"))
     val vecSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("__new_emb", ArrayType(FloatType), nullable = true)))
@@ -141,13 +214,13 @@ class EnrichService(embedder: Embedder, tagger: Tagger,
       .replaceAll("\\s+", "-").replaceAll("-+$", "")
 
   /** E7: tag-one-node pipeline (reference: TagService.cpp:44-95):
-    * content (metadata, truncated to 2000 chars) → tagger → parse +
+    * content (metadata + file tail capped at 2000) → tagger → parse +
     * normalize → append new tags to bank → overwrite node tags →
     * Jaccard-link at 0.3.
     */
   def generateTagsForNode(db: WhisperDB, nodeId: Long): (WhisperDB, TaggingReport) = {
-    val row = db.nodes.filter(col("id") === nodeId)
-      .select(buildTextColumn(2000).as("__text")).collect()
+    val row = taggingText(db.nodes.filter(col("id") === nodeId))
+      .select("__text").collect()
     require(row.nonEmpty, s"node $nodeId not found")
     val reply = tagger.generateTagsRaw(row(0).getString(0), db.tagBank, maxNewTags)
     val tags = parseTagReply(reply)

@@ -74,6 +74,7 @@ class TextExtractor(store: FileStore,
                     maxLength: Int = 8000) extends Serializable {
 
   def extractFromFile(relPath: String): Option[String] = {
+    if (!store.exists(relPath)) return None // EmbeddingService.cpp:33 exists guard
     val lower = relPath.toLowerCase
     if (lower.endsWith(".pdf"))
       pdfExtractor(store.readFile(relPath)).map(_.take(maxLength))

@@ -130,20 +130,7 @@ object WdbIO {
     sb.append("{\"size\": ").append(state.declaredSize).append(", \"nodes\": [")
     nodes.zipWithIndex.foreach { case (r, i) =>
       if (i > 0) sb.append(", ")
-      sb.append("{\"id\": ").append(r.getLong(0))
-        .append(", \"title\": ").append(js(r.getString(1)))
-        .append(", \"course\": ").append(r.getInt(2))
-        .append(", \"subject\": ").append(js(r.getString(3)))
-        .append(", \"description\": ").append(js(r.getString(4)))
-        .append(", \"author\": ").append(js(r.getString(5)))
-        .append(", \"date\": ").append(js(r.getString(6)))
-        .append(", \"tags\": ").append(jarr(r.getSeq[String](7).map(js)))
-        .append(", \"storage_path\": ").append(js(r.getString(8)))
-        .append(", \"LinkedNodes\": ").append(jarr(r.getSeq[Long](9).map(_.toString)))
-      val emb = if (r.isNullAt(10)) null else r.getSeq[Float](10)
-      if (emb != null && emb.nonEmpty)
-        sb.append(", \"embedding\": ").append(jarr(emb.map(f => fmtFloat(f))))
-      sb.append("}")
+      appendNodeJson(sb, r)
     }
     sb.append("], \"nodeFiles\": {")
     filesByNode.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((id, paths), i) =>
@@ -153,6 +140,37 @@ object WdbIO {
     sb.append("}, \"tagBank\": ").append(jarr(state.tagBank.map(js))).append("}")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** S4: `serialize()` — the nodes-only JSON dump
+    * (reference: GraphDB.cpp:232-245, `{"nodes":[...]}`; no size /
+    * nodeFiles / tagBank in this envelope). Driver-side single string by
+    * the format's nature.
+    */
+  def serializeNodes(state: WhisperState): String = {
+    val sb = new StringBuilder("{\"nodes\": [")
+    state.nodes.orderBy("id").collect().zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) sb.append(", ")
+      appendNodeJson(sb, r)
+    }
+    sb.append("]}").toString
+  }
+
+  private def appendNodeJson(sb: StringBuilder, r: org.apache.spark.sql.Row): Unit = {
+    sb.append("{\"id\": ").append(r.getLong(0))
+      .append(", \"title\": ").append(js(r.getString(1)))
+      .append(", \"course\": ").append(r.getInt(2))
+      .append(", \"subject\": ").append(js(r.getString(3)))
+      .append(", \"description\": ").append(js(r.getString(4)))
+      .append(", \"author\": ").append(js(r.getString(5)))
+      .append(", \"date\": ").append(js(r.getString(6)))
+      .append(", \"tags\": ").append(jarr(r.getSeq[String](7).map(js)))
+      .append(", \"storage_path\": ").append(js(r.getString(8)))
+      .append(", \"LinkedNodes\": ").append(jarr(r.getSeq[Long](9).map(_.toString)))
+    val emb = if (r.isNullAt(10)) null else r.getSeq[Float](10)
+    if (emb != null && emb.nonEmpty)
+      sb.append(", \"embedding\": ").append(jarr(emb.map(f => fmtFloat(f))))
+    sb.append("}")
   }
 
   /** Native scale format: partitioned parquet per table. */

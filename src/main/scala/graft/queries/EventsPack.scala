@@ -295,7 +295,8 @@ object EventsPack extends QueryPack {
          |FROM events GROUP BY hour_id, hour_ts ORDER BY hour_id""".stripMargin,
 
     "q61_sessionize" ->
-      s"""SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(new_session) AS BIGINT) AS n_sessions
          |FROM (SELECT user_id,
          |    CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > $SessionGapNs
          |      THEN 1 ELSE 0 END AS new_session

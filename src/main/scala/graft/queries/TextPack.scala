@@ -156,7 +156,7 @@ object TextPack extends QueryPack {
         .agg(
           count(lit(1)).as("n_docs"),
           sum($"n_chars").as("total_chars"),
-          (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+          round(sum($"n_chars").cast("double") / count(lit(1)), 6).as("avg_chars"))
         .orderBy($"lang", $"source")
     },
   )
@@ -277,8 +277,9 @@ object TextPack extends QueryPack {
            |FROM g ORDER BY source""".stripMargin,
 
       "q51_corpus_stats" ->
-        """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-          |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        """SELECT lang, source, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
           |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     )
   }

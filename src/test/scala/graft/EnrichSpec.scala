@@ -80,6 +80,55 @@ class EnrichSpec extends SparkSpec {
     assert(l1 == Seq(2L, 3L), "merge keeps the manual link AND adds the similarity link")
   }
 
+  test("E4+S8: attachment content changes the embedding text and vector") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val store = new graft.io.FileStore(root,
+      clock = () => 1717200000000L, rand = () => 1)
+    val rel = store.saveFile("notes.txt", "Deep dive into spectral graph theory"
+      .getBytes("UTF-8"))
+    val extractor = new graft.io.TextExtractor(store)
+    val svcX = new EnrichService(new MockEmbedder(dim = 16), new MockTagger,
+      extractor = Some(extractor))
+
+    // two nodes identical except one carries the .txt attachment
+    def mk(id: Long, sp: String) =
+      Node(id, "Graphs", 1, "CS", "paths", "A", "2024-01-01 00:00:00",
+        Seq("graphs"), sp, Seq())
+    val nodes = Seq(mk(1, rel), mk(2, "")).toDS().toDF()
+      .select(Node.schema.fieldNames.map(col): _*)
+
+    val texts = svcX.embeddingText(nodes).select("id", "__text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1).contains("\nContent:\nDeep dive into spectral graph theory"),
+      "extracted tail appended (EmbeddingService.cpp:31-40)")
+    assert(!texts(2).contains("Content:"), "no attachment, no tail")
+    assert(texts(1).startsWith("Title: Graphs\nSubject: CS\nAuthor: A\n"))
+
+    val (out, n) = svcX.generateMissingEmbeddings(nodes)
+    assert(n == 2)
+    val vecs = out.select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1) != vecs(2),
+      "attachment-bearing node embeds DIFFERENTLY than its metadata twin")
+
+    // tagging text: no Tags line, File content tail capped at 2000 + "..."
+    val longRel = store.saveFile("long.txt", ("x" * 3000).getBytes("UTF-8"))
+    val nodes2 = Seq(mk(3, longRel)).toDS().toDF()
+      .select(Node.schema.fieldNames.map(col): _*)
+    val tt = svcX.taggingText(nodes2).select("__text").collect()(0).getString(0)
+    assert(tt.contains("\nFile content:\n"))
+    assert(tt.endsWith("x" * 10 + "..."), "2000-char cap with ... (TagService.cpp:32-35)")
+    assert(tt.contains("x" * 2000) && !tt.contains("x" * 2001))
+    assert(!tt.contains("Tags:"), "tagging metadata has no Tags line (TagService.cpp:12-23)")
+
+    // missing blob: exists-guard yields metadata-only text
+    val nodes3 = Seq(mk(4, "2099/01/01/gone.txt")).toDS().toDF()
+      .select(Node.schema.fieldNames.map(col): _*)
+    val t3 = svcX.embeddingText(nodes3).select("__text").collect()(0).getString(0)
+    assert(!t3.contains("Content:"), "missing file -> metadata only (exists guard)")
+  }
+
   test("V8 getClusters over stored links") {
     val linked = db.updateNode(1, NodePatch(linkedNodes = Some(Seq(2L))))
       .updateNode(2, NodePatch(linkedNodes = Some(Seq(1L))))

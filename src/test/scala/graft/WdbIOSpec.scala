@@ -66,6 +66,21 @@ class WdbIOSpec extends SparkSpec {
       st.nodeFiles.orderBy("node_id", "path").collect().map(_.toString).toSeq)
   }
 
+  test("S4 serializeNodes: nodes-only JSON envelope, round-trips") {
+    val st = WdbIO.readWdb(spark, tmp(fixture))
+    val s = WdbIO.serializeNodes(st)
+    assert(s.startsWith("{\"nodes\": [") && s.endsWith("]}"),
+      "GraphDB.cpp:232-245 envelope: {\"nodes\":[...]} only")
+    assert(!s.contains("\"size\"") && !s.contains("\"nodeFiles\"") &&
+      !s.contains("\"tagBank\""))
+    // the string parses back through the lenient reader: nodes identical
+    val out = Files.createTempFile("wdb_ser", ".wdb").toString
+    Files.write(Paths.get(out), s.getBytes("UTF-8"))
+    val st2 = WdbIO.readWdb(spark, out)
+    assert(st2.nodes.orderBy("id").collect().map(_.toString).toSeq ==
+      st.nodes.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
   test("native parquet round-trip") {
     val st = WdbIO.readWdb(spark, tmp(fixture))
     val dir = Files.createTempDirectory("wdb_native").toString
