@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
 import graft.WhisperDB
 import graft.io.TextExtractor
-import graft.similarity.SimilarityOps
+import graft.similarity.{CandidateStrategy, ExactAllPairs, LshBlocked, SimilarityOps}
 import graft.graph.Components
 import graft.tags.TagOps
 
@@ -151,16 +151,35 @@ class EnrichService(embedder: Embedder, tagger: Tagger,
     (merged, vecs.filter(col("__new_emb").isNotNull).count())
   }
 
+  /** Candidate edges for V6/V7 under the chosen strategy. Default is
+    * the LSH-blocked scale path (equi-join candidates + exact verify);
+    * `ExactAllPairs` opts back into the reference's O(n²) parity
+    * (Clustering.cpp:29-53). At the thresholds these pipelines use
+    * (≥0.75) identical/near-identical vectors collide in every band, so
+    * both strategies agree on duplicate-heavy data; they can differ on
+    * borderline edges — that recall trade is the documented 100 TB deal.
+    */
+  private def similarityPairs(embedded: DataFrame, threshold: Double,
+                              strategy: CandidateStrategy): DataFrame =
+    strategy match {
+      case ExactAllPairs =>
+        SimilarityOps.allPairs(embedded, "id", "embedding", threshold)
+      case LshBlocked(bands, bitsPerBand) =>
+        SimilarityOps.lshCandidatePairs(embedded, "id", "embedding",
+          threshold, bands, bitsPerBand)
+    }
+
   /** V7: the clustering batch pipeline (reference:
-    * EmbeddingService.cpp:140-193): embed-missing → all-pairs
-    * similarity >= threshold → connected components → REPLACE the
+    * EmbeddingService.cpp:140-193): embed-missing → similarity pairs
+    * >= threshold → connected components → REPLACE the
     * linked nodes of every node that appears in the similarity
     * adjacency (replace, not merge — V6 merges; FIXTURES §4).
     */
-  def runClustering(db: WhisperDB, threshold: Double = 0.75): (WhisperDB, ClusteringReport) = {
+  def runClustering(db: WhisperDB, threshold: Double = 0.75,
+                    strategy: CandidateStrategy = LshBlocked()): (WhisperDB, ClusteringReport) = {
     val (withEmb, nGenerated) = generateMissingEmbeddings(db.nodes)
     val embedded = withEmb.filter(col("embedding").isNotNull).cache()
-    val pairs = SimilarityOps.allPairs(embedded, "id", "embedding", threshold).cache()
+    val pairs = similarityPairs(embedded, threshold, strategy).cache()
     val verts = embedded.select("id")
     val comps = Components.connectedComponentsGraphX(verts, pairs)
     val nLinks = pairs.count()
@@ -183,9 +202,10 @@ class EnrichService(embedder: Embedder, tagger: Tagger,
   /** V6: similarity link maintenance with MERGE semantics
     * (reference: EmbeddingService.cpp:86-138).
     */
-  def updateLinks(db: WhisperDB, threshold: Double = 0.75): (WhisperDB, Long) = {
+  def updateLinks(db: WhisperDB, threshold: Double = 0.75,
+                  strategy: CandidateStrategy = LshBlocked()): (WhisperDB, Long) = {
     val embedded = db.nodes.filter(col("embedding").isNotNull)
-    val pairs = SimilarityOps.allPairs(embedded, "id", "embedding", threshold).cache()
+    val pairs = similarityPairs(embedded, threshold, strategy).cache()
     val n = pairs.count()
     (db.withState(db.state.copy(nodes = TagOps.mergeLinks(db.nodes, pairs))), n)
   }

@@ -62,6 +62,20 @@ object GraphPack extends QueryPack {
         .orderBy(col("component"))
     },
 
+    // ---- V2→V4 SCALE path: components of the LSH-candidate similarity
+    //      graph — edges from sign-LSH band blocking (equi-join, no
+    //      cross join) with exact cosine verification. The q37 shape
+    //      with the 100 TB candidate generation; recall semantics are
+    //      deterministic and replayed exactly by the oracle. ----
+    "q74_lsh_components" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, bands = 3, bitsPerBand = 4)
+      Components.connectedComponentsFast(emb.select("vec_id"),
+          pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("id"))
+    },
+
     // ---- near-dup clustering: CC over shingle-jaccard pairs with a
     //      canonical keeper per cluster (the dedup decision table) ----
     "q39_neardup_clusters" -> { (s, d) =>
@@ -91,9 +105,35 @@ object GraphPack extends QueryPack {
        |  WHERE r.comp < sym.dst)
        |SELECT id, MIN(comp) AS component FROM r GROUP BY id""".stripMargin
 
+  /** Sign-LSH band-blocked candidate edges, replaying
+    * `SimilarityOps.lshCandidatePairs(threshold=0.4, bands=3,
+    * bitsPerBand=4)` exactly: same hyperplane-signature arithmetic as
+    * the q55 oracle (bits=12), band key b = (sig >> 4b) & 15 via
+    * integer div/mod, OR over bands, exact 6-dp cosine verify, distinct.
+    */
+  private def lshEdgesSql: String = {
+    val bits = 12
+    val terms = (0 until bits).map { j =>
+      val sign = s"(CASE WHEN (i::BIGINT * ${j + 7} * 2654435761) // 1024 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * $sign)), (a, b) -> a + b)"
+      s"CASE WHEN $proj > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val sigTable = s"SELECT vec_id, embedding, ($terms) AS sig FROM embeddings"
+    val banded = (0 until 3).map { b =>
+      s"SELECT vec_id, embedding, $b AS band, (sig // ${1L << (4 * b)}) % 16 AS key FROM ($sigTable) s$b"
+    }.mkString(" UNION ALL ")
+    s"""SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM ($banded) a JOIN ($banded) b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q37_connected_components" ->
       (ccSql(simEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
+
+    "q74_lsh_components" ->
+      (ccSql(lshEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
 
     "q38_cluster_sizes" ->
       s"""WITH cc AS (${ccSql(simEdgesSql, "embeddings", "vec_id")})

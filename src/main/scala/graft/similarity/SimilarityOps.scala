@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
 
+/** Candidate-pair generation strategy for the similarity graph (V6/V7
+  * and the CC queries). `LshBlocked` is the default — the 100 TB path
+  * (equi-join on LSH band keys, exact verification of candidates);
+  * `ExactAllPairs` is the reference-parity opt-in (O(n²) cross join,
+  * reference src/embedding/Clustering.cpp:29-53). Identical vectors
+  * collide in every band, so at test scale (duplicate-text fixtures)
+  * both strategies produce identical graphs; at scale LshBlocked trades
+  * recall on low-similarity edges for candidate volume.
+  */
+sealed trait CandidateStrategy
+case object ExactAllPairs extends CandidateStrategy
+case class LshBlocked(bands: Int = 3, bitsPerBand: Int = 4)
+    extends CandidateStrategy
+
 /** Embedding-similarity operators (reference V1-V5,
   * src/embedding/Clustering.cpp + src/main.cpp:518-577), Spark-first.
   *
@@ -102,18 +116,74 @@ object SimilarityOps {
 
   /** IVF assignment step: nearest (rounded L2, centroid-id tiebreak) of
     * the first `nCentroids` vectors (deterministic seed centroids).
+    *
+    * Argmin shape: (dist, centroid) packed into ONE long — `dist` is
+    * already 6-dp so dist×10⁶ is integral; centroid packs into the low
+    * 10 bits. `min(packed)` is then a primitive, whole-stage-codegen
+    * HashAggregate with a map-side partial: the n×k candidate rows
+    * reduce to n *before* the shuffle, with no sort anywhere. (The
+    * obvious `min_by(struct, struct)` falls back to SortAggregate —
+    * struct buffers aren't hash-aggregable — and the earlier
+    * row_number window shuffled and sorted all n×k rows.) Decode is
+    * exact: m/10⁶ in IEEE equals round(x,6)'s nearest-double result.
     */
   def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
                         nCentroids: Int): DataFrame = {
+    require(nCentroids <= 1024, "packed argmin keeps centroid in 10 bits")
     val cents = emb.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("centroid"), col(vecCol).as("__cvec"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("centroid").asc)
-    emb.crossJoin(broadcast(cents))
+    val best = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
       .withColumn("dist", round(l2Distance(col(vecCol), col("__cvec")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__cvec")
+      .withColumn("__enc",
+        round(col("dist") * 1e6).cast("long") * 1024L + col("centroid"))
+      .groupBy(col(idCol))
+      .agg(min(col("__enc")).as("__enc"))
+      .select(col(idCol),
+        col("__enc").bitwiseAND(lit(1023L)).as("centroid"),
+        (shiftright(col("__enc"), 10).cast("double") / 1e6).as("dist"))
+    emb.join(best, idCol)
+  }
+
+  /** Scale path for the similarity GRAPH (V2→V4 composition): candidate
+    * edges from sign-LSH band blocking — the `bits = bands×bitsPerBand`
+    * hyperplane signature split into bands, a pair is a candidate when
+    * ANY band key matches (LSH OR-construction) — then every candidate
+    * verified with the exact 6-dp cosine before it becomes an edge.
+    *
+    * Plan shape: equi-join on (band, key) — NO cross join anywhere; the
+    * band explode is map-side; verification runs before the pair-dedup
+    * shuffle (same ordering as Dedup.simhashPairs). Recall semantics:
+    * pairs whose signatures disagree in every band are missed, so the
+    * result is a deterministic subset of the exact threshold graph —
+    * the oracle replays the same blocking, and identical vectors always
+    * collide (all-band agreement).
+    */
+  def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bands: Int = 3,
+                        bitsPerBand: Int = 4): DataFrame = {
+    val bits = bands * bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val banded = emb
+      .select(col(idCol), col(vecCol),
+        hyperplaneSignature(col(vecCol), bits).as("__sig"))
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+              .as("key"))
+        }: _*)).as("__bk"))
+      .select(col(idCol), col(vecCol),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
+    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a"),
+      col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", sim6(col("__vec_a"), col("__vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim").distinct()
   }
 
   /** IVF search: probe only the query vector's centroid block, then

@@ -80,6 +80,23 @@ class EnrichSpec extends SparkSpec {
     assert(l1 == Seq(2L, 3L), "merge keeps the manual link AND adds the similarity link")
   }
 
+  test("V6/V7 candidate strategies: LshBlocked default == ExactAllPairs " +
+       "on duplicate-heavy data") {
+    import graft.similarity.ExactAllPairs
+    val (_, repL) = svc.runClustering(db, threshold = 0.99)
+    val (_, repE) = svc.runClustering(db, threshold = 0.99, ExactAllPairs)
+    assert(repL.linksCreated == repE.linksCreated &&
+      repL.clusters == repE.clusters,
+      "identical vectors collide in every LSH band -> same graph")
+    val (withEmb, _) = svc.generateMissingEmbeddings(db.nodes)
+    val dbe = db.withState(db.state.copy(nodes = withEmb))
+    val (db2L, nL) = svc.updateLinks(dbe, 0.99)
+    val (db2E, nE) = svc.updateLinks(dbe, 0.99, ExactAllPairs)
+    assert(nL == nE)
+    assert(db2L.nodes.select("id", "linkedNodes").collect().map(_.toString).sorted
+      .sameElements(db2E.nodes.select("id", "linkedNodes").collect().map(_.toString).sorted))
+  }
+
   test("E4+S8: attachment content changes the embedding text and vector") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-enrich").toString

@@ -74,6 +74,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q74 LSH similarity graph: candidate edges with NO cross join") {
+    Graft.install(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
+      emb, "vec_id", "embedding", threshold = 0.4, bands = 3, bitsPerBand = 4)
+    val p = finalPlan(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation must be an equi-join, got:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on (band, key):\n$p")
+    // and the exact q37 path IS a cross join — the contrast this replaces
+    val exact = graft.similarity.SimilarityOps.allPairs(
+      emb, "vec_id", "embedding", 0.4)
+    assert(finalPlan(exact).contains("CartesianProduct") ||
+      finalPlan(exact).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q34 centroid assignment: packed-long argmin is a HashAggregate, " +
+       "no window, no SortAggregate") {
+    val p = plan("q34_centroid_assign")
+    assert(p.contains("HashAggregate") && p.contains("partial_min"),
+      s"argmin via primitive min with map-side partial:\n$p")
+    assert(!p.contains("Window"), s"no row_number window in the plan:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregate:\n$p")
+  }
+
   test("q02 pagination scan prunes columns (no full-row read)") {
     val p = plan("q02_filter_sort_paginate")
     assert(p.contains("ReadSchema"), s"parquet scan present:\n$p")
