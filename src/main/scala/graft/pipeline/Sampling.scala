@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data curation.
+  *
+  * `rand()`-based sampling is non-reproducible across runs, partitions
+  * and engines; the staple at corpus scale is a HASH GATE: bucket =
+  * md5(key) reduced to 0..999, keep the row iff bucket < rate‰. The
+  * same row lands in the same split on every engine, every run, every
+  * repartition — which is what makes train/validation splits, corpus
+  * down-sampling and A/B slices auditable. Pure map-side expression:
+  * no shuffle, runs at scan speed at 100 TB, and the filter sits
+  * directly above the scan for pushdown-adjacent pruning.
+  */
+object Sampling {
+
+  /** Stable per-key bucket in [0, 1000): fold of the first 15 hex chars
+    * of md5 (60 bits — overflow-free int64), mod 1000. Same arithmetic
+    * as TextFunctions.md5Long, different modulus.
+    */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(1000L))
+
+  /** Uniform deterministic sample: keep rows with bucket < permille. */
+  def sampleByHash(df: DataFrame, key: Column, permille: Int): DataFrame =
+    df.filter(hashBucket(key) < permille)
+
+  /** Stratified deterministic sample: per-stratum keep-rates (‰),
+    * unknown strata fall back to `defaultPermille`. The rate map is a
+    * literal CASE expression — broadcast-free, codegen'd.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Int],
+                       defaultPermille: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < rate)
+  }
+}

@@ -88,4 +88,48 @@ object TextAnalysis {
   /** Order-sensitive rolling fingerprint of the token stream. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprint(tokens(col(textCol))).as("fingerprint"))
+
+  /** Canonical text normalization for dedup/training pipelines:
+    * lowercase → strip non-alphanumerics (keep whitespace) → collapse
+    * whitespace runs → trim. Pure codegen'd expression; the usual
+    * pre-pass before exact/MinHash dedup so cosmetic variants collapse.
+    */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Per-document normalization table: normalized text, changed flag,
+    * and the chars removed by normalization.
+    */
+  def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normalizeText(col(textCol))
+    df.select(col(idCol), norm.as("norm_text"),
+      (norm =!= col(textCol)).as("changed"),
+      (length(col(textCol)) - length(norm)).cast("int").as("chars_removed"))
+  }
+
+  /** Quality-filter decision table — the keep/drop gate of a training
+    * pipeline, with the FIRST failing rule as the recorded reason
+    * (ordered CASE, exactly reproducible):
+    * length bounds → minimum token count → minimum alphabetic ratio.
+    * All pure column arithmetic; at 100 TB this is a scan-speed map with
+    * the decision column available for partition pruning downstream.
+    */
+  def filterDecision(df: DataFrame, idCol: String, textCol: String,
+                     minChars: Int = 100, maxChars: Int = 20000,
+                     minTokens: Int = 20,
+                     minAlphaRatio: Double = 0.5): DataFrame = {
+    val toks = tokens(col(textCol))
+    val alphaRatio = round(
+      when(length(col(textCol)) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
+          .cast("double") / length(col(textCol))), 6)
+    val reason = when(length(col(textCol)) < minChars, "too_short")
+      .when(length(col(textCol)) > maxChars, "too_long")
+      .when(size(toks) < minTokens, "too_few_tokens")
+      .when(alphaRatio < minAlphaRatio, "low_alpha")
+      .otherwise("ok")
+    df.select(col(idCol), alphaRatio.as("alpha_ratio"), reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
 }

@@ -93,6 +93,13 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("sig"))
     },
 
+    // ---- k-means M-step: element-wise member means per IVF centroid ----
+    "q75_kmeans_step" -> { (s, d) =>
+      SimilarityOps.updateCentroids(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCentroids = 8)
+        .orderBy(col("centroid"), col("pos"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -207,6 +214,22 @@ object SimilarityPack extends QueryPack {
          |  ON a.centroid = b.centroid AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q75_kmeans_step" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1)
+         |SELECT centroid, CAST(pos AS INT) AS pos, ROUND(AVG(v), 6) AS avg_v
+         |FROM (SELECT centroid, unnest(embedding)::DOUBLE AS v,
+         |        generate_subscripts(embedding, 1) AS pos
+         |      FROM assign) t
+         |GROUP BY centroid, pos ORDER BY centroid, pos""".stripMargin,
 
     "q36_label_centroid" ->
       """SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 6) AS avg_v

@@ -148,6 +148,28 @@ object TextPack extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // ---- deterministic stratified hash sampling (reproducible splits) ----
+    "q76_stratified_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.pipeline.Sampling.stratifiedSample(docs, col("doc_id"),
+          col("lang"), Map("en" -> 500), defaultPermille = 200)
+        .select(col("doc_id"), col("lang"),
+          graft.pipeline.Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- canonical text normalization (pre-dedup pass) ----
+    "q77_normalize_text" -> { (s, d) =>
+      TextAnalysis.normalized(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality-filter decision table (keep/drop + first reason) ----
+    "q78_filter_decision" -> { (s, d) =>
+      TextAnalysis.filterDecision(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus rollup by lang × source ----
     "q51_corpus_stats" -> { (s, d) =>
       import s.implicits._
@@ -275,6 +297,40 @@ object TextPack extends QueryPack {
            |    ELSE 63.0 * 2147483647 / hs[64]::DOUBLE END, 6) AS est_distinct,
            |  len(hs) AS n_distinct_hashes
            |FROM g ORDER BY source""".stripMargin,
+
+      "q76_stratified_sample" -> {
+        val bucket =
+          s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000)"
+        s"""SELECT doc_id, lang, bucket FROM (
+           |  SELECT doc_id, lang, $bucket AS bucket FROM documents) t
+           |WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q77_normalize_text" ->
+        """SELECT doc_id, norm_text, norm_text <> text AS changed,
+          |  CAST(length(text) - length(norm_text) AS INT) AS chars_removed
+          |FROM (SELECT doc_id, text,
+          |    trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+          |  FROM documents) t
+          |ORDER BY doc_id""".stripMargin,
+
+      "q78_filter_decision" -> {
+        val alpha =
+          "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END, 6)"
+        s"""SELECT doc_id, alpha_ratio, reason, reason = 'ok' AS keep FROM (
+           |  SELECT doc_id, alpha_ratio,
+           |    CASE WHEN n_chars2 < 100 THEN 'too_short'
+           |         WHEN n_chars2 > 20000 THEN 'too_long'
+           |         WHEN n_toks < 20 THEN 'too_few_tokens'
+           |         WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+           |         ELSE 'ok' END AS reason
+           |  FROM (SELECT doc_id, length(text) AS n_chars2,
+           |      len($toksSql) AS n_toks, $alpha AS alpha_ratio
+           |    FROM documents) a) b
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "q51_corpus_stats" ->
         """SELECT lang, source, COUNT(*) AS n_docs,

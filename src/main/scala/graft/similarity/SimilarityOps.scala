@@ -186,6 +186,22 @@ object SimilarityOps {
       .select("id_a", "id_b", "sim").distinct()
   }
 
+  /** One Lloyd (k-means) M-step over the IVF assignment: element-wise
+    * mean of member vectors per centroid, long form (centroid, pos,
+    * avg_v). posexplode is map-side; the mean is a HashAggregate keyed
+    * (centroid, pos) with map-side partials, so at 100 TB the shuffle
+    * carries d×k partial sums, not vectors. Iterating assign→update is
+    * the full distributed k-means; one deterministic step is what the
+    * oracle can replay.
+    */
+  def updateCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, nCentroids)
+      .select(col("centroid"),
+        posexplode(col(vecCol)).as(Seq("pos0", "v")))
+      .groupBy(col("centroid"), (col("pos0") + 1).cast("int").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
+
   /** IVF search: probe only the query vector's centroid block, then
     * brute-force cosine top-k within it. The 100 TB path for V5: the
     * block join shuffles one partition's worth of vectors instead of

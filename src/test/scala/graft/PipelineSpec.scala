@@ -163,6 +163,87 @@ class PipelineSpec extends SparkSpec {
     assert(fast.size == 81, "80 hot-key rows + 1 cold")
   }
 
+  test("Sampling: hash gate is deterministic, partition-invariant, " +
+       "stratum rates monotone") {
+    import graft.pipeline.Sampling
+    val ids = spark.range(0, 2000).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("lang"))
+    val once = Sampling.sampleByHash(ids, col("doc_id"), 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.sampleByHash(ids.repartition(7), col("doc_id"), 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "same split across runs AND repartitionings")
+    assert(once.size > 400 && once.size < 800, s"~30% kept, got ${once.size}")
+    // nested splits: a 100‰ sample is a subset of the 300‰ sample
+    val tighter = Sampling.sampleByHash(ids, col("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(once), "hash gates nest (bucket < r1 < r2)")
+    // stratified: per-stratum counts follow the configured rates
+    val strat = Sampling.stratifiedSample(ids, col("doc_id"), col("lang"),
+      Map("0" -> 800), defaultPermille = 100)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("0") > byLang.getOrElse("1", 0L) * 3,
+      "800‰ stratum keeps far more than 100‰ strata")
+  }
+
+  test("normalizeText: idempotent; collapses case/punct/whitespace variants") {
+    val df = Seq(
+      (1L, "  Hello,   World!!  "),
+      (2L, "hello world"),
+      (3L, "HELLO\t\nWORLD")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalized(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.toSet == Set("hello world"),
+      "cosmetic variants collapse to one canonical form")
+    // idempotence: normalizing the normalized text is a no-op
+    val twice = TextAnalysis.normalized(
+      TextAnalysis.normalized(df, "doc_id", "text")
+        .select(col("doc_id"), col("norm_text").as("text")),
+      "doc_id", "text").collect()
+    assert(twice.forall(r => !r.getBoolean(2)), "second pass changes nothing")
+  }
+
+  test("filterDecision: first failing rule wins; ok rows keep") {
+    val df = Seq(
+      (1L, "short"),                                        // < 100 chars
+      (2L, ("x " * 9).trim),                                // short AND few tokens -> too_short first
+      (3L, "a" * 150),                                      // 1 token -> too_few_tokens
+      (4L, ("112233 445566 " * 20).trim),                   // alpha 0 -> low_alpha
+      (5L, ("meaningful words compose this sentence " * 5).trim)) // ok
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.filterDecision(df, "doc_id", "text",
+        minChars = 100, maxChars = 20000, minTokens = 20, minAlphaRatio = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1) == ("too_short", false))
+    assert(out(2) == ("too_short", false), "ordered CASE: first rule wins")
+    assert(out(3) == ("too_few_tokens", false))
+    assert(out(4) == ("low_alpha", false))
+    assert(out(5) == ("ok", true))
+  }
+
+  test("updateCentroids: member means match a driver-side recompute") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(1f, 0.2f)), (3L, Seq(0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val assigned = SimilarityOps.assignToCentroids(emb, "vec_id", "embedding", 2)
+      .select("vec_id", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Map(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(1.0, 0.2), 3L -> Seq(0.1, 1.0))
+    val expect = assigned.groupBy(_._2).flatMap { case (c, members) =>
+      val vs = members.keys.map(vecs).toSeq
+      (1 to 2).map { pos =>
+        val m = vs.map(v => v(pos - 1).toFloat.toDouble).sum / vs.size
+        (c, pos) -> BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = SimilarityOps.updateCentroids(emb, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == expect)
+  }
+
   test("quality/language/fingerprint: empty text is scored, not crashed") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .filter(col("doc_id") === 5).collect()(0)
