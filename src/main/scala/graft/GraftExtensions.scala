@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSimilarity, KmvSketch}
+import graft.functions.{CmsSketch, CosineSimilarity, KmvSketch}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Graft.cosineSimDescriptor)
     ext.injectFunction(Graft.kmvSketchDescriptor)
+    ext.injectFunction(Graft.cmsSketchDescriptor)
   }
 }
 
@@ -43,9 +44,23 @@ object Graft {
       KmvSketch(children.head, k)
     })
 
+  private[graft] val cmsSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_sketch"),
+    new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "cms_sketch expects (hash_col, depth, width)")
+      (children(1), children(2)) match {
+        case (Literal(d: Int, _), Literal(w: Int, _)) =>
+          CmsSketch(children.head, d, w)
+        case other => throw new IllegalArgumentException(
+          s"cms_sketch depth/width must be integer literals, got $other")
+      }
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
-    Seq(cosineSimDescriptor, kmvSketchDescriptor).foreach {
+    Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -61,4 +76,27 @@ object Graft {
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =
     call_function("kmv_sketch", hashed, org.apache.spark.sql.functions.lit(k))
+
+  /** Count-min sketch (flattened depth×width counters) over a
+    * pre-hashed bigint column.
+    */
+  def cmsSketch(hashed: Column, depth: Int, width: Int): Column =
+    call_function("cms_sketch", hashed,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
+
+  /** CMS point estimate: min over rows of the addressed counter.
+    * `hashed` is the probe key's md5Long; same universal-hash family as
+    * the sketch update (a=2i+1, b=i²+98765 mod P mod width).
+    */
+  def cmsEstimate(sketch: Column, hashed: Column,
+                  depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until depth).map { i =>
+      val bucket = pmod(
+        (hashed * (2L * i + 1L) + (i.toLong * i + 98765L)),
+        lit(graft.functions.TextFunctions.MinhashP)) % width
+      element_at(sketch, (bucket + i * width + 1).cast("int"))
+    }.reduce(least(_, _))
+  }
 }

@@ -170,6 +170,25 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- CMS heavy hitters: count-min estimates for the top tokens ----
+    "q79_cms_heavy_hitters" -> { (s, d) =>
+      graft.Graft.install(s)
+      val occ = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      // md5 once per DISTINCT token, hash-joined back to occurrences
+      val tokHash = occ.select(col("tok")).distinct()
+        .select(col("tok"), TextFunctions.md5Long(col("tok")).as("h"))
+      val wh = occ.join(tokHash, "tok").cache()
+      val sketch = wh.agg(graft.Graft.cmsSketch(col("h"), 4, 256).as("sk"))
+      val probes = wh.groupBy(col("tok"), col("h"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc).limit(20)
+      probes.crossJoin(broadcast(sketch))
+        .select(col("tok"), col("exact_count"),
+          graft.Graft.cmsEstimate(col("sk"), col("h"), 4, 256).as("est_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc)
+    },
+
     // ---- corpus rollup by lang × source ----
     "q51_corpus_stats" -> { (s, d) =>
       import s.implicits._
@@ -331,6 +350,25 @@ object TextPack extends QueryPack {
            |    FROM documents) a) b
            |ORDER BY doc_id""".stripMargin
       },
+
+      "q79_cms_heavy_hitters" ->
+        s"""WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
+           |th AS (SELECT tok, ${md5LongSql("tok")} AS h
+           |       FROM (SELECT DISTINCT tok FROM occ) t),
+           |wh AS (SELECT occ.tok, th.h FROM occ JOIN th USING (tok)),
+           |counters AS (
+           |  SELECT r.i, ((2*r.i+1)*h + r.i*r.i + 98765) % 2147483647 % 256 AS b,
+           |    COUNT(*) AS c
+           |  FROM wh CROSS JOIN range(0, 4) r(i)
+           |  GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT tok, h, COUNT(*) AS exact_count FROM wh GROUP BY tok, h
+           |  ORDER BY exact_count DESC, tok ASC LIMIT 20)
+           |SELECT p.tok, p.exact_count, MIN(c.c) AS est_count
+           |FROM probes p JOIN counters c
+           |  ON c.b = ((2*c.i+1)*p.h + c.i*c.i + 98765) % 2147483647 % 256
+           |GROUP BY p.tok, p.exact_count
+           |ORDER BY exact_count DESC, tok ASC""".stripMargin,
 
       "q51_corpus_stats" ->
         """SELECT lang, source, COUNT(*) AS n_docs,

@@ -244,6 +244,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cms_sketch: estimate >= exact for every key, partition-invariant, " +
+       "never-colliding keys exact") {
+    Graft.install(spark)
+    val n = 500
+    // zipf-ish: key k appears n/k times
+    val rows = (1 to 50).flatMap(k => Seq.fill(n / k)(s"key$k"))
+    val df = rows.toDF("tok")
+      .select(col("tok"), TextFunctions.md5Long(col("tok")).as("h"))
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val sk = d.agg(Graft.cmsSketch(col("h"), 4, 256).as("sk"))
+      d.groupBy("tok", "h").agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("tok"), col("exact"),
+          Graft.cmsEstimate(col("sk"), col("h"), 4, 256).as("est"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    val out = run(df)
+    assert(out.forall { case (_, exact, est) => est >= exact },
+      "CMS never undercounts")
+    assert(out.count { case (_, exact, est) => est == exact } > out.length / 2,
+      "most keys don't collide in all 4 rows at this load factor")
+    // merge correctness: same sketch whatever the partitioning
+    val out2 = run(df.repartition(13))
+    assert(out.sortBy(_._1).sameElements(out2.sortBy(_._1)),
+      "element-wise merge is partition-invariant")
+  }
+
   test("quality/language/fingerprint: empty text is scored, not crashed") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .filter(col("doc_id") === 5).collect()(0)

@@ -40,6 +40,28 @@ class StreamingSpec extends SparkSpec {
       "each event kept exactly once despite arriving in two micro-batches")
   }
 
+  test("stream-stream interval join == batch interval join " +
+       "(click→purchase attribution)") {
+    val dir = Files.createTempDirectory("evstream4").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+    val (sl, sr) = split(EventStreams.readEventStream(spark, dir))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.intervalJoin(sl, sr, maxGapSec = 1800),
+      "ssjoin_test", OutputMode.Append())
+    val (bl, br) = split(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val batch = EventStreams.intervalJoin(bl, br, maxGapSec = 1800)
+    val s = streamed.orderBy("user_id", "l_event_id", "r_event_id")
+      .collect().map(_.toString).toSeq
+    val b = batch.orderBy("user_id", "l_event_id", "r_event_id")
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty, "attribution pairs exist in the fixture")
+    assert(s == b, "stream-stream interval join must equal the batch join")
+  }
+
   test("mapGroupsWithState sessionization == batch lag-window sessionization") {
     val dir = Files.createTempDirectory("evstream2").toString
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
