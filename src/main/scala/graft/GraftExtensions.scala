@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CmsSketch, CosineSimilarity, KmvSketch}
+import graft.functions.{ByteHistogram, CmsSketch, CosineSimilarity, KmvSketch}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.cosineSimDescriptor)
     ext.injectFunction(Graft.kmvSketchDescriptor)
     ext.injectFunction(Graft.cmsSketchDescriptor)
+    ext.injectFunction(Graft.byteHistogramDescriptor)
   }
 }
 
@@ -58,9 +59,24 @@ object Graft {
       }
     })
 
+  private[graft] val byteHistogramDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("byte_histogram"),
+    new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "byte_histogram expects (binary_col, bins)")
+      val bins = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"byte_histogram bins must be an integer literal, got $other")
+      }
+      ByteHistogram(children.head, bins)
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
-    Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor).foreach {
+    Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
+        byteHistogramDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -84,6 +100,11 @@ object Graft {
     call_function("cms_sketch", hashed,
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
+
+  /** Normalized byte histogram of a binary column (native codegen). */
+  def byteHistogram(bin: Column, bins: Int): Column =
+    call_function("byte_histogram", bin,
+      org.apache.spark.sql.functions.lit(bins))
 
   /** CMS point estimate: min over rows of the addressed counter.
     * `hashed` is the probe key's md5Long; same universal-hash family as

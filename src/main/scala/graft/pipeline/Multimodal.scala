@@ -75,7 +75,47 @@ object Multimodal {
     h.map(_ / n)
   }
 
-  /** Attach a feature vector column — batch-iterator operator. */
+  /** Columnar feature extraction: the native `byte_histogram` codegen
+    * expression — the whole-stage-codegen form of `withFeatures`. The
+    * preferred path whenever the "codec" is byte arithmetic (no library
+    * call): the payload never leaves Tungsten rows, and operators
+    * downstream stay codegen'd. Null payloads get the all-zero vector,
+    * matching `featureStub`. Requires `Graft.install` on the session.
+    */
+  def withFeaturesColumnar(df: DataFrame, binCol: String,
+                           bins: Int = 16): DataFrame =
+    df.withColumn("features",
+      coalesce(graft.Graft.byteHistogram(col(binCol), bins),
+        array((0 until bins).map(_ => lit(0f)): _*)))
+
+  /** Columnar media metadata: the decode-stub header arithmetic as pure
+    * column expressions (`substring`/`hex`/`conv` work on binary), so
+    * metadata extraction also stays codegen'd — same output as
+    * `withMediaMeta`.
+    */
+  def withMediaMetaColumnar(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    def byteAt(pos: Int, len: Int) =
+      conv(hex(substring(bin, pos, len)), 16, 10).cast("int")
+    df.withColumn("media_meta",
+      when(bin.isNull || length(bin) === 0,
+        struct(lit(null).cast("string").as("format"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          coalesce(length(bin).cast("long"), lit(0L)).as("n_bytes")))
+      .otherwise(struct(
+        when(length(bin) >= 4,
+          concat(lit("fmt"), pmod(byteAt(1, 1), lit(4)).cast("string")))
+          .otherwise(lit("unknown")).as("format"),
+        when(length(bin) >= 2, byteAt(1, 2)).otherwise(lit(0)).as("width"),
+        when(length(bin) >= 4, byteAt(3, 2)).otherwise(lit(0)).as("height"),
+        length(bin).cast("long").as("n_bytes"))))
+  }
+
+  /** Attach a feature vector column — batch-iterator operator (the
+    * template for REAL codecs, which need library calls per batch; for
+    * the byte-arithmetic stub prefer `withFeaturesColumnar`).
+    */
   def withFeatures(df: DataFrame, binCol: String, bins: Int = 16): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+

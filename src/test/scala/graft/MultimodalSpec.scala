@@ -34,6 +34,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(2).getSeq[Float](0).sum == 0f, "empty blob -> zero vector")
   }
 
+  test("columnar variants == mapPartitions variants; codegen plan") {
+    Graft.install(spark)
+    // features: native byte_histogram matches the stub row for row
+    val a = Multimodal.withFeatures(mediaDF, "content")
+      .orderBy("media_id").select("media_id", "features")
+      .collect().map(_.toString).toSeq
+    val colVariant = Multimodal.withFeaturesColumnar(mediaDF, "content")
+    val b = colVariant.orderBy("media_id").select("media_id", "features")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "byte_histogram expression == featureStub")
+    // local literal data constant-folds; assert the plan on a computed
+    // (non-foldable) binary input instead
+    val computed = Multimodal.withFeaturesColumnar(
+      spark.range(8).select(col("id").as("media_id"),
+        unhex(md5(col("id").cast("string"))).as("content")), "content")
+    computed.collect()
+    assert(computed.queryExecution.executedPlan.toString
+      .contains("byte_histogram"), "native expression in the plan")
+    // null payload: zero vector like the stub
+    import spark.implicits._
+    val withNull = Seq((9L, null: Array[Byte])).toDF("media_id", "content")
+    val z = Multimodal.withFeaturesColumnar(withNull, "content")
+      .select("features").collect()(0).getSeq[Float](0)
+    assert(z.length == 16 && z.sum == 0f)
+    // media meta: header arithmetic as pure columns, same rows
+    val m1 = Multimodal.withMediaMeta(mediaDF, "content")
+      .orderBy("media_id").select("media_meta.*").collect().map(_.toString).toSeq
+    val m2 = Multimodal.withMediaMetaColumnar(mediaDF, "content")
+      .orderBy("media_id").select("media_meta.*").collect().map(_.toString).toSeq
+    assert(m1 == m2, "columnar header decode == decodeStub")
+  }
+
   test("frame sampling: explode shape and bounds") {
     import spark.implicits._
     val big = Seq((1L, Array.tabulate[Byte](1024)(i => (i % 127).toByte)))
