@@ -43,6 +43,23 @@ class PipelineSpec extends SparkSpec {
       "exact duplicates have jaccard 1.0")
   }
 
+  test("ngramJaccardPairsPrefix == ngramJaccardPairs (exact pruning, " +
+       "no recall loss) on fixtures AND real documents") {
+    def pairs(f: (org.apache.spark.sql.DataFrame, String, String, Int, Double) =>
+        org.apache.spark.sql.DataFrame, df: org.apache.spark.sql.DataFrame,
+        id: String, t: Double) =
+      f(df, id, "text", 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.1, 0.5, 0.8)) {
+      assert(pairs(Dedup.ngramJaccardPairsPrefix, docs, "doc_id", t) ==
+        pairs(Dedup.ngramJaccardPairs, docs, "doc_id", t), s"t=$t fixtures")
+    }
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(pairs(Dedup.ngramJaccardPairsPrefix, real, "doc_id", 0.5) ==
+      pairs(Dedup.ngramJaccardPairs, real, "doc_id", 0.5),
+      "identical pair set on the real corpus")
+  }
+
   test("minhashLshPairs: exact duplicates are always candidates (sig equality)") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, k = 16, bands = 4, threshold = 0.9)
