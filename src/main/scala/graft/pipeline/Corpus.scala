@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-level statistics and joins for training-data curation:
+  * TF-IDF term ranking, inverted-index construction, eval-set
+  * decontamination, and source-mix reweighting.
+  *
+  * Scale notes: every operator here is explode → hash-aggregate →
+  * equi-join shaped. Term/shingle keys follow a Zipf distribution, so
+  * partial (map-side) aggregation absorbs the hot head before any
+  * shuffle; the joins are all on post-aggregation keys (term, shingle)
+  * whose cardinality is vocabulary-sized, not corpus-sized. No operator
+  * compares documents pairwise.
+  */
+object Corpus {
+
+  /** Per-document top-k terms by TF-IDF (score desc, term asc for
+    * determinism). idf = ln((N+1)/(df+1)) with N = corpus size — the
+    * smoothed form that never divides by zero.
+    *
+    * The corpus size joins in via a broadcast single-row aggregate, so
+    * the whole computation is one explode + two hash aggregates + a
+    * window over per-document term lists.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  /** Inverted index: term → document frequency, total term frequency,
+    * and the sorted posting list (joined to a string for portability).
+    * One explode + one aggregate; posting lists stay distributed.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 2L): DataFrame = {
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col(idCol)).as("df"),
+        count(lit(1)).as("total_tf"),
+        array_join(
+          transform(sort_array(collect_set(col(idCol))), _.cast("string")), ",")
+          .as("postings"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Eval-set decontamination: for every training document, count the
+    * distinct word n-gram shingles it shares with ANY document of the
+    * eval set. A training doc with n_overlap > 0 is contaminated and
+    * must be dropped before training.
+    *
+    * Candidate generation is an equi-join on the shingle value — the
+    * eval side reduces to a distinct shingle set (eval sets are small:
+    * broadcast in practice), so cost is one scan of the training corpus
+    * plus a vocabulary-sized join. Never pairwise.
+    *
+    * `evalPred` selects the eval rows from `df` (train = the rest).
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    evalPred: org.apache.spark.sql.Column,
+                    n: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol), evalPred.as("__is_eval"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("__s"))
+    val evalShingles = sh.filter(col("__is_eval"))
+      .select(col("__s")).distinct()
+    val overlaps = sh.filter(!col("__is_eval"))
+      .join(evalShingles, "__s")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__s")).as("n_overlap"))
+    df.filter(!evalPred)
+      .select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Source-mix reweighting: per group (e.g. source × lang), the corpus
+    * share and the sampling weight that would flatten the mix to uniform
+    * across groups (weight = target_share / actual_share). The window
+    * aggregates run over the GROUPED rows (group-count many), not the
+    * corpus — cheap at any scale.
+    */
+  def domainMixWeights(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    g.withColumn("__total", sum(col("n_docs")).over(w))
+      .withColumn("__n_groups", count(lit(1)).over(w))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n_docs"),
+          round(col("n_docs").cast("double") / col("__total"), 6).as("share"),
+          round((lit(1.0) / col("__n_groups")) /
+            (col("n_docs").cast("double") / col("__total")), 6).as("weight")): _*)
+  }
+}

@@ -132,4 +132,45 @@ object TextAnalysis {
     df.select(col(idCol), alphaRatio.as("alpha_ratio"), reason.as("reason"),
       (reason === "ok").as("keep"))
   }
+
+  /** Email pattern for PII scrubbing — the RE2/Java-regex common subset
+    * (no backrefs, no lookaround), so the oracle replays it verbatim.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish pattern: optional +, then 8+ digits/separators. */
+  val PhonePattern: String = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  /** PII scrubbing: replace emails with `<EMAIL>` then phone-shaped
+    * digit runs with `<PHONE>`, counting each. Pure regexp column work —
+    * scan-speed, no shuffle; the order (emails first) is part of the
+    * contract since an email's domain can contain digits.
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_replace(noEmail, PhonePattern, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Repetition ratio (Gopher-style quality signal): the fraction of a
+    * document's word n-gram occurrences that are repeats —
+    * 1 − distinct/total over the RAW (multiset) shingle list. High
+    * values flag boilerplate/spam. Map-side column work only.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = shingles(tokens(col(textCol)), n)
+    val total = size(sh)
+    val distinctN = size(array_distinct(sh))
+    df.select(
+      col(idCol),
+      total.cast("long").as("n_shingles"),
+      distinctN.cast("long").as("n_distinct_shingles"),
+      round(when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double")), 6)
+        .as("repetition_ratio"))
+  }
 }

@@ -221,6 +221,32 @@ object SimilarityOps {
       .select(col(idCol), col("centroid"), col("sim"))
   }
 
+  /** Int8 scalar quantization of an embedding column — the standard
+    * 4× compression before ANN index build / training export. Per
+    * vector: scale = 127 / max|x| (0 for all-zero vectors), each element
+    * q = floor(x·scale + 0.5) (explicit half-up — identical IEEE double
+    * arithmetic in any engine, no rounding-mode ambiguity). Pure
+    * map-side column work.
+    *
+    * Output: id, `scale` (6 dp), `qvec` as a comma-joined string (the
+    * portable form; the array form is one split away).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    emb
+      .select(col(idCol), col(vecCol),
+        when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+          .as("__scale"))
+      .select(
+        col(idCol),
+        round(col("__scale"), 6).as("scale"),
+        concat_ws(",",
+          transform(col(vecCol),
+            x => floor(x.cast("double") * col("__scale") + 0.5)
+              .cast("int").cast("string")))
+          .as("qvec"))
+  }
+
   /** Per-vector similarity degree: number of other vectors with
     * sim >= threshold (0 for isolated vectors).
     */

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Chunking, Corpus, Export, TextAnalysis}
+import graft.similarity.SimilarityOps
+
+/** Invariants for the training-export operators (chunking, decontam,
+  * PII scrub, TF-IDF, inverted index, mix weights, sharding,
+  * quantization). The DuckDB oracle (q80-q88) is the cross-engine gate;
+  * these pin the algebraic/edge-case properties.
+  */
+class TrainPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks: stride windows cover every token; short/empty docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"),                            // shorter than one chunk
+      (3L, "")                                // empty -> no rows
+    ).toDF("doc_id", "text")
+    val out = Chunking.tokenChunks(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3), "starts 0,3,6,9")
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4, 1), "last chunk is the tail")
+    assert(d1(0)._4 == "t1 t2 t3 t4" && d1(3)._4 == "t10")
+    // overlap: consecutive chunks share chunkSize - stride = 1 token
+    assert(d1(0)._4.split(" ").last == d1(1)._4.split(" ").head)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(!out.exists(_._1 == 3L), "empty doc yields no chunks")
+  }
+
+  test("decontaminate: eval overlap flags the copying doc only") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // eval (id%10==0)
+      (1L, "alpha beta gamma delta epsilon zeta eta"),  // verbatim copy
+      (2L, "one two three four five six seven eight"),  // clean
+      (3L, "short text")                                // < n tokens
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out.exists { case (id, n, c) => id == 1L && n == 3L && c },
+      "copy shares all 3 5-gram shingles")
+    assert(out.contains((2L, 0L, false)) && out.contains((3L, 0L, false)))
+    assert(!out.exists(_._1 == 10L), "eval rows are excluded from output")
+  }
+
+  test("scrubPii: emails then phones, counted and replaced") {
+    val df = Seq(
+      (1L, "mail a.user+tag@example.co.uk or call +1-555-123-4567 today"),
+      (2L, "two mails x@y.io z@w.dev, digits 12-34 stay (too short)"),
+      (3L, "nothing to scrub here")
+    ).toDF("id", "text")
+    val out = TextAnalysis.scrubPii(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0)._2 == 1 && out(0)._3 == 1)
+    assert(out(0)._4 == "mail <EMAIL> or call <PHONE> today")
+    assert(out(1)._2 == 2 && out(1)._3 == 0,
+      "short digit runs are not phones")
+    assert(out(2) == ((3L, 0L, 0L, "nothing to scrub here")))
+  }
+
+  test("repetitionRatio: duplicate shingle fraction, exact") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct
+      (2L, "w x y z"),           // 2 shingles, both unique
+      (3L, "")                   // shingles([]) = [""] -> ratio 0
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionRatio(df, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 7L, 3L, BigDecimal(1.0 - 3.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1) == ((2L, 2L, 2L, 0.0)))
+    assert(out(2)._4 == 0.0)
+  }
+
+  test("tfidfTopTerms: rare term outranks common term; ties by term asc") {
+    val df = Seq(
+      (1L, "common rare common common"),
+      (2L, "common common"),
+      (3L, "common other")
+    ).toDF("id", "text")
+    val out = Corpus.tfidfTopTerms(df, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == "rare",
+      "df=1 term beats df=3 term despite tf 1 vs 3")
+    // idf of an every-doc term is ln(4/4) = 0 -> score 0
+    assert(d1(1)._3 == "common" && d1(1)._4 == 0.0)
+  }
+
+  test("invertedIndex: df/tf counts and sorted postings") {
+    val df = Seq(
+      (11L, "x y x"), (2L, "x z"), (5L, "y x")
+    ).toDF("id", "text")
+    val out = Corpus.invertedIndex(df, "id", "text", minDf = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("x", "y"), "z has df=1, filtered")
+    val x = out.head
+    assert(x._2 == 3 && x._3 == 4 && x._4 == "2,5,11",
+      "postings sorted numerically, not lexically")
+  }
+
+  test("domainMixWeights: shares sum to 1, weight flattens the mix") {
+    val df = Seq.fill(3)(("a", "en")).++(Seq(("b", "en")))
+      .toDF("source", "lang")
+    val out = Corpus.domainMixWeights(df, Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._3).sum == 1.0)
+    assert(out(0) == (("a", 3L, 0.75, 0.666667)))
+    assert(out(1) == (("b", 1L, 0.25, 2.0)))
+  }
+
+  test("shardAssignments: deterministic, partition-invariant, seq dense") {
+    val df = spark.range(200).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Export.shardAssignments(d, "id", numShards = 8)
+        .select("id", "shard", "seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(df)
+    assert(a == run(df.repartition(7)), "pure function of the key")
+    // per shard: seq is exactly 1..count
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size).toSeq)
+    }
+    assert(a.map(_._2).size == 8, "all 8 shards populated at n=200")
+  }
+
+  test("writeShards: partition layout on disk, readable per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Export.writeShards(spark.range(100).toDF("id"), "id", dir, numShards = 4)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.filter(col("shard") === 2).count() ==
+      Export.shardAssignments(spark.range(100).toDF("id"), "id", 4)
+        .filter(col("shard") === 2).count())
+  }
+
+  test("quantizeInt8: reconstruction error bounded by half a step") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimilarityOps.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        transform(split(col("qvec"), ","), q => q.cast("int")).as("q"),
+        col("embedding"))
+      .collect()
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val x = r.getSeq[Float](3)
+      assert(q.forall(v => v >= -127 && v <= 127), "int8 range")
+      if (scale > 0) {
+        val maxErr = q.zip(x).map { case (qi, xi) =>
+          math.abs(qi / scale - xi) }.max
+        assert(maxErr <= 0.5 / scale + 1e-9,
+          s"vec ${r.getLong(0)}: max reconstruction error $maxErr")
+      }
+    }
+  }
+}
