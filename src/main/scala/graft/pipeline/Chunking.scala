@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -38,5 +39,37 @@ object Chunking {
         least(lit(chunkSize), size(col("__tk")) - col("__start")).as("n_chunk_tokens"),
         concat_ws(" ", slice(col("__tk"), col("__start") + 1, lit(chunkSize)))
           .as("chunk_text"))
+  }
+
+  /** Sequence packing: lay the chunk stream end-to-end into fixed
+    * `budget`-token training sequences, the concat-and-split packing
+    * GPT-style pretraining uses (a chunk whose tokens straddle a
+    * boundary is split by the reader at `offset_in_seq`; no padding
+    * waste). The layout is a pure function of the data: chunks are
+    * md5-sharded by document and laid out in (doc, chunk_idx) order
+    * within each shard, so every re-run — any cluster size, any input
+    * partitioning — produces byte-identical sequences.
+    *
+    * Each shard packs independently under one window (shard-partition
+    * sort, no global sort); shards are the parallelism unit at scale —
+    * pick numShards ≈ cluster cores, each shard streams through one
+    * task.
+    */
+  def packSequences(chunks: DataFrame, idCol: String, idxCol: String,
+                    tokCountCol: String, budget: Int = 256,
+                    numShards: Int = 4): DataFrame = {
+    require(budget > 0 && numShards > 0, "budget and numShards must be > 0")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(idCol).asc, col(idxCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("shard",
+        pmod(md5Long(col(idCol).cast("string")), lit(numShards.toLong)))
+      .withColumn("__before", coalesce(sum(col(tokCountCol)).over(w), lit(0L)))
+      .select(
+        col(idCol), col(idxCol), col("shard"),
+        // `div` = exact integer division (no double round-trip)
+        expr(s"__before div ${budget}L").as("seq_id"),
+        (col("__before") % budget).as("offset_in_seq"))
   }
 }

@@ -93,6 +93,109 @@ object Corpus {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Cross-document repeated-span detection (the signal behind exact
+    * substring dedup, Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — windowed-hash form): every
+    * n-token rolling window of every document, counted per document,
+    * with the fraction of windows that also occur in at least one OTHER
+    * document. High dup_fraction = boilerplate / template / mirrored
+    * content.
+    *
+    * Shape: explode windows → hash-aggregate by window value to find
+    * the cross-doc duplicated window set (vocabulary-sized after the
+    * Zipf head collapses into map-side partials) → semi-join back →
+    * per-doc count. Two shuffles, both on window-value or doc-id keys;
+    * never pairwise.
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val w = df.select(col(idCol),
+      explode(shingles(tokens(col(textCol)), n)).as("__s"))
+    val dupSet = w.groupBy(col("__s"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__s"))
+    val total = w.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+    val dup = w.join(dupSet, Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double")), 6).as("dup_fraction"))
+  }
+
+  /** Top-k vocabulary by collection frequency with cumulative coverage:
+    * the tokenizer-design view of a corpus (how much of the token
+    * stream the first k vocabulary entries explain). Rank order is
+    * (tf desc, term asc) — total, deterministic.
+    *
+    * The explode + hash-aggregate reduces the corpus to vocabulary
+    * size before the single-partition ranking window, so the window
+    * input is tiny at any corpus scale.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 100): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val ord = Window.orderBy(col("tf").desc, col("term").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("__cum", sum(col("tf")).over(cum))
+      .withColumn("__total", sum(col("tf")).over(all))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("term"), col("tf"),
+        round(col("__cum").cast("double") / col("__total").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  /** BM25 relevance of every document against a fixed query-term list
+    * (Robertson–Spärck Jones idf, the `ln(1 + (N-df+0.5)/(df+0.5))`
+    * smoothed form), top-k documents per term.
+    *
+    * avgdl is computed as exact-integer token total / doc count (one
+    * double division — reproducible across engines, unlike a streaming
+    * double mean). The term filter lands BEFORE the tf aggregate, so
+    * only query-term postings ever shuffle; corpus stats broadcast.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75, topK: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val stats = toks.agg(
+      count(lit(1)).as("__n_docs"),
+      sum(size(col("__tk")).cast("long")).as("__tok_total"))
+    val posting = toks
+      .select(col(idCol), size(col("__tk")).cast("long").as("dl"),
+        explode(col("__tk")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = posting.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val avgdl = col("__tok_total").cast("double") / col("__n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val score = idf * (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    posting
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank"), col(idCol), col("tf"), col("score"))
+  }
+
   /** Source-mix reweighting: per group (e.g. source × lang), the corpus
     * share and the sampling weight that would flatten the mix to uniform
     * across groups (weight = target_share / actual_share). The window

@@ -207,4 +207,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Incremental (cross-corpus) dedup: screen a NEW batch against an
+    * EXISTING corpus — the shape every continuously-ingesting training
+    * pipeline runs, where re-deduplicating the whole corpus per batch
+    * is unaffordable. Per batch document: `exact_dup` (content hash
+    * already present in the corpus), `n_near` (corpus documents with
+    * n-gram Jaccard ≥ threshold), and `is_new` (neither).
+    *
+    * Both probes are equi-joins — content-hash (16-byte key) and
+    * shingle-value — against corpus-side structures that at scale live
+    * as precomputed tables (the corpus hash set / shingle postings),
+    * so batch cost is proportional to the BATCH, not the corpus.
+    */
+  def crossCorpusDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val exact = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(corpusHashes.withColumn("__hit", lit(true)), Seq("__h"), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(false)).as("exact_dup"))
+    val shB = shingleSets(batch, idCol, textCol, n)
+      .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
+    val shC = shingleSets(corpus, idCol, textCol, n)
+      .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
+    val exB = shB.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
+    val exC = shC.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
+    val near = exB.as("x").join(exC.as("y"), "__s")
+      .groupBy(col("x.id").as("__idb"), col("y.id").as("__idc"),
+        col("x.__sz").as("__na"), col("y.__sz").as("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(round(col("__c").cast("double") /
+        (col("__na") + col("__nb") - col("__c")).cast("double"), 6) >= threshold)
+      .groupBy(col("__idb")).agg(count(lit(1)).as("n_near"))
+    exact
+      .join(near, exact(idCol) === near("__idb"), "left")
+      .select(col(idCol), col("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (!col("exact_dup") && coalesce(col("n_near"), lit(0L)) === 0)
+          .as("is_new"))
+  }
 }

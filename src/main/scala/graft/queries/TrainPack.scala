@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Chunking, Corpus, Export, TextAnalysis}
+import graft.pipeline.{Chunking, Corpus, Dedup, Export, TextAnalysis}
 import graft.similarity.SimilarityOps
 
 /** Training-data EXPORT pipeline operators: chunking, decontamination,
@@ -24,6 +24,15 @@ object TrainPack extends QueryPack {
     s"""CASE WHEN len($tk) <= $n THEN [array_to_string($tk, ' ')]
        | ELSE list_transform(range(1, len($tk) - ${n - 2}), i -> array_to_string(($tk)[i:i+${n - 1}], ' ')) END"""
       .stripMargin.replace("\n", " ")
+  private def jaccardSql(a: String, b: String): String =
+    s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
+  // vector fragments replaying VectorFunctions' strict-left-fold order
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
+  private def l2Sql(a: String, b: String): String =
+    s"ROUND(SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)), 6)"
   private def md5LongSql(e: String): String =
     s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 2147483647)"
 
@@ -103,6 +112,52 @@ object TrainPack extends QueryPack {
     // ---- int8 scalar quantization of embeddings ----
     "q88_quantize_embeddings" -> { (s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- cross-doc repeated-span (windowed-hash substring dedup) ----
+    "q89_span_dedup" -> { (s, d) =>
+      Corpus.spanDupStats(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- sequence packing of non-overlapping chunks ----
+    "q90_pack_sequences" -> { (s, d) =>
+      val chunks = Chunking.tokenChunks(Tables.documents(s, d), "doc_id",
+        "text", chunkSize = 32, stride = 32)
+      Chunking.packSequences(chunks, "doc_id", "chunk_idx",
+          "n_chunk_tokens", budget = 256, numShards = 4)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- top-k vocabulary with cumulative coverage ----
+    "q91_vocab_coverage" -> { (s, d) =>
+      Corpus.vocabCoverage(Tables.documents(s, d), "doc_id", "text", k = 100)
+        .orderBy(col("rank"))
+    },
+
+    // ---- incremental batch-vs-corpus dedup ----
+    "q92_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusDedup(
+          corpus = docs.filter(col("doc_id") < 400),
+          batch = docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- BM25 top-k per query term ----
+    "q93_bm25" -> { (s, d) =>
+      Corpus.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "join"),
+          k1 = 1.2, b = 0.75, topK = 5)
+        .orderBy(col("term"), col("rank"))
+    },
+
+    // ---- SemDeDup: centroid-blocked semantic near-dup flags ----
+    "q94_semantic_dedup" -> { (s, d) =>
+      SimilarityOps.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCentroids = 8, threshold = 0.35)
         .orderBy(col("vec_id"))
     },
   )
@@ -200,5 +255,110 @@ object TrainPack extends QueryPack {
          |  array_to_string(list_transform(embedding,
          |    x -> (FLOOR(x::DOUBLE * sc + 0.5))::INT::VARCHAR), ',') AS qvec
          |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q89_span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${shingleSql("tk", 8)}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |d AS (SELECT s FROM w GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+         |dup AS (SELECT w.doc_id, COUNT(*) AS n_dup_windows
+         |        FROM w JOIN d USING (s) GROUP BY w.doc_id)
+         |SELECT doc.doc_id,
+         |  COALESCE(tot.n_windows, 0) AS n_windows,
+         |  COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
+         |  ROUND(CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
+         |    ELSE COALESCE(dup.n_dup_windows, 0)::DOUBLE / tot.n_windows::DOUBLE
+         |    END, 6) AS dup_fraction
+         |FROM documents doc
+         |LEFT JOIN tot ON doc.doc_id = tot.doc_id
+         |LEFT JOIN dup ON doc.doc_id = dup.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+
+    "q90_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start
+         |      FROM t WHERE len(tk) > 0),
+         |ch AS (SELECT doc_id, (start // 32)::INT AS chunk_idx,
+         |       LEAST(32, len(tk) - start)::BIGINT AS n_tok,
+         |       ${md5LongSql("doc_id::VARCHAR")} % 4 AS shard FROM c),
+         |p AS (SELECT doc_id, chunk_idx, shard,
+         |  COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY shard
+         |    ORDER BY doc_id, chunk_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |    AS before FROM ch)
+         |SELECT doc_id, chunk_idx, shard,
+         |  before // 256 AS seq_id, before % 256 AS offset_in_seq
+         |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q91_vocab_coverage" ->
+      s"""WITH counts AS (SELECT term, COUNT(*) AS tf
+         |  FROM (SELECT unnest($toksSql) AS term FROM documents) t
+         |  GROUP BY term),
+         |r AS (SELECT term, tf,
+         |  ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)::INT AS rank,
+         |  CAST(SUM(tf) OVER (ORDER BY tf DESC, term ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(SUM(tf) OVER () AS BIGINT) AS total
+         |  FROM counts)
+         |SELECT rank, term, tf, ROUND(cum::DOUBLE / total::DOUBLE, 6) AS cum_share
+         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    "q92_incremental_dedup" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+         |batch AS (SELECT * FROM documents WHERE doc_id >= 400),
+         |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+         |ex AS (SELECT b.doc_id, (ch.h IS NOT NULL) AS exact_dup
+         |       FROM batch b LEFT JOIN ch ON md5(b.text) = ch.h),
+         |shB AS (SELECT doc_id, list_distinct(${shingleSql("tk", 3)}) AS ss
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM batch) t),
+         |shC AS (SELECT doc_id, list_distinct(${shingleSql("tk", 3)}) AS ss
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus) t),
+         |near AS (SELECT a.doc_id, COUNT(*) AS n_near FROM shB a, shC b
+         |  WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5 GROUP BY a.doc_id)
+         |SELECT e.doc_id, e.exact_dup,
+         |  COALESCE(n.n_near, 0) AS n_near,
+         |  (NOT e.exact_dup AND COALESCE(n.n_near, 0) = 0) AS is_new
+         |FROM ex e LEFT JOIN near n ON e.doc_id = n.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
+
+    "q93_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |          CAST(SUM(len(tk)) AS BIGINT) AS tok_total FROM t),
+         |posting AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+         |  (SELECT doc_id, len(tk)::BIGINT AS dl, unnest(tk) AS term FROM t) x
+         |  WHERE term IN ('spark', 'vector', 'join') GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |          FROM posting GROUP BY term),
+         |scored AS (SELECT p.term, p.doc_id, p.tf,
+         |  ROUND(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |    * (p.tf * (1.2 + 1.0))
+         |    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+         |        / (s.tok_total::DOUBLE / s.n_docs::DOUBLE))), 6) AS score
+         |  FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s),
+         |r AS (SELECT term, doc_id, tf, score,
+         |  ROW_NUMBER() OVER (PARTITION BY term
+         |    ORDER BY score DESC, doc_id ASC)::INT AS rank FROM scored)
+         |SELECT term, rank, doc_id, tf, score FROM r
+         |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+
+    "q94_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS centroid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, centroid, embedding FROM (
+         |  SELECT e.vec_id, c.centroid, e.embedding,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC)
+         |      AS rn
+         |  FROM embeddings e, c) t WHERE rn = 1),
+         |near AS (SELECT a.vec_id, COUNT(*) AS n_near FROM asg a JOIN asg b
+         |  ON a.centroid = b.centroid AND b.vec_id < a.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |  GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.centroid,
+         |  COALESCE(n.n_near, 0) AS n_near,
+         |  COALESCE(n.n_near, 0) = 0 AS keep
+         |FROM asg a LEFT JOIN near n ON a.vec_id = n.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
   )
 }

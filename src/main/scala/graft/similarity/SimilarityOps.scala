@@ -247,6 +247,37 @@ object SimilarityOps {
           .as("qvec"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
+    * every embedding to its nearest centroid, then WITHIN each centroid
+    * block mark a vector a duplicate when a lower-id vector of the same
+    * block has cosine ≥ threshold (keep-lowest-id rule). Output:
+    * (id, centroid, n_near, keep).
+    *
+    * The pair generation is an equi-join on `centroid` — the defining
+    * SemDeDup trick: clustering first makes the quadratic step local to
+    * blocks of corpus/k size, so no cross join ever forms. Recall
+    * matches SemDeDup's published semantics (cross-cluster near-dups
+    * are out of scope by design).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, threshold: Double): DataFrame = {
+    val asg = assignToCentroids(emb, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("centroid"), col(vecCol))
+    val a = asg.select(col(idCol).as("__ida"), col("centroid"),
+      col(vecCol).as("__va"))
+    val b = asg.select(col(idCol).as("__idb"), col("centroid"),
+      col(vecCol).as("__vb"))
+    val near = a.join(b, "centroid")
+      .filter(col("__idb") < col("__ida"))
+      .filter(sim6(col("__va"), col("__vb")) >= threshold)
+      .groupBy(col("__ida")).agg(count(lit(1)).as("n_near"))
+    asg.select(col(idCol), col("centroid"))
+      .join(near, asg(idCol) === near("__ida"), "left")
+      .select(col(idCol), col("centroid"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("n_near"), lit(0L)) === 0).as("keep"))
+  }
+
   /** Per-vector similarity degree: number of other vectors with
     * sim >= threshold (0 for isolated vectors).
     */

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Chunking, Corpus, Export, TextAnalysis}
+import graft.pipeline.{Chunking, Corpus, Dedup, Export, TextAnalysis}
 import graft.similarity.SimilarityOps
 
 /** Invariants for the training-export operators (chunking, decontam,
@@ -165,5 +165,116 @@ class TrainPipelineSpec extends SparkSpec {
           s"vec ${r.getLong(0)}: max reconstruction error $maxErr")
       }
     }
+  }
+
+  test("spanDupStats: only cross-doc windows count as duplicated") {
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 a1 a2"), // 3 windows, 1 shared
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 b1"),    // 2 windows, 1 shared
+      (3L, "c1 c2")                          // short doc -> 1 whole-text window
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDupStats(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 1L, 0.333333)))
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))
+    assert(out(2) == ((3L, 1L, 0L, 0.0)))
+  }
+
+  test("packSequences: per-shard offsets are the exact running layout") {
+    val chunks = Seq(
+      (1L, 0, 4), (1L, 1, 4), (2L, 0, 4), (2L, 1, 2), (3L, 0, 4)
+    ).toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val out = Chunking.packSequences(chunks, "doc_id", "chunk_idx",
+        "n_chunk_tokens", budget = 10, numShards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // replay the layout per shard in plain Scala
+    val byShard = out.groupBy(_._3).values
+    byShard.foreach { rows =>
+      var before = 0L
+      rows.sortBy(r => (r._1, r._2)).foreach { case (doc, idx, _, seq, off) =>
+        assert(seq == before / 10 && off == before % 10,
+          s"doc $doc chunk $idx: expected before=$before")
+        val tok = chunks.filter(col("doc_id") === doc &&
+          col("chunk_idx") === idx).head.getInt(2)
+        before += tok
+      }
+    }
+    // partition-invariance: layout is a pure function of the data
+    val again = Chunking.packSequences(chunks.repartition(5), "doc_id",
+        "chunk_idx", "n_chunk_tokens", budget = 10, numShards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("vocabCoverage: rank by tf desc, cumulative share reaches 1") {
+    val df = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val out = Corpus.vocabCoverage(df, "id", "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a", 3L, 0.5), (2, "b", 2L, 0.833333),
+      (3, "c", 1L, 1.0)))
+    assert(Corpus.vocabCoverage(df, "id", "text", k = 2).count() == 2)
+  }
+
+  test("crossCorpusDedup: exact, near, and new batch docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact copy of 1
+      (11L, "one two three four five seven"),  // near-dup of 2
+      (12L, "totally different content here")  // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusDedup(corpus, batch, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((10L, true, 1L, false)), "exact dup also jaccard-matches")
+    assert(out(1)._2 == false && out(1)._3 == 1L && out(1)._4 == false,
+      "3 of 4+4-3 shingles shared = 0.6 >= 0.5")
+    assert(out(2) == ((12L, false, 0L, true)))
+  }
+
+  test("bm25: rarer term ranks above common, exact spot value") {
+    val df = Seq(
+      (1L, "x x y"), (2L, "y z"), (3L, "z z z x")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25Scores(df, "doc_id", "text", Seq("x", "z"),
+        k1 = 1.2, b = 0.75, topK = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val xs = out.filter(_._1 == "x").sortBy(_._2)
+    // N=3, avgdl=3; x: doc1 (tf2, dl3) vs doc3 (tf1, dl4): doc1 wins
+    assert(xs.map(t => (t._2, t._3)).toSeq == Seq((1, 1L), (2, 3L)))
+    val idfX = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val exp = BigDecimal(idfX * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(xs.head._5 == exp, s"doc1 x-score ${xs.head._5} != $exp")
+    // scores strictly descend within each term group here
+    out.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2).map(_._5)
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("semanticDedup: lower-id in-centroid near-dup flips keep off") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0f, 2f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // centroids are vecs 0 and 1; vec2/vec3 are orthogonal to both and
+    // land on centroid 0 (nearer); vec3 then dups against vec2 (cos=1)
+    assert(out(0) == ((0L, 0L, 0L, true)))
+    assert(out(1) == ((1L, 1L, 0L, true)))
+    assert(out(2) == ((2L, 0L, 0L, true)))
+    assert(out(3) == ((3L, 0L, 1L, false)), "cos(v3,v2)=1 >= threshold")
   }
 }
