@@ -109,4 +109,34 @@ class PlanSpec extends SparkSpec {
     assert(read.nonEmpty && read.split(",").length < 16,
       s"pruned read schema, got: $read")
   }
+
+  test("q89 span dedup: aggregate + semi-join shape, never pairwise") {
+    val p = plan("q89_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-join shaped:\n$p")
+  }
+
+  test("q92 incremental dedup: hash and shingle probes are equi-joins") {
+    val p = plan("q92_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-corpus probes must be equi-joins:\n$p")
+  }
+
+  test("q94 semantic dedup: in-block pairs join on centroid, no cartesian") {
+    val p = plan("q94_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup pair generation must be centroid-blocked:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on centroid:\n$p")
+  }
+
+  test("q90 sequence packing shuffles once: the shard window partition") {
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // only the executed (final) section
+    val p = plan("q90_pack_sequences").split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash exchange (shard window), got $n:\n$p")
+    assert("hashpartitioning\\(shard".r.findAllIn(p).nonEmpty,
+      s"the one hash exchange is the shard window partition:\n$p")
+  }
 }
