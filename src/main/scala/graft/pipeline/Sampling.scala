@@ -28,6 +28,27 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: Column, permille: Int): DataFrame =
     df.filter(hashBucket(key) < permille)
 
+  /** Mix-flattening sample: deterministically down-sample every group
+    * (e.g. source × lang) to ≈ the SMALLEST group's size — the applied
+    * form of `Corpus.domainMixWeights`. Per-group keep-permille =
+    * (1000 · min_count) div count — exact integer arithmetic — then the
+    * usual md5 hash gate. Group rates are a broadcast join (group-count
+    * rows); the gate itself stays a map-side scan filter.
+    */
+  def rebalancedSample(df: DataFrame, key: Column,
+                       groupCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = counts
+      .withColumn("__minn", min(col("__n")).over(w))
+      .select(groupCols.map(col) :+
+        expr("(1000 * __minn) div __n").as("__permille"): _*)
+    df.join(broadcast(rates), groupCols)
+      .filter(hashBucket(key) < col("__permille"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates (‰),
     * unknown strata fall back to `defaultPermille`. The rate map is a
     * literal CASE expression — broadcast-free, codegen'd.

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Chunking, Corpus, Dedup, Export, TextAnalysis}
+import graft.operators.ZOrder
+import graft.pipeline.{Chunking, Corpus, Dedup, Export, Sampling, Stats, TextAnalysis}
 import graft.similarity.SimilarityOps
 
 /** Training-data EXPORT pipeline operators: chunking, decontamination,
@@ -159,6 +160,30 @@ object TrainPack extends QueryPack {
       SimilarityOps.semanticDedup(Tables.embeddings(s, d), "vec_id",
           "embedding", nCentroids = 8, threshold = 0.35)
         .orderBy(col("vec_id"))
+    },
+
+    // ---- deterministic histogram-quantile sketch ----
+    "q95_hist_quantiles" -> { (s, d) =>
+      Stats.histogramQuantiles(Tables.orders(s, d), "o_totalprice",
+          bins = 128, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q"))
+    },
+
+    // ---- z-order layout: per-file pruning statistics ----
+    "q96_zorder_layout" -> { (s, d) =>
+      val keys = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("x"),
+        pmod(col("c_custkey"), lit(1024L)).as("y"))
+      ZOrder.layoutStats(keys, "x", "y", bits = 10, rowsPerFile = 100)
+        .orderBy(col("file_id"))
+    },
+
+    // ---- mix-flattening deterministic sample ----
+    "q97_rebalanced_sample" -> { (s, d) =>
+      Sampling.rebalancedSample(Tables.documents(s, d), col("doc_id"),
+          Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
     },
   )
 
@@ -360,5 +385,53 @@ object TrainPack extends QueryPack {
          |  COALESCE(n.n_near, 0) = 0 AS keep
          |FROM asg a LEFT JOIN near n ON a.vec_id = n.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "q95_hist_quantiles" ->
+      s"""WITH stats AS (SELECT MIN(o_totalprice)::DOUBLE AS mn,
+         |  MAX(o_totalprice)::DOUBLE AS mx, COUNT(o_totalprice) AS n
+         |  FROM orders),
+         |b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+         |  ELSE LEAST(127, FLOOR((o.o_totalprice::DOUBLE - s.mn) * 128.0
+         |    / (s.mx - s.mn))::INT) END AS bin FROM orders o, stats s),
+         |c AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+         |cc AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM c),
+         |q AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+         |SELECT q.q, cc.bin,
+         |  ROUND(CASE WHEN s.mx = s.mn THEN s.mn
+         |    ELSE s.mn + (s.mx - s.mn) / 128.0
+         |      * (cc.bin + (q.q * s.n - (cc.cum - cc.c)) / cc.c) END, 6) AS est
+         |FROM cc, q, stats s
+         |WHERE cc.cum >= q.q * s.n AND (cc.cum - cc.c) < q.q * s.n
+         |ORDER BY q.q""".stripMargin,
+
+    "q96_zorder_layout" ->
+      s"""WITH t AS (SELECT c_nationkey::BIGINT AS x, c_custkey % 1024 AS y
+         |           FROM customer),
+         |z AS (SELECT x, y, list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(range(0, 10), i ->
+         |    (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))),
+         |  (a, b) -> a + b) AS z FROM t),
+         |r AS (SELECT x, y, z, ROW_NUMBER() OVER (ORDER BY z, x, y) AS rn
+         |      FROM z)
+         |SELECT (rn - 1) // 100 AS file_id, COUNT(*) AS n_rows,
+         |  MIN(x) AS x_min, MAX(x) AS x_max,
+         |  MIN(y) AS y_min, MAX(y) AS y_max,
+         |  MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM r GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "q97_rebalanced_sample" -> {
+      val bucket =
+        s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000)"
+      s"""WITH g AS (SELECT source, lang, COUNT(*) AS n
+         |           FROM documents GROUP BY source, lang),
+         |r AS (SELECT source, lang, (1000 * MIN(n) OVER ()) // n AS permille
+         |      FROM g)
+         |SELECT d.doc_id, d.source, d.lang
+         |FROM documents d JOIN r USING (source, lang)
+         |WHERE $bucket < r.permille
+         |ORDER BY d.doc_id""".stripMargin
+    },
   )
 }

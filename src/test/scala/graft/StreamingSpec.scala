@@ -77,4 +77,37 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(s == b, "custom-state sessionization must match the oracle-checked batch query")
   }
+
+  test("stream-static corpus dedup: overlapping batches screened against " +
+       "the static corpus and each other") {
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 20)
+    // two overlapping micro-batches: [10,35) and [25,50)
+    val dir = Files.createTempDirectory("docstream").toString
+    Seq((10, 35, "b0"), (25, 50, "b1")).foreach { case (lo, hi, name) =>
+      val tmp = Files.createTempDirectory(s"docbatch$name").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch_$name.parquet"))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreams.runToMemory(
+      EventStreams.corpusDedupStream(stream, corpus),
+      "corpus_dedup_test", OutputMode.Append())
+    // expected: every doc id in [20,50) exactly once — corpus hashes
+    // [10,20) anti-joined away, the [25,35) overlap deduped across batches
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (20L until 50L).toSeq,
+      s"got ${ids.size} docs: ${ids.take(5)}...")
+  }
 }

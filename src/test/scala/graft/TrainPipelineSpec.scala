@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Chunking, Corpus, Dedup, Export, TextAnalysis}
+import graft.operators.ZOrder
+import graft.pipeline.{Chunking, Corpus, Dedup, Export, Sampling, Stats, TextAnalysis}
 import graft.similarity.SimilarityOps
 
 /** Invariants for the training-export operators (chunking, decontam,
@@ -276,5 +277,68 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(1) == ((1L, 1L, 0L, true)))
     assert(out(2) == ((2L, 0L, 0L, true)))
     assert(out(3) == ((3L, 0L, 1L, false)), "cos(v3,v2)=1 >= threshold")
+  }
+
+  test("histogramQuantiles: matches a Scala replay; degenerate input") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.toDF("v")
+    val out = Stats.histogramQuantiles(df, "v", bins = 10, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // replay the estimator in plain Scala
+    val (mn, mx, n) = (1.0, 100.0, 100)
+    val binOf = (v: Double) => math.min(9, math.floor((v - mn) * 10.0 / (mx - mn)).toInt)
+    val counts = vals.groupBy(binOf).view.mapValues(_.size).toMap
+    val expected = Seq(0.5, 0.9).map { q =>
+      val t = q * n
+      val bins = counts.keys.toSeq.sorted
+      val cums = bins.scanLeft(0L)((acc, b) => acc + counts(b)).tail
+      val i = cums.indexWhere(_ >= t)
+      val (bin, cum, c) = (bins(i), cums(i), counts(bins(i)))
+      val est = mn + (mx - mn) / 10.0 * (bin + (t - (cum - c)) / c)
+      (q, bin, BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out == expected)
+    // all-equal input: every quantile is the value itself
+    val flat = Stats.histogramQuantiles(Seq.fill(10)(7.0).toDF("v"), "v",
+        bins = 4, qs = Seq(0.5)).collect()
+    assert(flat.length == 1 && flat(0).getDouble(2) == 7.0)
+  }
+
+  test("zValue interleaves bits; layout files are z-contiguous") {
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (1L, 1L, 3L), (2L, 3L, 14L), (5L, 2L, 25L))
+    val out = cases.toDF("x", "y", "want")
+      .select(ZOrder.zValue(col("x"), col("y"), 4).as("z"), col("want"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // layout: per-file z ranges must not interleave
+    val df = spark.range(1000).select(
+      (col("id") % 32).as("x"), (col("id") % 17).as("y"))
+    val files = ZOrder.layoutStats(df, "x", "y", bits = 5, rowsPerFile = 100)
+      .orderBy("file_id").collect()
+      .map(r => (r.getLong(6), r.getLong(7))) // z_min, z_max
+    files.sliding(2).foreach {
+      case Array((_, zmaxPrev), (zminNext, _)) =>
+        assert(zminNext >= zmaxPrev, "files ordered along the curve")
+      case _ =>
+    }
+  }
+
+  test("rebalancedSample: flattens groups toward the smallest") {
+    val df = ((1 to 200).map(i => (i.toLong, "big")) ++
+      (201 to 220).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val out = Sampling.rebalancedSample(df, col("id"), Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val small = out.count(_._2 == "small")
+    assert(small == 20, "smallest group keeps everything (permille=1000)")
+    // big group: permille = 1000*20/200 = 100; replay the hash gate
+    val expectBig = df.filter(col("grp") === "big")
+      .filter(Sampling.hashBucket(col("id")) < 100).count()
+    assert(out.count(_._2 == "big") == expectBig)
+    // deterministic under repartition
+    val again = Sampling.rebalancedSample(df.repartition(7), col("id"), Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
   }
 }
