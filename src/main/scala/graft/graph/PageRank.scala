@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank with damping 0.85 over a directed edge list.
+  *
+  * Ranks are BIGINT micro-units (`scale` units = rank 1.0) and every
+  * step is integer arithmetic — `div`, `*`, `+` — so the result is
+  * BIT-IDENTICAL on any engine, partitioning, or cluster size. A
+  * floating-point PageRank cannot make that promise on Spark: the
+  * per-vertex contribution sum is a shuffle aggregate whose
+  * accumulation order is nondeterministic, and double addition is not
+  * associative. Fixed-point trades ~1e-12 of precision for exact
+  * reproducibility (and an exact DuckDB oracle).
+  *
+  * Per iteration: contrib(u→v) = rank(u) div deg(u); dangling mass
+  * (deg-0 vertices) redistributes uniformly; rank'(v) = (1−d)·scale +
+  * d·(Σ contrib + dangling div N), with d = 85/100 applied as
+  * `(85·x) div 100`.
+  *
+  * Scale notes: the loop is iters × (one equi-join + one integer-sum
+  * shuffle) — the textbook distributed PageRank shape. `localCheckpoint`
+  * truncates lineage each round. The dangling term is a scalar
+  * aggregate per round (driver-side long, like the CC convergence
+  * check). Mass bound: N·scale·85 must stay under 2⁶³ — the default
+  * 1e12 scale is good to ~10⁸ vertices; drop to 1e6 for 10¹⁴.
+  */
+object PageRank {
+
+  val DefaultScale = 1000000000000L // 1e12 units = rank 1.0
+
+  /** @param vertices one-column DataFrame of vertex ids (castable to long)
+    * @param edges    two-column DataFrame (src, dst), DIRECTED — pass
+    *                 both directions for an undirected graph
+    */
+  def run(vertices: DataFrame, edges: DataFrame, iters: Int,
+          scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long")).cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val v = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
+      .distinct()
+      .join(deg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .cache()
+    val n = v.count()
+    val base = (15L * scale) / 100L
+    var ranks = v.withColumn("rank", lit(scale)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dangling = ranks.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
+      val danglingShare = dangling / n
+      val inc = ranks.filter(col("deg") > 0)
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      ranks = v.join(inc, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"),
+          (lit(base) +
+            expr(s"(85 * (coalesce(__in, 0) + ${danglingShare}L)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+}

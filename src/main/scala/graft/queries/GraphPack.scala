@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.graph.Components
+import graft.graph.{Components, PageRank}
 import graft.pipeline.Dedup
 import graft.similarity.SimilarityOps
 
@@ -85,6 +85,20 @@ object GraphPack extends QueryPack {
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("is_keeper"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- fixed-point PageRank over the LSH similarity graph: integer
+    //      micro-unit arithmetic makes the iterative shuffle aggregate
+    //      bit-deterministic (a float PR can't hash-match any oracle) ----
+    "q98_pagerank" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      PageRank.run(emb.select("vec_id"), sym.toDF("src", "dst"), iters = 3)
+        .select(col("id").as("vec_id"), col("rank"))
+        .orderBy(col("vec_id"))
     },
   )
 
@@ -194,6 +208,38 @@ object GraphPack extends QueryPack {
          |  array_to_string(list_sort(list(id::VARCHAR)), ',') AS member_ids
          |FROM cc GROUP BY component HAVING COUNT(*) >= 2
          |ORDER BY component""".stripMargin
+    },
+
+    "q98_pagerank" -> {
+      // one fixed-point iteration: rank'(v) = 0.15·scale +
+      // (85·(Σ_{u→v} rank(u) div deg(u) + danglingMass div N)) div 100 —
+      // all-BIGINT, replaying graph.PageRank.run exactly
+      def iter(idx: Int): String = {
+        val prev = s"i${idx - 1}"
+        s"""i$idx AS (SELECT d.id, d.deg,
+           |  150000000000 + (85 * (COALESCE(inc.s, 0) + dang.dd)) // 100 AS rank
+           |  FROM degv d
+           |  LEFT JOIN (SELECT sym.dst AS id,
+           |      CAST(SUM($prev.rank // $prev.deg) AS BIGINT) AS s
+           |    FROM $prev JOIN sym ON $prev.id = sym.src
+           |    WHERE $prev.deg > 0 GROUP BY sym.dst) inc ON d.id = inc.id
+           |  CROSS JOIN (SELECT COALESCE(CAST(SUM(rank) AS BIGINT), 0)
+           |      // (SELECT n FROM nn) AS dd
+           |    FROM $prev WHERE deg = 0) dang)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED ($lshEdgesSql),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e0
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e0),
+         |degv AS (SELECT v.vec_id AS id, COALESCE(d.deg, 0) AS deg
+         |  FROM embeddings v LEFT JOIN (SELECT src,
+         |    CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src) d
+         |    ON v.vec_id = d.src),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |i0 AS (SELECT id, deg, 1000000000000 AS rank FROM degv),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id AS vec_id, rank FROM i3 ORDER BY vec_id""".stripMargin
     },
   )
 }

@@ -109,4 +109,27 @@ class TagAndGraphSpec extends SparkSpec {
       "singleton cluster keeps all its tags (TagService.cpp:225-230)")
     assert(out(2) == ((3, 1L, Seq(5L), Seq())))
   }
+
+  test("PageRank: fixed-point iterations match the hand computation") {
+    import spark.implicits._
+    // 2-cycle {1<->2} plus dangling vertex 3
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = graft.graph.PageRank.run(vertices, edges, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // iter1: dd = 1e12/3 = 333333333333
+    //   r(1) = r(2) = 15e10 + (85*(1e12 + 333333333333)) div 100 = 1283333333333
+    //   r(3) = 15e10 + (85*333333333333) div 100 = 433333333333
+    // iter2: dd = 433333333333/3 = 144444444444
+    //   r(1) = r(2) = 15e10 + (85*(1283333333333 + 144444444444)) div 100
+    //        = 1363611111110
+    //   r(3) = 15e10 + (85*144444444444) div 100 = 272777777777
+    assert(out.toSeq == Seq((1L, 1363611111110L), (2L, 1363611111110L),
+      (3L, 272777777777L)))
+    // determinism under repartition (the point of fixed-point arithmetic)
+    val again = graft.graph.PageRank.run(vertices.repartition(3),
+        edges.repartition(2), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
 }
