@@ -155,6 +155,42 @@ object TextAnalysis {
       regexp_replace(noEmail, PhonePattern, "<PHONE>").as("scrubbed"))
   }
 
+  /** Unigram-LM surprisal scoring — the cheap "perplexity filter" of
+    * training pipelines: score every document by the mean surprisal
+    * (−ln p) of its tokens under the corpus's own unigram distribution.
+    * Gibberish and off-distribution text scores high, boilerplate low.
+    *
+    * Per-token surprisal is quantized to integer MICRO-NANO-NAT units
+    * (round(−ln p · 1e9)) before the per-document aggregation, so the
+    * shuffle sum is exact integer arithmetic — order-independent and
+    * engine-portable, where a double sum over a shuffle is neither.
+    * Two passes: vocabulary counts (hash-aggregate to vocab size), then
+    * a vocab-keyed join back — no pairwise anything.
+    *
+    * Output: (id, n_tokens, surprisal_units, avg_surprisal) with
+    * avg_surprisal in nats rounded to 6 dp.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("__tf"))
+    val total = counts.agg(sum(col("__tf")).as("__tot"))
+    val units = counts.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(-log(col("__tf").cast("double") / col("__tot").cast("double"))
+          * lit(1e9)).cast("long").as("__u"))
+    val perDoc = terms.join(units, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__u")).as("surprisal_units"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_units"), lit(0L)).as("surprisal_units"),
+        round(when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("surprisal_units").cast("double") / lit(1e9)) /
+            col("n_tokens").cast("double")), 6).as("avg_surprisal"))
+  }
+
   /** Repetition ratio (Gopher-style quality signal): the fraction of a
     * document's word n-gram occurrences that are repeats —
     * 1 − distinct/total over the RAW (multiset) shingle list. High

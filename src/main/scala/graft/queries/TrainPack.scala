@@ -185,6 +185,12 @@ object TrainPack extends QueryPack {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- unigram-LM surprisal (the cheap perplexity filter) ----
+    "q99_unigram_surprisal" -> { (s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +439,25 @@ object TrainPack extends QueryPack {
          |WHERE $bucket < r.permille
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q99_unigram_surprisal" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(tk) AS term
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |counts AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY term),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot FROM counts),
+         |units AS (SELECT term,
+         |  ROUND(-LN(c.tf::DOUBLE / t.tot::DOUBLE) * 1000000000.0)::BIGINT
+         |    AS u FROM counts c, tot t),
+         |perdoc AS (SELECT terms.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(u.u) AS BIGINT) AS surprisal_units
+         |  FROM terms JOIN units u USING (term) GROUP BY terms.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.surprisal_units, 0) AS surprisal_units,
+         |  ROUND(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE (p.surprisal_units::DOUBLE / 1000000000.0)
+         |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -279,6 +279,18 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(3) == ((3L, 0L, 1L, false)), "cos(v3,v2)=1 >= threshold")
   }
 
+  test("unigramSurprisal: exact micro-nat units from the corpus LM") {
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // p(a) = p(b) = 2/4; u = round(-ln(0.5)*1e9) = 693147181
+    val u = math.round(-math.log(0.5) * 1e9)
+    assert(u == 693147181L)
+    assert(out(0) == ((1L, 3L, 3 * u, 0.693147)))
+    assert(out(1) == ((2L, 1L, u, 0.693147)))
+  }
+
   test("histogramQuantiles: matches a Scala replay; degenerate input") {
     val vals = (1 to 100).map(_.toDouble)
     val df = vals.toDF("v")
