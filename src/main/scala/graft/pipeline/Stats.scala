@@ -61,4 +61,38 @@ object Stats {
             (col("bin") + (t - (col("__cum") - col("__c"))) / col("__c"))), 6)
           .as("est"))
   }
+
+  /** Join-key skew profile: the diagnostic you run BEFORE deciding
+    * whether a join needs salting (`operators.SaltedJoin`) or AQE skew
+    * handling. One hash-aggregate to per-key counts, then a tiny
+    * summary: key cardinality, total rows, the heaviest key's count,
+    * the skew ratio (max/mean — >10 usually means salt), and the top-k
+    * heaviest keys with their share of all rows.
+    *
+    * Output: one row per top-k key, ranked by (count desc, key asc),
+    * each carrying the global summary columns alongside.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    // single-row global summary + TakeOrderedAndProject top-k: no global
+    // window, so the per-key count table never collapses to one partition
+    // even at billions of keys
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_count"))
+    val ord = Window.orderBy(col("cnt").desc, col("key").asc)
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(summary))
+      .withColumn("rank", row_number().over(ord))
+      .select(
+        col("rank"), col("key"), col("cnt"),
+        col("n_keys"), col("total_rows"), col("max_count"),
+        round(col("max_count").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_ratio"),
+        round(col("cnt").cast("double") / col("total_rows").cast("double"), 6)
+          .as("share"))
+  }
 }

@@ -191,6 +191,12 @@ object TrainPack extends QueryPack {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+
+    // ---- join-key skew profile (the pre-salting diagnostic) ----
+    "q100_key_skew" -> { (s, d) =>
+      Stats.keySkewProfile(Tables.orders(s, d), "o_custkey", topK = 5)
+        .orderBy(col("rank"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -459,5 +465,19 @@ object TrainPack extends QueryPack {
          |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q100_key_skew" ->
+      s"""WITH counts AS (SELECT o_custkey::VARCHAR AS key, COUNT(*) AS cnt
+         |  FROM orders GROUP BY key),
+         |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         |      MAX(cnt) AS max_count FROM counts),
+         |top AS (SELECT key, cnt,
+         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC)::INT AS rank
+         |  FROM counts)
+         |SELECT t.rank, t.key, t.cnt, s.n_keys, s.total_rows, s.max_count,
+         |  ROUND(s.max_count::DOUBLE
+         |    / (s.total_rows::DOUBLE / s.n_keys::DOUBLE), 6) AS skew_ratio,
+         |  ROUND(t.cnt::DOUBLE / s.total_rows::DOUBLE, 6) AS share
+         |FROM top t, s WHERE t.rank <= 5 ORDER BY t.rank""".stripMargin,
   )
 }

@@ -130,6 +130,10 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on centroid:\n$p")
   }
 
+  test("q100 skew profile: top-k keys via TakeOrderedAndProject") {
+    assert(plan("q100_key_skew").contains("TakeOrderedAndProject"))
+  }
+
   test("q90 sequence packing shuffles once: the shard window partition") {
     // AQE's toString repeats the tree under "== Initial Plan ==" — count
     // only the executed (final) section

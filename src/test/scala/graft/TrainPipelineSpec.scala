@@ -291,6 +291,19 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(1) == ((2L, 1L, u, 0.693147)))
   }
 
+  test("keySkewProfile: exact counts and skew ratio on a known skew") {
+    // key "hot" 60 rows, "a".."d" 10 each -> mean 20, skew 3.0
+    val df = (Seq.fill(60)("hot") ++ Seq("a", "b", "c", "d").flatMap(Seq.fill(10)(_)))
+      .toDF("k")
+    val out = Stats.keySkewProfile(df, "k", topK = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    assert(out(0) == ((1, "hot", 60L, 5L, 100L, 60L, 3.0, 0.6)))
+    assert(out(1) == ((2, "a", 10L, 5L, 100L, 60L, 3.0, 0.1)),
+      "ties rank by key asc")
+  }
+
   test("histogramQuantiles: matches a Scala replay; degenerate input") {
     val vals = (1 to 100).map(_.toDouble)
     val df = vals.toDF("v")
