@@ -46,8 +46,9 @@ object PageRank {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .cache()
     val n = v.count()
-    val base = (15L * scale) / 100L
     var ranks = v.withColumn("rank", lit(scale)).localCheckpoint()
+    if (n == 0) return ranks.select(col("id"), col("rank")) // empty graph
+    val base = (15L * scale) / 100L
     for (_ <- 1 to iters) {
       val dangling = ranks.filter(col("deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)

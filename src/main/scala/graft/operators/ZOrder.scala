@@ -20,10 +20,16 @@ object ZOrder {
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, "bits in 1..31")
-    (0 until bits).map { i =>
+    val z = (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+    // a negative input's two's-complement low bits would z-order it as
+    // the LARGEST value — silently wrecking the layout; fail loudly
+    when(x < 0 || y < 0,
+      raise_error(lit("zValue requires non-negative inputs — shift/pmod " +
+        "negative keys into [0, 2^bits) first")).cast("long"))
+      .otherwise(z)
   }
 
   /** The write-side layout decision table: lay rows out in z-value

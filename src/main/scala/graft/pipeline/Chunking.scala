@@ -26,6 +26,9 @@ object Chunking {
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) would silently drop the " +
+        "tokens between consecutive windows — every token must land in a chunk")
     val withToks = df
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0)

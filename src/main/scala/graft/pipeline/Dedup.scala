@@ -141,21 +141,31 @@ object Dedup {
     * prefix variant is the opt-in scale path; both return identical
     * pairs, spec-pinned).
     */
+  /** Exact pairwise Jaccard via ONE equi-join on exploded shingles:
+    * |∩| is the per-pair match count, |∪| = |A| + |B| − |∩|. Inputs
+    * must both have columns (id, __sz, __s); `pairFilter` selects which
+    * (x, y) pairs survive (x < y for self-joins, everything for
+    * cross-corpus probes). Shared by `ngramJaccardPairs` and
+    * `crossCorpusDedup` so the Jaccard/rounding contract lives once.
+    */
+  private def jaccardJoin(exA: DataFrame, exB: DataFrame,
+                          pairFilter: Column): DataFrame =
+    exA.as("x").join(exB.as("y"), "__s")
+      .filter(pairFilter)
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.__sz").as("__na"), col("y.__sz").as("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("jaccard", round(
+        col("__c").cast("double") /
+          (col("__na") + col("__nb") - col("__c")).cast("double"), 6))
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
       .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
       .cache()
     val ex = sh.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
-    val inter = ex.as("x").join(ex.as("y"), "__s")
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.__sz").as("__na"), col("y.__sz").as("__nb"))
-      .agg(count(lit(1)).as("__c"))
-    inter
-      .withColumn("jaccard", round(
-        col("__c").cast("double") /
-          (col("__na") + col("__nb") - col("__c")).cast("double"), 6))
+    jaccardJoin(ex, ex, col("x.id") < col("y.id"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -227,19 +237,12 @@ object Dedup {
     val exact = batch.select(col(idCol), md5(col(textCol)).as("__h"))
       .join(corpusHashes.withColumn("__hit", lit(true)), Seq("__h"), "left")
       .select(col(idCol), coalesce(col("__hit"), lit(false)).as("exact_dup"))
-    val shB = shingleSets(batch, idCol, textCol, n)
-      .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
-    val shC = shingleSets(corpus, idCol, textCol, n)
-      .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
-    val exB = shB.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
-    val exC = shC.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
-    val near = exB.as("x").join(exC.as("y"), "__s")
-      .groupBy(col("x.id").as("__idb"), col("y.id").as("__idc"),
-        col("x.__sz").as("__na"), col("y.__sz").as("__nb"))
-      .agg(count(lit(1)).as("__c"))
-      .filter(round(col("__c").cast("double") /
-        (col("__na") + col("__nb") - col("__c")).cast("double"), 6) >= threshold)
-      .groupBy(col("__idb")).agg(count(lit(1)).as("n_near"))
+    def exploded(d: DataFrame) = shingleSets(d, idCol, textCol, n)
+      .select(col("id"), size(col("shingle_set")).as("__sz"),
+        explode(col("shingle_set")).as("__s"))
+    val near = jaccardJoin(exploded(batch), exploded(corpus), lit(true))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a").as("__idb")).agg(count(lit(1)).as("n_near"))
     exact
       .join(near, exact(idCol) === near("__idb"), "left")
       .select(col(idCol), col("exact_dup"),

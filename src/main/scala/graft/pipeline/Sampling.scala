@@ -32,8 +32,11 @@ object Sampling {
     * (e.g. source × lang) to ≈ the SMALLEST group's size — the applied
     * form of `Corpus.domainMixWeights`. Per-group keep-permille =
     * (1000 · min_count) div count — exact integer arithmetic — then the
-    * usual md5 hash gate. Group rates are a broadcast join (group-count
-    * rows); the gate itself stays a map-side scan filter.
+    * usual md5 hash gate. The permille clamps to ≥ 1 so a group more
+    * than 1000× the smallest is still *represented* (at the gate's 1‰
+    * floor) rather than silently vanishing. Group rates are a broadcast
+    * join (group-count rows); the gate itself stays a map-side scan
+    * filter.
     */
   def rebalancedSample(df: DataFrame, key: Column,
                        groupCols: Seq[String]): DataFrame = {
@@ -43,7 +46,8 @@ object Sampling {
     val rates = counts
       .withColumn("__minn", min(col("__n")).over(w))
       .select(groupCols.map(col) :+
-        expr("(1000 * __minn) div __n").as("__permille"): _*)
+        greatest(lit(1L), expr("(1000 * __minn) div __n"))
+          .as("__permille"): _*)
     df.join(broadcast(rates), groupCols)
       .filter(hashBucket(key) < col("__permille"))
       .select(df.columns.map(col): _*)

@@ -31,34 +31,43 @@ object Stats {
   def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int,
                          qs: Seq[Double]): DataFrame = {
     require(bins > 1, "need at least 2 bins")
-    val stats = df.agg(
-      min(col(valueCol)).cast("double").as("__mn"),
-      max(col(valueCol)).cast("double").as("__mx"),
-      count(col(valueCol)).as("__n"))
-    val counts = df.select(col(valueCol).cast("double").as("__v"))
-      .crossJoin(broadcast(stats))
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1] — q=0 has no 'first bin reaching 0 mass' " +
+        s"(use the min aggregate for it); got $qs")
+    val spark = df.sparkSession
+    // NULLs carry no value: excluded from both the count and the bins
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    // the three scalars are needed as plain numbers in every downstream
+    // expression — one scan, collected once (re-referencing the aggregate
+    // subtree in two broadcasts would scan the input twice)
+    val row = vals.agg(min(col("__v")), max(col("__v")), count(lit(1))).head()
+    val n = row.getLong(2)
+    if (n == 0) {
+      import spark.implicits._
+      return Seq.empty[(Double, Int, Double)].toDF("q", "bin", "est")
+    }
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val counts = vals
       .select(
-        when(col("__mx") === col("__mn"), lit(0))
-          .otherwise(least(lit(bins - 1),
-            floor((col("__v") - col("__mn")) * lit(bins.toDouble) /
-              (col("__mx") - col("__mn"))).cast("int")))
+        (if (mx == mn) lit(0)
+         else least(lit(bins - 1),
+           floor((col("__v") - lit(mn)) * lit(bins.toDouble) /
+             lit(mx - mn)).cast("int")))
           .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("__c"))
     val cum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val binned = counts
-      .withColumn("__cum", sum(col("__c")).over(cum))
-      .crossJoin(broadcast(stats))
-    val qdf = binned.sparkSession
-      .createDataFrame(qs.map(Tuple1(_))).toDF("q")
-    val t = col("q") * col("__n")
-    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val binned = counts.withColumn("__cum", sum(col("__c")).over(cum))
+    val qdf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val t = col("q") * lit(n)
+    val width = lit(mx - mn) / lit(bins.toDouble)
     binned.crossJoin(broadcast(qdf))
       .filter(col("__cum") >= t && (col("__cum") - col("__c")) < t)
       .select(col("q"), col("bin"),
-        round(when(col("__mx") === col("__mn"), col("__mn"))
-          .otherwise(col("__mn") + width *
-            (col("bin") + (t - (col("__cum") - col("__c"))) / col("__c"))), 6)
+        round(if (mx == mn) lit(mn)
+          else lit(mn) + width *
+            (col("bin") + (t - (col("__cum") - col("__c"))) / col("__c")), 6)
           .as("est"))
   }
 

@@ -438,7 +438,8 @@ object TrainPack extends QueryPack {
         s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000)"
       s"""WITH g AS (SELECT source, lang, COUNT(*) AS n
          |           FROM documents GROUP BY source, lang),
-         |r AS (SELECT source, lang, (1000 * MIN(n) OVER ()) // n AS permille
+         |r AS (SELECT source, lang,
+         |      GREATEST(1, (1000 * MIN(n) OVER ()) // n) AS permille
          |      FROM g)
          |SELECT d.doc_id, d.source, d.lang
          |FROM documents d JOIN r USING (source, lang)

@@ -131,5 +131,8 @@ class TagAndGraphSpec extends SparkSpec {
         edges.repartition(2), iters = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(out.toSeq == again.toSeq)
+    // empty graph: empty result, not a divide-by-zero
+    assert(graft.graph.PageRank.run(vertices.filter(col("id") < 0),
+      edges.filter(col("src") < 0), iters = 1).count() == 0)
   }
 }

@@ -30,6 +30,10 @@ class TrainPipelineSpec extends SparkSpec {
     assert(d1(0)._4.split(" ").last == d1(1)._4.split(" ").head)
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
     assert(!out.exists(_._1 == 3L), "empty doc yields no chunks")
+    // stride > chunkSize would drop tokens between windows: rejected
+    intercept[IllegalArgumentException] {
+      Chunking.tokenChunks(docs, "doc_id", "text", chunkSize = 4, stride = 10)
+    }
   }
 
   test("decontaminate: eval overlap flags the copying doc only") {
@@ -328,6 +332,20 @@ class TrainPipelineSpec extends SparkSpec {
     val flat = Stats.histogramQuantiles(Seq.fill(10)(7.0).toDF("v"), "v",
         bins = 4, qs = Seq(0.5)).collect()
     assert(flat.length == 1 && flat(0).getDouble(2) == 7.0)
+    // NULLs carry no mass: estimates match the null-free input
+    val withNulls = (vals.map(Option(_)) ++ Seq.fill(50)(Option.empty[Double]))
+      .toDF("v")
+    val nn = Stats.histogramQuantiles(withNulls, "v", bins = 10, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(nn == expected, "null rows must not inflate bin counts")
+    // q = 0 is ill-defined for a mass-cumulative estimator: rejected
+    intercept[IllegalArgumentException] {
+      Stats.histogramQuantiles(df, "v", bins = 10, qs = Seq(0.0))
+    }
+    // empty input: empty result, not a crash
+    assert(Stats.histogramQuantiles(df.filter(col("v") > 1e9), "v",
+      bins = 10, qs = Seq(0.5)).count() == 0)
   }
 
   test("zValue interleaves bits; layout files are z-contiguous") {
@@ -337,6 +355,11 @@ class TrainPipelineSpec extends SparkSpec {
       .select(ZOrder.zValue(col("x"), col("y"), 4).as("z"), col("want"))
       .collect()
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // negative keys would order as the largest values: fail loudly
+    intercept[Exception] {
+      Seq((-1L, 0L)).toDF("x", "y")
+        .select(ZOrder.zValue(col("x"), col("y"), 4)).collect()
+    }
     // layout: per-file z ranges must not interleave
     val df = spark.range(1000).select(
       (col("id") % 32).as("x"), (col("id") % 17).as("y"))
@@ -365,5 +388,15 @@ class TrainPipelineSpec extends SparkSpec {
     val again = Sampling.rebalancedSample(df.repartition(7), col("id"), Seq("grp"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSet == again.toSet)
+    // a >1000x group clamps to permille 1 instead of vanishing
+    val extreme = ((1 to 1500).map(i => (i.toLong, "huge")) ++ Seq((9999L, "tiny")))
+      .toDF("id", "grp")
+    val kept = Sampling.rebalancedSample(extreme, col("id"), Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "tiny") == 1)
+    val expectHuge = extreme.filter(col("grp") === "huge")
+      .filter(Sampling.hashBucket(col("id")) < 1).count()
+    assert(kept.count(_._2 == "huge") == expectHuge,
+      "huge group keeps its 1-permille floor, not zero")
   }
 }
