@@ -230,24 +230,71 @@ object Dedup {
     * as precomputed tables (the corpus hash set / shingle postings),
     * so batch cost is proportional to the BATCH, not the corpus.
     */
-  def crossCorpusDedup(corpus: DataFrame, batch: DataFrame,
-                       idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  /** Exact-duplicate flags: batch rows whose content hash appears in
+    * the corpus (16-byte-key equi-join probe).
+    */
+  private def exactDupFlags(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
     val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
-    val exact = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    batch.select(col(idCol), md5(col(textCol)).as("__h"))
       .join(corpusHashes.withColumn("__hit", lit(true)), Seq("__h"), "left")
       .select(col(idCol), coalesce(col("__hit"), lit(false)).as("exact_dup"))
-    def exploded(d: DataFrame) = shingleSets(d, idCol, textCol, n)
-      .select(col("id"), size(col("shingle_set")).as("__sz"),
-        explode(col("shingle_set")).as("__s"))
-    val near = jaccardJoin(exploded(batch), exploded(corpus), lit(true))
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a").as("__idb")).agg(count(lit(1)).as("n_near"))
+  }
+
+  /** Assemble the per-batch-doc decision table from the exact flags and
+    * a (__idb, n_near) near-match count.
+    */
+  private def dedupDecision(exact: DataFrame, near: DataFrame,
+                            idCol: String): DataFrame =
     exact
       .join(near, exact(idCol) === near("__idb"), "left")
       .select(col(idCol), col("exact_dup"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         (!col("exact_dup") && coalesce(col("n_near"), lit(0L)) === 0)
           .as("is_new"))
+
+  def crossCorpusDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def exploded(d: DataFrame) = shingleSets(d, idCol, textCol, n)
+      .select(col("id"), size(col("shingle_set")).as("__sz"),
+        explode(col("shingle_set")).as("__s"))
+    val near = jaccardJoin(exploded(batch), exploded(corpus), lit(true))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a").as("__idb")).agg(count(lit(1)).as("n_near"))
+    dedupDecision(exactDupFlags(corpus, batch, idCol, textCol), near, idCol)
+  }
+
+  /** `crossCorpusDedup` in its 100 TB form: the near-dup candidates come
+    * from a MinHash BAND-KEY equi-join between batch and corpus
+    * signatures instead of the full shingle-postings join — at scale the
+    * corpus side is a precomputed signature table of `bands` keys per
+    * document (vs ~|doc| shingle postings), so the probe traffic drops
+    * by orders of magnitude. Candidates verify against the exact shingle
+    * Jaccard, so every reported pair is a TRUE >= threshold match; pairs
+    * whose signatures agree in no band are missed (the standard LSH
+    * recall trade — identical documents always collide in every band,
+    * and the exact_dup hash probe is unchanged).
+    */
+  def crossCorpusDedupLsh(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val rowsPer = k / bands
+    val shB = shingleSets(batch, idCol, textCol, n).cache()
+    val shC = shingleSets(corpus, idCol, textCol, n).cache()
+    def banded(sh: DataFrame) = sh.select(col("id"),
+      explode(lshBandKeys(minhashSignature(col("shingle_set"), k),
+        bands, rowsPer)).as("band_key"))
+    val cand = banded(shB).as("x").join(banded(shC).as("y"), Seq("band_key"))
+      .select(col("x.id").as("__bid"), col("y.id").as("__cid"))
+      .distinct()
+    val near = cand
+      .join(shB.select(col("id").as("__bid"), col("shingle_set").as("__sa")), "__bid")
+      .join(shC.select(col("id").as("__cid"), col("shingle_set").as("__sb")), "__cid")
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("__bid").as("__idb")).agg(count(lit(1)).as("n_near"))
+    dedupDecision(exactDupFlags(corpus, batch, idCol, textCol), near, idCol)
   }
 }

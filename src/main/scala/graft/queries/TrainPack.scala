@@ -25,6 +25,10 @@ object TrainPack extends QueryPack {
     s"""CASE WHEN len($tk) <= $n THEN [array_to_string($tk, ' ')]
        | ELSE list_transform(range(1, len($tk) - ${n - 2}), i -> array_to_string(($tk)[i:i+${n - 1}], ' ')) END"""
       .stripMargin.replace("\n", " ")
+  private def minhashSql(ss: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> coalesce(list_min(list_transform($ss, t -> ((i * 2 + 1) * ${md5LongSql("t")} + (i * i + 98765)) % 2147483647)), 2147483647))"
+  private def bandsSql(sig: String, bands: Int, rowsPer: Int): String =
+    s"list_transform(range(0, $bands), b -> b::VARCHAR || '|' || md5(array_to_string(($sig)[b*$rowsPer+1:b*$rowsPer+$rowsPer], ',')))"
   private def jaccardSql(a: String, b: String): String =
     s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
   // vector fragments replaying VectorFunctions' strict-left-fold order
@@ -196,6 +200,16 @@ object TrainPack extends QueryPack {
     "q100_key_skew" -> { (s, d) =>
       Stats.keySkewProfile(Tables.orders(s, d), "o_custkey", topK = 5)
         .orderBy(col("rank"))
+    },
+
+    // ---- incremental dedup, LSH scale path (band-key probe) ----
+    "q101_incremental_lsh" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusDedupLsh(
+          corpus = docs.filter(col("doc_id") < 400),
+          batch = docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("doc_id"))
     },
   )
 
@@ -466,6 +480,32 @@ object TrainPack extends QueryPack {
          |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q101_incremental_lsh" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+         |batch AS (SELECT * FROM documents WHERE doc_id >= 400),
+         |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+         |ex AS (SELECT b.doc_id, (ch.h IS NOT NULL) AS exact_dup
+         |       FROM batch b LEFT JOIN ch ON md5(b.text) = ch.h),
+         |shB AS (SELECT doc_id, list_distinct(${shingleSql("tk", 3)}) AS ss
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM batch) t),
+         |shC AS (SELECT doc_id, list_distinct(${shingleSql("tk", 3)}) AS ss
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus) t),
+         |bb AS (SELECT doc_id, unnest(${bandsSql(minhashSql("ss", 16), 4, 4)})
+         |       AS band_key FROM shB),
+         |bc AS (SELECT doc_id, unnest(${bandsSql(minhashSql("ss", 16), 4, 4)})
+         |       AS band_key FROM shC),
+         |cand AS (SELECT DISTINCT x.doc_id AS b_id, y.doc_id AS c_id
+         |  FROM bb x JOIN bc y ON x.band_key = y.band_key),
+         |near AS (SELECT c.b_id AS doc_id, COUNT(*) AS n_near
+         |  FROM cand c JOIN shB a ON c.b_id = a.doc_id
+         |  JOIN shC b ON c.c_id = b.doc_id
+         |  WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5 GROUP BY c.b_id)
+         |SELECT e.doc_id, e.exact_dup,
+         |  COALESCE(n.n_near, 0) AS n_near,
+         |  (NOT e.exact_dup AND COALESCE(n.n_near, 0) = 0) AS is_new
+         |FROM ex e LEFT JOIN near n ON e.doc_id = n.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
 
     "q100_key_skew" ->
       s"""WITH counts AS (SELECT o_custkey::VARCHAR AS key, COUNT(*) AS cnt

@@ -242,6 +242,18 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(1)._2 == false && out(1)._3 == 1L && out(1)._4 == false,
       "3 of 4+4-3 shingles shared = 0.6 >= 0.5")
     assert(out(2) == ((12L, false, 0L, true)))
+    // LSH path: verified candidates are a subset of the exact probe's,
+    // identical docs always collide (all bands agree), exact flags equal
+    val lsh = Dedup.crossCorpusDedupLsh(corpus, batch, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(lsh.map(t => (t._1, t._2)).toSeq == out.map(t => (t._1, t._2)).toSeq,
+      "exact_dup probe is unchanged by the LSH candidate path")
+    assert(lsh(0)._3 >= 1L, "identical doc collides in every band")
+    lsh.zip(out).foreach { case (l, e) =>
+      assert(l._3 <= e._3, "LSH n_near never exceeds the exact count")
+    }
   }
 
   test("bm25: rarer term ranks above common, exact spot value") {
