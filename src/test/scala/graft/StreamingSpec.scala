@@ -78,6 +78,26 @@ class StreamingSpec extends SparkSpec {
     assert(s == b, "custom-state sessionization must match the oracle-checked batch query")
   }
 
+  test("windowed CMS sketch: micro-batch merged state == batch sketch") {
+    Graft.install(spark)
+    val dir = Files.createTempDirectory("evstream5").toString
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    // two micro-batches: the sketch state must MERGE across batches
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.hourlySketch(EventStreams.readEventStream(spark, dir)),
+      "cms_stream_test", OutputMode.Complete())
+    val batchEvents = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventStreams.hourlySketch(batchEvents.union(batchEvents))
+    val s = streamed.orderBy("window_start").collect()
+      .map(r => (r.get(0).toString, r.getSeq[Long](1).toSeq)).toSeq
+    val b = batch.orderBy("window_start").collect()
+      .map(r => (r.get(0).toString, r.getSeq[Long](1).toSeq)).toSeq
+    assert(s == b, "CMS counter matrices must merge to the batch result")
+    assert(s.nonEmpty && s.head._2.exists(_ > 0), "sketch carries counts")
+  }
+
   test("stream-static corpus dedup: overlapping batches screened against " +
        "the static corpus and each other") {
     import org.apache.spark.sql.types._
