@@ -35,30 +35,45 @@ object PageRank {
     *                 both directions for an undirected graph
     */
   def run(vertices: DataFrame, edges: DataFrame, iters: Int,
-          scale: Long = DefaultScale): DataFrame = {
+          scale: Long = DefaultScale): DataFrame =
+    runWeighted(vertices,
+      edges.toDF("src", "dst").withColumn("w", lit(1L)), iters, scale)
+
+  /** Weighted fixed-point PageRank: contribution along u→v is
+    * `(rank(u) · w(u,v)) div Σ_x w(u,x)` — unit weights reduce exactly
+    * to the unweighted `rank div deg`. Weights must be positive BIGINT
+    * units (quantize a similarity to integer units first; 6-dp sims ×
+    * 1e6 are exact). Overflow bound tightens to rank·w < 2⁶³: with the
+    * 1e12 scale keep weights ≤ ~1e6.
+    *
+    * @param edges three-column DataFrame (src, dst, w), DIRECTED
+    */
+  def runWeighted(vertices: DataFrame, edges: DataFrame, iters: Int,
+                  scale: Long = DefaultScale): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val e = edges.toDF("src", "dst")
-      .select(col("src").cast("long"), col("dst").cast("long")).cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.toDF("src", "dst", "w")
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long")).cache()
+    val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
     val v = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
       .distinct()
-      .join(deg, col("id") === col("src"), "left")
-      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .join(sw, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"))
       .cache()
     val n = v.count()
     var ranks = v.withColumn("rank", lit(scale)).localCheckpoint()
     if (n == 0) return ranks.select(col("id"), col("rank")) // empty graph
     val base = (15L * scale) / 100L
     for (_ <- 1 to iters) {
-      val dangling = ranks.filter(col("deg") === 0)
+      val dangling = ranks.filter(col("sumw") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
       val danglingShare = dangling / n
-      val inc = ranks.filter(col("deg") > 0)
+      val inc = ranks.filter(col("sumw") > 0)
         .join(e, col("id") === col("src"))
-        .select(col("dst"), expr("rank div deg").as("__c"))
+        .select(col("dst"), expr("(rank * w) div sumw").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
       ranks = v.join(inc, col("id") === col("dst"), "left")
-        .select(col("id"), col("deg"),
+        .select(col("id"), col("sumw"),
           (lit(base) +
             expr(s"(85 * (coalesce(__in, 0) + ${danglingShare}L)) div 100"))
             .as("rank"))

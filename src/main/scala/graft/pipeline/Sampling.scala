@@ -53,6 +53,21 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic k exemplars per group: rank rows inside each group
+    * by the md5 of their key (a reproducible shuffle) and keep the
+    * first k — "show me 3 random-but-stable examples per source", the
+    * eyeball-QA staple. The window sorts group-locally; no global sort.
+    */
+  def topKPerGroup(df: DataFrame, key: Column, groupCols: Seq[String],
+                   k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates (‰),
     * unknown strata fall back to `defaultPermille`. The rate map is a
     * literal CASE expression — broadcast-free, codegen'd.

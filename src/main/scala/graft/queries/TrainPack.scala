@@ -202,6 +202,14 @@ object TrainPack extends QueryPack {
         .orderBy(col("rank"))
     },
 
+    // ---- deterministic per-group exemplars (stable eyeball-QA picks) ----
+    "q102_group_exemplars" -> { (s, d) =>
+      Sampling.topKPerGroup(Tables.documents(s, d), col("doc_id"),
+          Seq("source"), k = 3)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy(col("source"), col("rank"))
+    },
+
     // ---- incremental dedup, LSH scale path (band-key probe) ----
     "q101_incremental_lsh" -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -480,6 +488,14 @@ object TrainPack extends QueryPack {
          |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q102_group_exemplars" ->
+      s"""SELECT source, rank, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)::INT AS rank
+         |  FROM documents) t
+         |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     "q101_incremental_lsh" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
