@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded traversal operators over an edge list — the graph-side
+  * retrieval primitives (k-hop neighborhoods, local clustering signals)
+  * that complement `Components` (global structure) and `PageRank`
+  * (global importance).
+  */
+object Traversals {
+
+  /** Minimum hop distance from `source` along directed edges, bounded
+    * at `maxHops`; vertices not reached within the bound get NULL. The
+    * bound makes the operator deterministic and oracle-replayable
+    * without a convergence check, and matches the practical use — "the
+    * k-hop neighborhood of this document" — where unbounded reach is
+    * never wanted.
+    *
+    * Each round expands only the NEW frontier (dist == round−1) through
+    * one equi-join — textbook distributed BFS, O(maxHops) shuffles,
+    * lineage cut per round.
+    */
+  def bfsHops(vertices: DataFrame, edges: DataFrame, source: Long,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long")).cache()
+    var dist = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
+      .distinct()
+      .select(col("id"),
+        when(col("id") === source, lit(0L)).cast("long").as("dist"))
+      .localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("__r")).distinct()
+      dist = dist.join(frontier, dist("id") === frontier("__r"), "left")
+        .select(col("id"),
+          coalesce(col("dist"),
+            when(col("__r").isNotNull, lit(h.toLong))).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Per-vertex triangle count over an UNDIRECTED graph given as
+    * canonical pairs (id_a < id_b). Triangles (a < b < c) come from the
+    * standard two-step equi-self-join on the ordered edge list — the
+    * ordering makes each triangle appear exactly once, and every join
+    * is on edge endpoints (shuffle-partitionable; the heaviest key is
+    * the highest-degree vertex, AQE-skew territory, never a cross
+    * join).
+    */
+  def triangleCounts(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("id_a", "id_b")
+      .select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+    val tri = p.as("ab").join(p.as("bc"), col("ab.id_b") === col("bc.id_a"))
+      .join(p.as("ac"),
+        col("ac.id_a") === col("ab.id_a") && col("ac.id_b") === col("bc.id_b"))
+      .select(col("ab.id_a").as("a"), col("ab.id_b").as("b"),
+        col("bc.id_b").as("c"))
+    val members = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    vertices.select(col(vertices.columns(0)).cast("long").as("id")).distinct()
+      .join(members, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.graph.{Components, PageRank}
+import graft.graph.{Components, PageRank, Traversals}
 import graft.pipeline.Dedup
 import graft.similarity.SimilarityOps
 
@@ -112,6 +112,30 @@ object GraphPack extends QueryPack {
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("w")))
       PageRank.runWeighted(emb.select("vec_id"), sym, iters = 3)
         .select(col("id").as("vec_id"), col("rank"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- bounded BFS: 6-hop neighborhood distances from vec 0 ----
+    "q104_bfs_hops" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      Traversals.bfsHops(emb.select("vec_id"), sym.toDF("src", "dst"),
+          source = 0L, maxHops = 6)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- per-vertex triangle counts (local clustering signal) ----
+    "q105_triangles" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      Traversals.triangleCounts(emb.select("vec_id"), pairs)
+        .select(col("id").as("vec_id"), col("n_triangles"))
         .orderBy(col("vec_id"))
     },
   )
@@ -290,5 +314,30 @@ object GraphPack extends QueryPack {
          |${iter(3)}
          |SELECT id AS vec_id, rank FROM i3 ORDER BY vec_id""".stripMargin
     },
+
+    "q104_bfs_hops" ->
+      s"""WITH RECURSIVE e0 AS MATERIALIZED ($lshEdgesSql),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e0
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e0),
+         |r(id, d) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT sym.dst, r.d + 1 FROM r JOIN sym ON sym.src = r.id
+         |  WHERE r.d < 6)
+         |SELECT v.vec_id, CAST(MIN(r.d) AS BIGINT) AS dist
+         |FROM embeddings v LEFT JOIN r ON v.vec_id = r.id
+         |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+
+    "q105_triangles" ->
+      s"""WITH e0 AS MATERIALIZED ($lshEdgesSql),
+         |tri AS (SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
+         |  FROM e0 ab JOIN e0 bc ON ab.ib = bc.ia
+         |  JOIN e0 ac ON ac.ia = ab.ia AND ac.ib = bc.ib),
+         |m AS (SELECT id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) x GROUP BY id)
+         |SELECT v.vec_id, COALESCE(m.n_triangles, 0) AS n_triangles
+         |FROM embeddings v LEFT JOIN m ON v.vec_id = m.id
+         |ORDER BY v.vec_id""".stripMargin,
   )
 }

@@ -135,4 +135,27 @@ class TagAndGraphSpec extends SparkSpec {
     assert(graft.graph.PageRank.run(vertices.filter(col("id") < 0),
       edges.filter(col("src") < 0), iters = 1).count() == 0)
   }
+
+  test("bfsHops: bounded frontier distances; unreached stay NULL") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = graft.graph.Traversals.bfsHops(vertices, sym, source = 1L,
+        maxHops = 2)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(0L)), (2L, Some(1L)), (3L, Some(2L)),
+      (4L, None), (5L, None)), "4 is 3 hops away (beyond bound), 5 isolated")
+  }
+
+  test("triangleCounts: each triangle counted once per member") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // one triangle {1,2,3} plus a dangling edge 3-4 (canonical a < b)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.graph.Traversals.triangleCounts(vertices, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L)))
+  }
 }
