@@ -48,6 +48,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k) or trailing signature rows are silently unused")
     val rowsPer = k / bands
     val sh = shingleSets(df, idCol, textCol, n).cache()
     // materialization barrier: md5 exactly once per shingle — the k
@@ -280,6 +281,7 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int = 3, k: Int = 16, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k) or trailing signature rows are silently unused")
     val rowsPer = k / bands
     val shB = shingleSets(batch, idCol, textCol, n).cache()
     val shC = shingleSets(corpus, idCol, textCol, n).cache()
