@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   * `(85·x) div 100`.
   *
   * Scale notes: the loop is iters × (one equi-join + one integer-sum
-  * shuffle) — the textbook distributed PageRank shape. `localCheckpoint`
-  * truncates lineage each round. The dangling term is a scalar
-  * aggregate per round (driver-side long, like the CC convergence
-  * check). Mass bound: N·scale·85 must stay under 2⁶³ — the default
+  * shuffle) — the textbook distributed PageRank shape, one Spark job
+  * per round. `localCheckpoint` truncates lineage each round; the
+  * dangling term folds in as a broadcast single-row aggregate.
+  * Mass bound: N·scale·85 must stay under 2⁶³ — the default
   * 1e12 scale is good to ~10⁸ vertices; drop to 1e6 for 10¹⁴.
   */
 object PageRank {
@@ -65,17 +65,20 @@ object PageRank {
     if (n == 0) return ranks.select(col("id"), col("rank")) // empty graph
     val base = (15L * scale) / 100L
     for (_ <- 1 to iters) {
-      val dangling = ranks.filter(col("sumw") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
-      val danglingShare = dangling / n
+      // dangling mass as a broadcast single-row aggregate: the whole
+      // iteration is ONE job (the localCheckpoint), not a separate
+      // driver-side collect per round
+      val dang = ranks.filter(col("sumw") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
       val inc = ranks.filter(col("sumw") > 0)
         .join(e, col("id") === col("src"))
         .select(col("dst"), expr("(rank * w) div sumw").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
       ranks = v.join(inc, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("id"), col("sumw"),
           (lit(base) +
-            expr(s"(85 * (coalesce(__in, 0) + ${danglingShare}L)) div 100"))
+            expr(s"(85 * (coalesce(__in, 0) + __dang div ${n}L)) div 100"))
             .as("rank"))
         .localCheckpoint()
     }
