@@ -41,10 +41,16 @@ object PageRank {
 
   /** Weighted fixed-point PageRank: contribution along u→v is
     * `(rank(u) · w(u,v)) div Σ_x w(u,x)` — unit weights reduce exactly
-    * to the unweighted `rank div deg`. Weights must be positive BIGINT
+    * to the unweighted `rank div deg`. Weights must be POSITIVE BIGINT
     * units (quantize a similarity to integer units first; 6-dp sims ×
-    * 1e6 are exact). Overflow bound tightens to rank·w < 2⁶³: with the
-    * 1e12 scale keep weights ≤ ~1e6.
+    * 1e6 are exact); non-positive weights raise at execution.
+    *
+    * The contribution evaluates in the overflow-safe decomposition
+    * `(rank div Σw)·w + ((rank mod Σw)·w) div Σw` — exactly equal to
+    * the direct product form for non-negative operands, but the largest
+    * intermediate is `Σw·w` instead of `rank·w`, so the bound is
+    * per-vertex weight mass squared (Σw·max_w < 2⁶³), independent of
+    * how large hub ranks grow.
     *
     * @param edges three-column DataFrame (src, dst, w), DIRECTED
     */
@@ -53,7 +59,10 @@ object PageRank {
     require(iters >= 0, "iters must be >= 0")
     val e = edges.toDF("src", "dst", "w")
       .select(col("src").cast("long"), col("dst").cast("long"),
-        col("w").cast("long")).cache()
+        when(col("w").cast("long") <= 0,
+          raise_error(lit("PageRank.runWeighted: edge weights must be " +
+            "positive integer units")).cast("long"))
+          .otherwise(col("w").cast("long")).as("w")).cache()
     val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
     val v = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
       .distinct()
@@ -72,7 +81,10 @@ object PageRank {
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
       val inc = ranks.filter(col("sumw") > 0)
         .join(e, col("id") === col("src"))
-        .select(col("dst"), expr("(rank * w) div sumw").as("__c"))
+        // == (rank * w) div sumw, without the rank-sized product
+        .select(col("dst"),
+          expr("(rank div sumw) * w + ((rank % sumw) * w) div sumw")
+            .as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
       ranks = v.join(inc, col("id") === col("dst"), "left")
         .crossJoin(broadcast(dang))

@@ -35,6 +35,10 @@ object Traversals {
       val frontier = dist.filter(col("dist") === (h - 1))
         .join(e, col("id") === col("src"))
         .select(col("dst").as("__r")).distinct()
+        // drop already-visited targets before the vertex-set join — on
+        // dense graphs most layer-(h−1) neighbors were reached earlier
+        .join(dist.filter(col("dist").isNotNull).select(col("id")),
+          col("__r") === col("id"), "left_anti")
       dist = dist.join(frontier, dist("id") === frontier("__r"), "left")
         .select(col("id"),
           coalesce(col("dist"),
@@ -53,8 +57,16 @@ object Traversals {
     * join).
     */
   def triangleCounts(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    // non-canonical pairs would silently undercount (the a<b<c join
+    // never matches them); duplicates would multi-count — guard + dedup
     val p = pairs.toDF("id_a", "id_b")
-      .select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+      .select(
+        when(col("id_a").cast("long") >= col("id_b").cast("long"),
+          raise_error(lit("triangleCounts requires canonical pairs " +
+            "(id_a < id_b)")).cast("long"))
+          .otherwise(col("id_a").cast("long")).as("id_a"),
+        col("id_b").cast("long"))
+      .distinct().cache()
     val tri = p.as("ab").join(p.as("bc"), col("ab.id_b") === col("bc.id_a"))
       .join(p.as("ac"),
         col("ac.id_a") === col("ab.id_a") && col("ac.id_b") === col("bc.id_b"))

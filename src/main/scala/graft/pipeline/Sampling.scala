@@ -57,10 +57,17 @@ object Sampling {
     * by the md5 of their key (a reproducible shuffle) and keep the
     * first k — "show me 3 random-but-stable examples per source", the
     * eyeball-QA staple. The window sorts group-locally; no global sort.
+    *
+    * `key` is the ranking identity and must be unique per row —
+    * duplicate keys tie on both sort expressions and their relative
+    * order is then partition-dependent. Adds a `rank` column; rejects
+    * inputs that already have one rather than silently overwriting it.
     */
   def topKPerGroup(df: DataFrame, key: Column, groupCols: Seq[String],
                    k: Int): DataFrame = {
     require(k > 0, "k must be > 0")
+    require(!df.columns.contains("rank"),
+      "input already has a 'rank' column — rename it before topKPerGroup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(md5(key.cast("string")).asc, key.asc)
