@@ -196,6 +196,37 @@ object Corpus {
       .select(col("term"), col("rank"), col(idCol), col("tf"), col("score"))
   }
 
+  /** Square-root temperature smoothing of the source mix — the
+    * standard multilingual-sampling compromise between proportional
+    * (starves small groups) and uniform (overfits them): target share
+    * ∝ √n, i.e. the T=2 point of the `p^(1/T)` family. √ is the one
+    * member of that family that is IEEE-correctly-rounded on every
+    * engine (general `pow` is not); the per-group √n quantizes to
+    * integer nano-units before the normalizing sum, so the sum is
+    * exact integer arithmetic — order-free and engine-portable (a
+    * double normalizer would pick up association-order ulps).
+    *
+    * Output per group: n_docs, `share` (actual), `target_share`
+    * (√-smoothed), `weight` = target/actual (feed to a sampler).
+    */
+  def temperatureMixWeights(df: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
+    val g = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    g.withColumn("__total", sum(col("n_docs")).over(all))
+      .withColumn("__squ",
+        round(sqrt(col("n_docs").cast("double")) * lit(1e9)).cast("long"))
+      .withColumn("__sqtotal", sum(col("__squ")).over(all))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n_docs"),
+          round(col("n_docs").cast("double") / col("__total"), 6).as("share"),
+          round(col("__squ").cast("double") / col("__sqtotal").cast("double"), 6)
+            .as("target_share"),
+          round((col("__squ").cast("double") / col("__sqtotal").cast("double")) /
+            (col("n_docs").cast("double") / col("__total")), 6).as("weight")): _*)
+  }
+
   /** Source-mix reweighting: per group (e.g. source × lang), the corpus
     * share and the sampling weight that would flatten the mix to uniform
     * across groups (weight = target_share / actual_share). The window

@@ -190,6 +190,19 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- sqrt-temperature mix smoothing (multilingual sampling) ----
+    "q106_temperature_mix" -> { (s, d) =>
+      Corpus.temperatureMixWeights(Tables.documents(s, d), Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // ---- contrastive hard-negative mining (IVF-blocked band) ----
+    "q107_hard_negatives" -> { (s, d) =>
+      SimilarityOps.hardNegatives(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCentroids = 8, lo = 0.3, hi = 0.6, k = 3)
+        .orderBy(col("anchor"), col("rank"))
+    },
+
     // ---- unigram-LM surprisal (the cheap perplexity filter) ----
     "q99_unigram_surprisal" -> { (s, d) =>
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
@@ -468,6 +481,46 @@ object TrainPack extends QueryPack {
          |WHERE $bucket < r.permille
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q106_temperature_mix" ->
+      s"""WITH g AS (SELECT source, lang, COUNT(*) AS n_docs
+         |           FROM documents GROUP BY source, lang),
+         |q AS (SELECT source, lang, n_docs,
+         |  CAST(SUM(n_docs) OVER () AS BIGINT) AS total,
+         |  ROUND(SQRT(n_docs::DOUBLE) * 1000000000.0)::BIGINT AS squ
+         |  FROM g),
+         |s AS (SELECT *, CAST(SUM(squ) OVER () AS BIGINT) AS sqtotal FROM q)
+         |SELECT source, lang, n_docs,
+         |  ROUND(n_docs::DOUBLE / total, 6) AS share,
+         |  ROUND(squ::DOUBLE / sqtotal::DOUBLE, 6) AS target_share,
+         |  ROUND((squ::DOUBLE / sqtotal::DOUBLE)
+         |    / (n_docs::DOUBLE / total), 6) AS weight
+         |FROM s ORDER BY source, lang""".stripMargin,
+
+    "q107_hard_negatives" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC)
+         |        AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM assign a JOIN assign b
+         |    ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |    AND ${cosSql("a.embedding", "b.embedding")} <= 0.6),
+         |sym AS (SELECT id_a AS anchor, id_b AS negative, sim FROM p
+         |        UNION ALL SELECT id_b, id_a, sim FROM p),
+         |r AS (SELECT anchor, negative, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY anchor
+         |    ORDER BY sim DESC, negative ASC)::INT AS rank FROM sym)
+         |SELECT anchor, rank, negative, sim FROM r
+         |WHERE rank <= 3 ORDER BY anchor, rank""".stripMargin,
 
     "q99_unigram_surprisal" ->
       s"""WITH terms AS (SELECT doc_id, unnest(tk) AS term

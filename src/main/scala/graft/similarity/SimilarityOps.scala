@@ -247,6 +247,32 @@ object SimilarityOps {
           .as("qvec"))
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the top-k OTHER vectors whose similarity falls in
+    * [lo, hi] — similar enough to be informative, dissimilar enough to
+    * be true negatives (above `hi` they are near-duplicates / false
+    * negatives). Candidates come from the IVF-blocked pair join (an
+    * equi-join on centroid — the SemDeDup trick again), so no cross
+    * join; the per-anchor top-k is a group-local window over the band
+    * survivors only.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, lo: Double, hi: Double,
+                    k: Int): DataFrame = {
+    require(lo <= hi && k > 0, "need lo <= hi and k > 0")
+    val pairs = allPairsBlocked(emb, idCol, vecCol, threshold = lo, nCentroids)
+      .filter(col("sim") <= hi)
+    val sym = pairs.select(col("id_a").as("anchor"),
+        col("id_b").as("negative"), col("sim"))
+      .union(pairs.select(col("id_b").as("anchor"),
+        col("id_a").as("negative"), col("sim")))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("negative").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("rank"), col("negative"), col("sim"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
     * every embedding to its nearest centroid, then WITHIN each centroid
     * block mark a vector a duplicate when a lower-id vector of the same

@@ -295,6 +295,41 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(3) == ((3L, 0L, 1L, false)), "cos(v3,v2)=1 >= threshold")
   }
 
+  test("temperatureMixWeights: sqrt smoothing, exact nano-unit normalizer") {
+    val df = (Seq.fill(100)("a") ++ Seq.fill(25)("b") ++ Seq.fill(4)("c") ++
+      Seq("d")).toDF("src")
+    val out = Corpus.temperatureMixWeights(df, Seq("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    // sqrt counts: 10, 5, 2, 1 -> targets n/18
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._2).toSeq == Seq(100L, 25L, 4L, 1L))
+    assert(out.map(_._4).toSeq ==
+      Seq(r6(10.0 / 18), r6(5.0 / 18), r6(2.0 / 18), r6(1.0 / 18)))
+    // smoothing compresses the ratio between any two groups to its
+    // square root but preserves their order; shares sum to ~1
+    val byShare = out.sortBy(-_._3)
+    assert(byShare.map(_._4).toSeq == byShare.map(_._4).sortBy(-(_: Double)).toSeq,
+      "target order follows share order")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
+    assert(byShare.head._4 < byShare.head._3 && byShare.last._4 > byShare.last._3,
+      "largest group shrinks, smallest grows")
+  }
+
+  test("hardNegatives: band filter, in-block pairs, both directions") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    // centroids 0,1; vec2 ties in L2 -> lowest centroid (0); in-block
+    // pair (0,2) has sim 1/sqrt(2) in [0.3, 0.9]; (0,1) sim 0 below band
+    val out = SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
+        nCentroids = 2, lo = 0.3, hi = 0.9, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 1, 2L, 0.707107), (2L, 1, 0L, 0.707107)),
+      "one banded pair, mined from both anchors")
+  }
+
   test("unigramSurprisal: exact micro-nat units from the corpus LM") {
     val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
