@@ -96,4 +96,56 @@ object PageRank {
     }
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Personalized PageRank: the teleport mass — the (1−d) share and
+    * all dangling mass — returns to ONE source vertex instead of
+    * spreading uniformly, so ranks measure proximity to the source
+    * (the similarity-graph re-ranking primitive: "important AND near
+    * this document"). Same fixed-point integer arithmetic and loop
+    * shape as `runWeighted`; unreachable vertices decay to exactly 0.
+    */
+  def runPersonalized(vertices: DataFrame, edges: DataFrame, source: Long,
+                      iters: Int, scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = edges.toDF("src", "dst", "w")
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        when(col("w").cast("long") <= 0,
+          raise_error(lit("PageRank.runPersonalized: edge weights must " +
+            "be positive integer units")).cast("long"))
+          .otherwise(col("w").cast("long")).as("w")).cache()
+    val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
+    val v = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
+      .distinct()
+      .join(sw, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"))
+      .cache()
+    val n = v.count()
+    var ranks = v
+      .withColumn("rank", when(col("id") === source, lit(n * scale))
+        .otherwise(lit(0L)))
+      .localCheckpoint()
+    if (n == 0) return ranks.select(col("id"), col("rank"))
+    // all teleport mass lands on the source: (1-d) of the total plus
+    // whatever sits on dangling vertices
+    val base = (15L * scale * n) / 100L
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(col("sumw") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+      val inc = ranks.filter(col("sumw") > 0)
+        .join(e, col("id") === col("src"))
+        .select(col("dst"),
+          expr("(rank div sumw) * w + ((rank % sumw) * w) div sumw")
+            .as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      ranks = v.join(inc, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"), col("sumw"),
+          (when(col("id") === source, lit(base)).otherwise(lit(0L)) +
+            expr(s"(85 * (coalesce(__in, 0) + " +
+              s"CASE WHEN id = ${source}L THEN __dang ELSE 0L END)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("rank"))
+  }
 }

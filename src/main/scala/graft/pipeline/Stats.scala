@@ -71,6 +71,47 @@ object Stats {
           .as("est"))
   }
 
+  /** Per-group histogram quantiles — `histogramQuantiles` with an
+    * independent equi-width histogram per group (each group gets its
+    * own min/max range and B counters). The group stats stay a
+    * DataFrame (group-cardinality rows, equi-joined back), so nothing
+    * collects to the driver and group count is unbounded. Same
+    * estimator arithmetic as the global form.
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+                                valueCol: String, bins: Int,
+                                qs: Seq[Double]): DataFrame = {
+    require(bins > 1, "need at least 2 bins")
+    require(qs.forall(q => q > 0.0 && q <= 1.0), s"quantiles in (0, 1]; got $qs")
+    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = vals.groupBy(col(groupCol)).agg(
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val counts = vals.join(stats, groupCol)
+      .select(col(groupCol),
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("__v") - col("__mn")) * lit(bins.toDouble) /
+              (col("__mx") - col("__mn"))).cast("int")))
+          .as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = counts.withColumn("__cum", sum(col("__c")).over(cum))
+      .join(stats, groupCol)
+    val qdf = df.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val t = col("q") * col("__n")
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    binned.crossJoin(broadcast(qdf))
+      .filter(col("__cum") >= t && (col("__cum") - col("__c")) < t)
+      .select(col(groupCol), col("q"), col("bin"),
+        round(when(col("__mx") === col("__mn"), col("__mn"))
+          .otherwise(col("__mn") + width *
+            (col("bin") + (t - (col("__cum") - col("__c"))) / col("__c"))), 6)
+          .as("est"))
+  }
+
   /** Join-key skew profile: the diagnostic you run BEFORE deciding
     * whether a join needs salting (`operators.SaltedJoin`) or AQE skew
     * handling. One hash-aggregate to per-key counts, then a tiny

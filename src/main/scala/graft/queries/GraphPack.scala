@@ -115,6 +115,20 @@ object GraphPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // ---- personalized PageRank: proximity-weighted importance ----
+    "q108_personalized_pagerank" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, bands = 3, bitsPerBand = 4)
+      val w = round(col("sim") * 1e6).cast("long")
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w.as("w"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("w")))
+      PageRank.runPersonalized(emb.select("vec_id"), sym, source = 0L,
+          iters = 3)
+        .select(col("id").as("vec_id"), col("rank"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- bounded BFS: 6-hop neighborhood distances from vec 0 ----
     "q104_bfs_hops" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -309,6 +323,45 @@ object GraphPack extends QueryPack {
          |    ON v.vec_id = s.src),
          |nn AS (SELECT COUNT(*) AS n FROM embeddings),
          |i0 AS (SELECT id, sumw, 1000000000000 AS rank FROM swv),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id AS vec_id, rank FROM i3 ORDER BY vec_id""".stripMargin
+    },
+
+    "q108_personalized_pagerank" -> {
+      // teleport + dangling mass land on the source (id 0) only
+      def iter(idx: Int): String = {
+        val prev = s"i${idx - 1}"
+        s"""i$idx AS (SELECT d.id, d.sumw,
+           |  (CASE WHEN d.id = 0 THEN
+           |    (15 * 1000000000000 * (SELECT n FROM nn)) // 100 ELSE 0 END)
+           |  + (85 * (COALESCE(inc.s, 0) +
+           |      CASE WHEN d.id = 0 THEN dang.dd ELSE 0 END)) // 100 AS rank
+           |  FROM swv d
+           |  LEFT JOIN (SELECT sym.dst AS id,
+           |      CAST(SUM(($prev.rank * sym.w) // $prev.sumw) AS BIGINT) AS s
+           |    FROM $prev JOIN sym ON $prev.id = sym.src
+           |    WHERE $prev.sumw > 0 GROUP BY sym.dst) inc ON d.id = inc.id
+           |  CROSS JOIN (SELECT COALESCE(CAST(SUM(rank) AS BIGINT), 0) AS dd
+           |    FROM $prev WHERE sumw = 0) dang)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED ($lshEdgesSql),
+         |ew AS (SELECT e0.ia, e0.ib,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")} * 1000000.0)::BIGINT
+         |    AS w
+         |  FROM e0 JOIN embeddings a ON e0.ia = a.vec_id
+         |  JOIN embeddings b ON e0.ib = b.vec_id),
+         |sym AS (SELECT ia AS src, ib AS dst, w FROM ew
+         |        UNION ALL SELECT ib AS src, ia AS dst, w FROM ew),
+         |swv AS (SELECT v.vec_id AS id, COALESCE(s.sumw, 0) AS sumw
+         |  FROM embeddings v LEFT JOIN (SELECT src,
+         |    CAST(SUM(w) AS BIGINT) AS sumw FROM sym GROUP BY src) s
+         |    ON v.vec_id = s.src),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |i0 AS (SELECT id, sumw,
+         |  CASE WHEN id = 0 THEN 1000000000000 * (SELECT n FROM nn)
+         |  ELSE 0 END AS rank FROM swv),
          |${iter(1)},
          |${iter(2)},
          |${iter(3)}

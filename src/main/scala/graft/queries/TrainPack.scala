@@ -173,6 +173,13 @@ object TrainPack extends QueryPack {
         .orderBy(col("q"))
     },
 
+    // ---- per-group histogram quantiles ----
+    "q109_grouped_quantiles" -> { (s, d) =>
+      Stats.groupedHistogramQuantiles(Tables.orders(s, d),
+          "o_orderpriority", "o_totalprice", bins = 64, qs = Seq(0.5, 0.95))
+        .orderBy(col("o_orderpriority"), col("q"))
+    },
+
     // ---- z-order layout: per-file pruning statistics ----
     "q96_zorder_layout" -> { (s, d) =>
       val keys = Tables.customer(s, d).select(
@@ -452,6 +459,28 @@ object TrainPack extends QueryPack {
          |FROM cc, q, stats s
          |WHERE cc.cum >= q.q * s.n AND (cc.cum - cc.c) < q.q * s.n
          |ORDER BY q.q""".stripMargin,
+
+    "q109_grouped_quantiles" ->
+      s"""WITH vals AS (SELECT o_orderpriority AS grp, o_totalprice::DOUBLE AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |stats AS (SELECT grp, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+         |          FROM vals GROUP BY grp),
+         |b AS (SELECT vals.grp, CASE WHEN s.mx = s.mn THEN 0
+         |  ELSE LEAST(63, FLOOR((vals.v - s.mn) * 64.0
+         |    / (s.mx - s.mn))::INT) END AS bin
+         |  FROM vals JOIN stats s ON vals.grp = s.grp),
+         |c AS (SELECT grp, bin, COUNT(*) AS c FROM b GROUP BY grp, bin),
+         |cc AS (SELECT grp, bin, c, CAST(SUM(c) OVER (PARTITION BY grp
+         |  ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS BIGINT) AS cum FROM c),
+         |q AS (SELECT unnest([0.5, 0.95]::DOUBLE[]) AS q)
+         |SELECT cc.grp AS o_orderpriority, q.q, cc.bin,
+         |  ROUND(CASE WHEN s.mx = s.mn THEN s.mn
+         |    ELSE s.mn + (s.mx - s.mn) / 64.0
+         |      * (cc.bin + (q.q * s.n - (cc.cum - cc.c)) / cc.c) END, 6) AS est
+         |FROM cc JOIN stats s ON cc.grp = s.grp CROSS JOIN q
+         |WHERE cc.cum >= q.q * s.n AND (cc.cum - cc.c) < q.q * s.n
+         |ORDER BY o_orderpriority, q.q""".stripMargin,
 
     "q96_zorder_layout" ->
       s"""WITH t AS (SELECT c_nationkey::BIGINT AS x, c_custkey % 1024 AS y

@@ -136,6 +136,20 @@ class TagAndGraphSpec extends SparkSpec {
       edges.filter(col("src") < 0), iters = 1).count() == 0)
   }
 
+  test("personalized PageRank: teleport mass returns to the source only") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val out = graft.graph.PageRank.runPersonalized(vertices, edges,
+        source = 1L, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // init: all mass (3e12) on source. base(1) = 15*1e12*3/100 = 45e10.
+    // iter1: r=(45e10, 255e10, 0); iter2: r(1)=45e10+85*255e10/100,
+    // r(2)=85*45e10/100, r(3) stays 0 (never reached, no teleport to it)
+    assert(out.toSeq == Seq((1L, 2617500000000L), (2L, 382500000000L),
+      (3L, 0L)))
+  }
+
   test("bfsHops: bounded frontier distances; unreached stay NULL") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")

@@ -393,6 +393,17 @@ class TrainPipelineSpec extends SparkSpec {
     // empty input: empty result, not a crash
     assert(Stats.histogramQuantiles(df.filter(col("v") > 1e9), "v",
       bins = 10, qs = Seq(0.5)).count() == 0)
+    // grouped variant: independent histograms per group, degenerate
+    // groups resolve to their constant
+    val grouped = (vals.map(("g1", _)) ++ Seq.fill(7)(("g2", 5.0)))
+      .toDF("grp", "v")
+    val gq = Stats.groupedHistogramQuantiles(grouped, "grp", "v",
+        bins = 10, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(gq.filter(_._1 == "g1").map(t => (t._2, t._3)) ==
+      expected.map(t => (t._1, t._3)), "g1 matches the global estimator")
+    assert(gq.filter(_._1 == "g2").map(_._3).toSeq == Seq(5.0, 5.0))
   }
 
   test("zValue interleaves bits; layout files are z-contiguous") {
