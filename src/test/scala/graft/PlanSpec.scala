@@ -134,6 +134,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q100_key_skew").contains("TakeOrderedAndProject"))
   }
 
+  test("q101 incremental LSH probe: band-key equi-join, no cartesian") {
+    val p = plan("q101_incremental_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-corpus band probe must be an equi-join:\n$p")
+  }
+
+  test("q107 hard negatives: centroid-blocked pairs, no cartesian") {
+    val p = plan("q107_hard_negatives")
+    assert(!p.contains("CartesianProduct"),
+      s"hard-negative candidates must come from the centroid block join:\n$p")
+  }
+
   test("q90 sequence packing shuffles once: the shard window partition") {
     // AQE's toString repeats the tree under "== Initial Plan ==" — count
     // only the executed (final) section
