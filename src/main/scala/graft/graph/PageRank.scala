@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-point PageRank with damping 0.85 over a directed edge list.
@@ -14,17 +14,21 @@ import org.apache.spark.sql.functions._
   * associative. Fixed-point trades ~1e-12 of precision for exact
   * reproducibility (and an exact DuckDB oracle).
   *
-  * Per iteration: contrib(u→v) = rank(u) div deg(u); dangling mass
-  * (deg-0 vertices) redistributes uniformly; rank'(v) = (1−d)·scale +
-  * d·(Σ contrib + dangling div N), with d = 85/100 applied as
-  * `(85·x) div 100`.
+  * Per iteration: contrib(u→v) = (rank(u)·w(u,v)) div Σw(u), evaluated
+  * in the overflow-safe decomposition `(rank div Σw)·w +
+  * ((rank mod Σw)·w) div Σw`; dangling mass (Σw = 0 vertices)
+  * redistributes per variant; rank'(v) = base(v) + d·(Σ contrib +
+  * dangling term), with d = 85/100 applied as `(85·x) div 100`.
   *
   * Scale notes: the loop is iters × (one equi-join + one integer-sum
   * shuffle) — the textbook distributed PageRank shape, one Spark job
   * per round. `localCheckpoint` truncates lineage each round; the
   * dangling term folds in as a broadcast single-row aggregate.
-  * Mass bound: N·scale·85 must stay under 2⁶³ — the default
-  * 1e12 scale is good to ~10⁸ vertices; drop to 1e6 for 10¹⁴.
+  * Mass bound: 85 × total mass must stay under 2⁶³. Uniform variants
+  * carry `scale` per vertex (default 1e12 scale ⇒ ~10⁸ vertices);
+  * the personalized variant concentrates `N·scale` on one vertex, so
+  * its `require` enforces the tighter N·scale ≤ 2⁶³/100 bound — drop
+  * `scale` for larger graphs.
   */
 object PageRank {
 
@@ -43,25 +47,58 @@ object PageRank {
     * `(rank(u) · w(u,v)) div Σ_x w(u,x)` — unit weights reduce exactly
     * to the unweighted `rank div deg`. Weights must be POSITIVE BIGINT
     * units (quantize a similarity to integer units first; 6-dp sims ×
-    * 1e6 are exact); non-positive weights raise at execution.
-    *
-    * The contribution evaluates in the overflow-safe decomposition
-    * `(rank div Σw)·w + ((rank mod Σw)·w) div Σw` — exactly equal to
-    * the direct product form for non-negative operands, but the largest
-    * intermediate is `Σw·w` instead of `rank·w`, so the bound is
-    * per-vertex weight mass squared (Σw·max_w < 2⁶³), independent of
-    * how large hub ranks grow.
+    * 1e6 are exact); non-positive weights raise at execution. The
+    * decomposed contribution keeps the largest intermediate at `Σw·w`
+    * (per-vertex weight mass squared), independent of hub-rank growth.
     *
     * @param edges three-column DataFrame (src, dst, w), DIRECTED
     */
   def runWeighted(vertices: DataFrame, edges: DataFrame, iters: Int,
-                  scale: Long = DefaultScale): DataFrame = {
+                  scale: Long = DefaultScale): DataFrame =
+    fixedPoint(vertices, edges, iters, scale,
+      initRank = _ => lit(scale),
+      baseTerm = (_, scale, _) => lit((15L * scale) / 100L),
+      danglingSql = n => s"__dang div ${n}L")
+
+  /** Personalized PageRank: the teleport mass — the (1−d) share and
+    * all dangling mass — returns to ONE source vertex instead of
+    * spreading uniformly, so ranks measure proximity to the source
+    * (the similarity-graph re-ranking primitive: "important AND near
+    * this document"). Initial mass (N·scale) starts on the source;
+    * unreachable vertices decay to exactly 0.
+    */
+  def runPersonalized(vertices: DataFrame, edges: DataFrame, source: Long,
+                      iters: Int, scale: Long = DefaultScale): DataFrame =
+    fixedPoint(vertices, edges, iters, scale,
+      initRank = n => {
+        // total mass N·scale sits on one vertex: enforce the
+        // personalized overflow bound up front instead of wrapping
+        require(n <= Long.MaxValue / 100L / scale,
+          s"personalized mass n*scale = $n*$scale would overflow the " +
+            "85x damping product — use a smaller scale")
+        when(col("id") === source, lit(n * scale)).otherwise(lit(0L))
+      },
+      baseTerm = (n, scale, _) =>
+        when(col("id") === source, lit((15L * scale * n) / 100L))
+          .otherwise(lit(0L)),
+      danglingSql = _ => s"CASE WHEN id = ${source}L THEN __dang ELSE 0L END")
+
+  /** Shared fixed-point loop. `initRank(n)` seeds the rank column;
+    * `baseTerm(n, scale, id)` is the per-vertex teleport term;
+    * `danglingSql(n)` is a SQL fragment over columns (id, __dang)
+    * yielding each vertex's share of the dangling mass.
+    */
+  private def fixedPoint(vertices: DataFrame, edges: DataFrame, iters: Int,
+                         scale: Long,
+                         initRank: Long => Column,
+                         baseTerm: (Long, Long, Column) => Column,
+                         danglingSql: Long => String): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val e = edges.toDF("src", "dst", "w")
       .select(col("src").cast("long"), col("dst").cast("long"),
         when(col("w").cast("long") <= 0,
-          raise_error(lit("PageRank.runWeighted: edge weights must be " +
-            "positive integer units")).cast("long"))
+          raise_error(lit("PageRank: edge weights must be positive " +
+            "integer units")).cast("long"))
           .otherwise(col("w").cast("long")).as("w")).cache()
     val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
     val v = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
@@ -70,9 +107,9 @@ object PageRank {
       .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"))
       .cache()
     val n = v.count()
-    var ranks = v.withColumn("rank", lit(scale)).localCheckpoint()
-    if (n == 0) return ranks.select(col("id"), col("rank")) // empty graph
-    val base = (15L * scale) / 100L
+    if (n == 0)
+      return v.withColumn("rank", lit(scale)).select(col("id"), col("rank"))
+    var ranks = v.withColumn("rank", initRank(n)).localCheckpoint()
     for (_ <- 1 to iters) {
       // dangling mass as a broadcast single-row aggregate: the whole
       // iteration is ONE job (the localCheckpoint), not a separate
@@ -89,60 +126,8 @@ object PageRank {
       ranks = v.join(inc, col("id") === col("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("id"), col("sumw"),
-          (lit(base) +
-            expr(s"(85 * (coalesce(__in, 0) + __dang div ${n}L)) div 100"))
-            .as("rank"))
-        .localCheckpoint()
-    }
-    ranks.select(col("id"), col("rank"))
-  }
-
-  /** Personalized PageRank: the teleport mass — the (1−d) share and
-    * all dangling mass — returns to ONE source vertex instead of
-    * spreading uniformly, so ranks measure proximity to the source
-    * (the similarity-graph re-ranking primitive: "important AND near
-    * this document"). Same fixed-point integer arithmetic and loop
-    * shape as `runWeighted`; unreachable vertices decay to exactly 0.
-    */
-  def runPersonalized(vertices: DataFrame, edges: DataFrame, source: Long,
-                      iters: Int, scale: Long = DefaultScale): DataFrame = {
-    require(iters >= 0, "iters must be >= 0")
-    val e = edges.toDF("src", "dst", "w")
-      .select(col("src").cast("long"), col("dst").cast("long"),
-        when(col("w").cast("long") <= 0,
-          raise_error(lit("PageRank.runPersonalized: edge weights must " +
-            "be positive integer units")).cast("long"))
-          .otherwise(col("w").cast("long")).as("w")).cache()
-    val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
-    val v = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
-      .distinct()
-      .join(sw, col("id") === col("src"), "left")
-      .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"))
-      .cache()
-    val n = v.count()
-    var ranks = v
-      .withColumn("rank", when(col("id") === source, lit(n * scale))
-        .otherwise(lit(0L)))
-      .localCheckpoint()
-    if (n == 0) return ranks.select(col("id"), col("rank"))
-    // all teleport mass lands on the source: (1-d) of the total plus
-    // whatever sits on dangling vertices
-    val base = (15L * scale * n) / 100L
-    for (_ <- 1 to iters) {
-      val dang = ranks.filter(col("sumw") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
-      val inc = ranks.filter(col("sumw") > 0)
-        .join(e, col("id") === col("src"))
-        .select(col("dst"),
-          expr("(rank div sumw) * w + ((rank % sumw) * w) div sumw")
-            .as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      ranks = v.join(inc, col("id") === col("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("id"), col("sumw"),
-          (when(col("id") === source, lit(base)).otherwise(lit(0L)) +
-            expr(s"(85 * (coalesce(__in, 0) + " +
-              s"CASE WHEN id = ${source}L THEN __dang ELSE 0L END)) div 100"))
+          (baseTerm(n, scale, col("id")) +
+            expr(s"(85 * (coalesce(__in, 0) + ${danglingSql(n)})) div 100"))
             .as("rank"))
         .localCheckpoint()
     }

@@ -209,22 +209,32 @@ object Corpus {
     * Output per group: n_docs, `share` (actual), `target_share`
     * (√-smoothed), `weight` = target/actual (feed to a sampler).
     */
+  /** Per-group doc counts with the corpus total attached — the shared
+    * scaffold of the mix-weighting operators. The window input is the
+    * GROUPED table (group-cardinality rows), never the corpus.
+    */
+  private def groupCounts(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__total",
+        sum(col("n_docs")).over(Window.partitionBy()))
+
+  /** Actual corpus share of a group (expects `groupCounts` columns). */
+  private def shareCol = col("n_docs").cast("double") / col("__total")
+
   def temperatureMixWeights(df: DataFrame,
                             groupCols: Seq[String]): DataFrame = {
-    val g = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_docs"))
     val all = Window.partitionBy()
-    g.withColumn("__total", sum(col("n_docs")).over(all))
+    val target = col("__squ").cast("double") / col("__sqtotal").cast("double")
+    groupCounts(df, groupCols)
       .withColumn("__squ",
         round(sqrt(col("n_docs").cast("double")) * lit(1e9)).cast("long"))
       .withColumn("__sqtotal", sum(col("__squ")).over(all))
       .select(
         groupCols.map(col) ++ Seq(
           col("n_docs"),
-          round(col("n_docs").cast("double") / col("__total"), 6).as("share"),
-          round(col("__squ").cast("double") / col("__sqtotal").cast("double"), 6)
-            .as("target_share"),
-          round((col("__squ").cast("double") / col("__sqtotal").cast("double")) /
-            (col("n_docs").cast("double") / col("__total")), 6).as("weight")): _*)
+          round(shareCol, 6).as("share"),
+          round(target, 6).as("target_share"),
+          round(target / shareCol, 6).as("weight")): _*)
   }
 
   /** Source-mix reweighting: per group (e.g. source × lang), the corpus
@@ -233,16 +243,12 @@ object Corpus {
     * aggregates run over the GROUPED rows (group-count many), not the
     * corpus — cheap at any scale.
     */
-  def domainMixWeights(df: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val g = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy()
-    g.withColumn("__total", sum(col("n_docs")).over(w))
-      .withColumn("__n_groups", count(lit(1)).over(w))
+  def domainMixWeights(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    groupCounts(df, groupCols)
+      .withColumn("__n_groups", count(lit(1)).over(Window.partitionBy()))
       .select(
         groupCols.map(col) ++ Seq(
           col("n_docs"),
-          round(col("n_docs").cast("double") / col("__total"), 6).as("share"),
-          round((lit(1.0) / col("__n_groups")) /
-            (col("n_docs").cast("double") / col("__total")), 6).as("weight")): _*)
-  }
+          round(shareCol, 6).as("share"),
+          round((lit(1.0) / col("__n_groups")) / shareCol, 6).as("weight")): _*)
 }

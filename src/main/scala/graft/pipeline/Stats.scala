@@ -76,7 +76,9 @@ object Stats {
     * own min/max range and B counters). The group stats stay a
     * DataFrame (group-cardinality rows, equi-joined back), so nothing
     * collects to the driver and group count is unbounded. Same
-    * estimator arithmetic as the global form.
+    * estimator arithmetic as the global form. Rows with a NULL group
+    * key or NULL value are excluded (the equi-join back to the group
+    * stats cannot address a NULL group).
     */
   def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
                                 valueCol: String, bins: Int,
@@ -84,7 +86,7 @@ object Stats {
     require(bins > 1, "need at least 2 bins")
     require(qs.forall(q => q > 0.0 && q <= 1.0), s"quantiles in (0, 1]; got $qs")
     val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && col(groupCol).isNotNull)
     val stats = vals.groupBy(col(groupCol)).agg(
       min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
       count(lit(1)).as("__n"))

@@ -115,29 +115,34 @@ object GraphPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
-    // ---- personalized PageRank: proximity-weighted importance ----
+    // ---- personalized PageRank: proximity-weighted importance. The
+    //      0.2-threshold graph is dense enough (max degree ~20 at
+    //      sf0.01) that rank genuinely propagates; source 150 is the
+    //      highest-degree vertex, so the oracle exercises the weighted
+    //      contribution, teleport-return, and dangling paths ----
     "q108_personalized_pagerank" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
-        threshold = 0.4, bands = 3, bitsPerBand = 4)
+        threshold = 0.2, bands = 3, bitsPerBand = 4)
       val w = round(col("sim") * 1e6).cast("long")
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w.as("w"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("w")))
-      PageRank.runPersonalized(emb.select("vec_id"), sym, source = 0L,
+      PageRank.runPersonalized(emb.select("vec_id"), sym, source = 150L,
           iters = 3)
         .select(col("id").as("vec_id"), col("rank"))
         .orderBy(col("vec_id"))
     },
 
-    // ---- bounded BFS: 6-hop neighborhood distances from vec 0 ----
+    // ---- bounded BFS: 6-hop neighborhood from the densest vertex
+    //      (the 0.2 graph actually propagates; 0.4 is near-empty) ----
     "q104_bfs_hops" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
-          threshold = 0.4, bands = 3, bitsPerBand = 4)
+          threshold = 0.2, bands = 3, bitsPerBand = 4)
         .select(col("id_a"), col("id_b"))
       val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
       Traversals.bfsHops(emb.select("vec_id"), sym.toDF("src", "dst"),
-          source = 0L, maxHops = 6)
+          source = 150L, maxHops = 6)
         .select(col("id").as("vec_id"), col("dist"))
         .orderBy(col("vec_id"))
     },
@@ -146,7 +151,7 @@ object GraphPack extends QueryPack {
     "q105_triangles" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
-          threshold = 0.4, bands = 3, bitsPerBand = 4)
+          threshold = 0.2, bands = 3, bitsPerBand = 4)
         .select(col("id_a"), col("id_b"))
       Traversals.triangleCounts(emb.select("vec_id"), pairs)
         .select(col("id").as("vec_id"), col("n_triangles"))
@@ -177,7 +182,9 @@ object GraphPack extends QueryPack {
     * the q55 oracle (bits=12), band key b = (sig >> 4b) & 15 via
     * integer div/mod, OR over bands, exact 6-dp cosine verify, distinct.
     */
-  private def lshEdgesSql: String = {
+  private def lshEdgesSql: String = lshEdgesSqlAt(0.4)
+
+  private def lshEdgesSqlAt(threshold: Double): String = {
     val bits = 12
     val terms = (0 until bits).map { j =>
       val sign = s"(CASE WHEN (i::BIGINT * ${j + 7} * 2654435761) // 1024 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
@@ -191,7 +198,7 @@ object GraphPack extends QueryPack {
     s"""SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
        |  FROM ($banded) a JOIN ($banded) b
        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -330,23 +337,28 @@ object GraphPack extends QueryPack {
     },
 
     "q108_personalized_pagerank" -> {
-      // teleport + dangling mass land on the source (id 0) only
+      // teleport + dangling mass land on the source (id 150) only; the
+      // contribution uses the same overflow-safe decomposition as the
+      // Spark side — personalized ranks approach n·scale, so the direct
+      // rank*w product would overflow BIGINT in DuckDB too
       def iter(idx: Int): String = {
         val prev = s"i${idx - 1}"
         s"""i$idx AS (SELECT d.id, d.sumw,
-           |  (CASE WHEN d.id = 0 THEN
+           |  (CASE WHEN d.id = 150 THEN
            |    (15 * 1000000000000 * (SELECT n FROM nn)) // 100 ELSE 0 END)
            |  + (85 * (COALESCE(inc.s, 0) +
-           |      CASE WHEN d.id = 0 THEN dang.dd ELSE 0 END)) // 100 AS rank
+           |      CASE WHEN d.id = 150 THEN dang.dd ELSE 0 END)) // 100 AS rank
            |  FROM swv d
            |  LEFT JOIN (SELECT sym.dst AS id,
-           |      CAST(SUM(($prev.rank * sym.w) // $prev.sumw) AS BIGINT) AS s
+           |      CAST(SUM(($prev.rank // $prev.sumw) * sym.w
+           |        + (($prev.rank % $prev.sumw) * sym.w) // $prev.sumw)
+           |        AS BIGINT) AS s
            |    FROM $prev JOIN sym ON $prev.id = sym.src
            |    WHERE $prev.sumw > 0 GROUP BY sym.dst) inc ON d.id = inc.id
            |  CROSS JOIN (SELECT COALESCE(CAST(SUM(rank) AS BIGINT), 0) AS dd
            |    FROM $prev WHERE sumw = 0) dang)""".stripMargin
       }
-      s"""WITH e0 AS MATERIALIZED ($lshEdgesSql),
+      s"""WITH e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
          |ew AS (SELECT e0.ia, e0.ib,
          |  ROUND(${cosSql("a.embedding", "b.embedding")} * 1000000.0)::BIGINT
          |    AS w
@@ -360,7 +372,7 @@ object GraphPack extends QueryPack {
          |    ON v.vec_id = s.src),
          |nn AS (SELECT COUNT(*) AS n FROM embeddings),
          |i0 AS (SELECT id, sumw,
-         |  CASE WHEN id = 0 THEN 1000000000000 * (SELECT n FROM nn)
+         |  CASE WHEN id = 150 THEN 1000000000000 * (SELECT n FROM nn)
          |  ELSE 0 END AS rank FROM swv),
          |${iter(1)},
          |${iter(2)},
@@ -369,11 +381,11 @@ object GraphPack extends QueryPack {
     },
 
     "q104_bfs_hops" ->
-      s"""WITH RECURSIVE e0 AS MATERIALIZED ($lshEdgesSql),
+      s"""WITH RECURSIVE e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
          |sym AS (SELECT ia AS src, ib AS dst FROM e0
          |        UNION ALL SELECT ib AS src, ia AS dst FROM e0),
          |r(id, d) AS (
-         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  SELECT CAST(150 AS BIGINT), CAST(0 AS BIGINT)
          |  UNION
          |  SELECT sym.dst, r.d + 1 FROM r JOIN sym ON sym.src = r.id
          |  WHERE r.d < 6)
@@ -382,7 +394,7 @@ object GraphPack extends QueryPack {
          |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
 
     "q105_triangles" ->
-      s"""WITH e0 AS MATERIALIZED ($lshEdgesSql),
+      s"""WITH e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
          |tri AS (SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
          |  FROM e0 ab JOIN e0 bc ON ab.ib = bc.ia
          |  JOIN e0 ac ON ac.ia = ab.ia AND ac.ib = bc.ib),

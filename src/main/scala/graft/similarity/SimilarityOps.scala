@@ -260,8 +260,10 @@ object SimilarityOps {
                     nCentroids: Int, lo: Double, hi: Double,
                     k: Int): DataFrame = {
     require(lo <= hi && k > 0, "need lo <= hi and k > 0")
+    // cache: both union branches read the banded pairs — uncached, the
+    // block join + exact cosine verification would execute twice
     val pairs = allPairsBlocked(emb, idCol, vecCol, threshold = lo, nCentroids)
-      .filter(col("sim") <= hi)
+      .filter(col("sim") <= hi).cache()
     val sym = pairs.select(col("id_a").as("anchor"),
         col("id_b").as("negative"), col("sim"))
       .union(pairs.select(col("id_b").as("anchor"),
