@@ -162,8 +162,36 @@ object Components {
       prevSum = s
       i += 1
     }
-    val out = labels.toDF("id", "component")
-    out
+    // labels stays persisted (it backs the returned DataFrame); the
+    // symmetrized working set is loop-internal and can go. eDf is kept
+    // deliberately: its cache is plan-keyed, so sibling queries deriving
+    // the same edge set reuse the materialization (see above).
+    sym.unpersist(false)
+    labels.toDF("id", "component")
+  }
+
+  /** Global row number 1..n WITHOUT a single-partition window: a
+    * partitionless `row_number().over(Window.orderBy(...))` funnels the
+    * whole table through ONE task (Exchange SinglePartition), which at
+    * 100 TB is the structural bottleneck — a near-dup corpus has ~n/2
+    * clusters, so "one row per cluster" is not small. This instead does
+    * a distributed range-partitioned sort and assigns indices with
+    * `zipWithIndex` (one count pass for per-partition offsets, then a
+    * map) — the classic scale-safe global rank. `order` must be a total
+    * order for a deterministic result. Output column is IntegerType,
+    * matching `row_number()`.
+    */
+  private[graft] def withGlobalRowNumber(df: DataFrame, rankCol: String,
+                                         order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** V8-style cluster summary (reference: TagService.cpp:169-255):
@@ -186,11 +214,10 @@ object Components {
       .filter(col("n_members") >= 2 || col("cluster_size") === 1)
       .groupBy("component")
       .agg(sort_array(collect_set(col("tag"))).as("shared_tags"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cluster_size").desc, col("component").asc)
-    sizes.join(shared, Seq("component"), "left")
+    val summary = sizes.join(shared, Seq("component"), "left")
       .withColumn("shared_tags", coalesce(col("shared_tags"), array()))
-      .withColumn("cluster_id", row_number().over(w))
+    withGlobalRowNumber(summary, "cluster_id",
+        Seq(col("cluster_size").desc, col("component").asc))
       .select("cluster_id", "cluster_size", "member_ids", "shared_tags")
   }
 }

@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   * shuffle) — the textbook distributed PageRank shape, one Spark job
   * per round. `localCheckpoint` truncates lineage each round; the
   * dangling term folds in as a broadcast single-row aggregate.
-  * Mass bound: 85 × total mass must stay under 2⁶³. Uniform variants
-  * carry `scale` per vertex (default 1e12 scale ⇒ ~10⁸ vertices);
-  * the personalized variant concentrates `N·scale` on one vertex, so
-  * its `require` enforces the tighter N·scale ≤ 2⁶³/100 bound — drop
-  * `scale` for larger graphs.
+  * Mass bound: total mass is ~N·scale in every variant (uniform spreads
+  * it, personalized concentrates it), and in the worst case one vertex
+  * receives all of it, so the 85× damping product needs
+  * 100·N·scale < 2⁶³ — enforced by a `require` in the shared loop
+  * (~9×10⁴ vertices at the default 1e12 scale; scale=1e6 admits ~9×10¹⁰
+  * vertices at micro-unit precision — drop `scale` for larger graphs,
+  * trading precision for headroom).
   */
 object PageRank {
 
@@ -70,14 +72,10 @@ object PageRank {
   def runPersonalized(vertices: DataFrame, edges: DataFrame, source: Long,
                       iters: Int, scale: Long = DefaultScale): DataFrame =
     fixedPoint(vertices, edges, iters, scale,
-      initRank = n => {
-        // total mass N·scale sits on one vertex: enforce the
-        // personalized overflow bound up front instead of wrapping
-        require(n <= Long.MaxValue / 100L / scale,
-          s"personalized mass n*scale = $n*$scale would overflow the " +
-            "85x damping product — use a smaller scale")
-        when(col("id") === source, lit(n * scale)).otherwise(lit(0L))
-      },
+      // total mass N·scale sits on one vertex; the shared fixedPoint
+      // require enforces the 100·N·scale < 2⁶³ bound before this runs
+      initRank = n =>
+        when(col("id") === source, lit(n * scale)).otherwise(lit(0L)),
       baseTerm = (n, scale, _) =>
         when(col("id") === source, lit((15L * scale * n) / 100L))
           .otherwise(lit(0L)),
@@ -94,9 +92,12 @@ object PageRank {
                          baseTerm: (Long, Long, Column) => Column,
                          danglingSql: Long => String): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // NULL guard catches both missing weights and values that cast to
+    // NULL (e.g. non-numeric strings) — without it such edges would be
+    // silently dropped by the sum aggregates instead of failing loudly
     val e = edges.toDF("src", "dst", "w")
       .select(col("src").cast("long"), col("dst").cast("long"),
-        when(col("w").cast("long") <= 0,
+        when(col("w").cast("long").isNull || col("w").cast("long") <= 0,
           raise_error(lit("PageRank: edge weights must be positive " +
             "integer units")).cast("long"))
           .otherwise(col("w").cast("long")).as("w")).cache()
@@ -109,6 +110,14 @@ object PageRank {
     val n = v.count()
     if (n == 0)
       return v.withColumn("rank", lit(scale)).select(col("id"), col("rank"))
+    // worst-case overflow bound for EVERY variant: total mass ≈ n·scale
+    // and a single vertex can in principle receive all of it, so the
+    // 85× damping product needs 100·n·scale < 2⁶³. Enforced here (not
+    // just documented) so a too-large graph fails loudly instead of
+    // silently wrapping ranks; drop `scale` to trade precision for size.
+    require(n <= Long.MaxValue / 100L / scale,
+      s"PageRank: n*scale = $n*$scale would overflow the 85x damping " +
+        "product in the worst case - use a smaller scale")
     var ranks = v.withColumn("rank", initRank(n)).localCheckpoint()
     for (_ <- 1 to iters) {
       // dangling mass as a broadcast single-row aggregate: the whole
@@ -131,6 +140,11 @@ object PageRank {
             .as("rank"))
         .localCheckpoint()
     }
+    // ranks is localCheckpointed (materialized), so the loop inputs can
+    // release executor storage — long-lived sessions would otherwise
+    // accumulate one cached edge table per call
+    e.unpersist(false)
+    v.unpersist(false)
     ranks.select(col("id"), col("rank"))
   }
 }

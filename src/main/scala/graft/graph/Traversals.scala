@@ -45,6 +45,9 @@ object Traversals {
             when(col("__r").isNotNull, lit(h.toLong))).as("dist"))
         .localCheckpoint()
     }
+    // dist is localCheckpointed; free the cached edge table (see
+    // PageRank.fixedPoint — same long-lived-session hygiene)
+    e.unpersist(false)
     dist
   }
 
@@ -55,6 +58,10 @@ object Traversals {
     * is on edge endpoints (shuffle-partitionable; the heaviest key is
     * the highest-degree vertex, AQE-skew territory, never a cross
     * join).
+    *
+    * The canonical pair set is cached (three self-join references read
+    * it) and the result is lazy, so the caller owns eviction after the
+    * query runs (see Dedup's cache-lifecycle note).
     */
   def triangleCounts(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     // non-canonical pairs would silently undercount (the a<b<c join

@@ -20,6 +20,12 @@ import graft.functions.TextFunctions._
   *    to the naive O(n²) scan.
   *  - every hash is engine-portable (md5 / explicit polynomial fold),
   *    so the DuckDB oracle replays the identical pipeline.
+  *
+  * Cache lifecycle: operators returning LAZY DataFrames cache their
+  * shingle/signature intermediates (multiple self-join references read
+  * them); the cache must outlive the returned plan's execution, so the
+  * CALLER owns eviction — run the query, then `spark.catalog.clearCache()`
+  * (or unpersist selectively) in long-lived sessions.
   */
 object Dedup {
 
@@ -128,20 +134,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via set-similarity join:
-    * explode shingles, equi-join on the shingle to count |∩| per pair
-    * in ONE shuffle, then |∪| = |A| + |B| - |∩| from the per-doc sizes.
-    * No quadratic loop and no per-pair array intersections — identical
-    * values to the naive |∩|/|∪| definition (the DuckDB oracle computes
-    * it naively and hash-matches). Pairs with empty intersection can't
-    * reach any threshold > 0, so skipping them is exact.
-    * At 100 TB switch to `ngramJaccardPairsPrefix` to cut hot-shingle
-    * candidate inflation (measured at sf0.1 the plain join is ~3× faster
-    * — the prefix machinery only pays once the Zipf head inflates
-    * candidates quadratically, so the default stays plain and the
-    * prefix variant is the opt-in scale path; both return identical
-    * pairs, spec-pinned).
-    */
   /** Exact pairwise Jaccard via ONE equi-join on exploded shingles:
     * |∩| is the per-pair match count, |∪| = |A| + |B| − |∩|. Inputs
     * must both have columns (id, __sz, __s); `pairFilter` selects which
@@ -160,11 +152,55 @@ object Dedup {
         col("__c").cast("double") /
           (col("__na") + col("__nb") - col("__c")).cast("double"), 6))
 
+  /** Exploded-occurrence count above which `ngramJaccardPairs` routes
+    * through the prefix-filtered plan. Rationale: the plain explode-join
+    * produces one candidate row per SHARED shingle occurrence pair, so a
+    * Zipf-head shingle with document frequency f inflates candidates by
+    * f² — quadratic in corpus size once hot shingles span a meaningful
+    * corpus fraction. Measured at sf0.1 (~500k exploded occurrences) the
+    * plain join is still ~3× FASTER (the prefix variant pays an extra
+    * df-aggregation and a per-doc ordering window), so the crossover
+    * sits orders of magnitude above test scale; 2×10⁸ occurrences
+    * (~100 GB of text at ~100 shingles/doc) is a conservative point
+    * where the f² inflation dominates those fixed costs and the
+    * prefix-filtered join is the only plan that survives a 100 TB run.
+    */
+  val PrefixFilterThreshold: Long = 200000000L
+
+  /** Exact n-gram Jaccard near-dup pairs via set-similarity join:
+    * explode shingles, equi-join on the shingle to count |∩| per pair
+    * in ONE shuffle, then |∪| = |A| + |B| - |∩| from the per-doc sizes.
+    * No quadratic loop and no per-pair array intersections — identical
+    * values to the naive |∩|/|∪| definition (the DuckDB oracle computes
+    * it naively and hash-matches). Pairs with empty intersection can't
+    * reach any threshold > 0, so skipping them is exact.
+    *
+    * SCALE-ADAPTIVE: when the exploded shingle-occurrence count crosses
+    * `PrefixFilterThreshold` the call routes through the PPJoin
+    * prefix-filtered plan (`ngramJaccardPairsPrefix`) — both plans
+    * return IDENTICAL pairs (spec-pinned), so the switch changes cost,
+    * never results. The count is one cheap aggregate over the cached
+    * shingle table the join needs anyway.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
+    val sh = preparedShingles(df, idCol, textCol, n)
+    val nOcc = sh.agg(coalesce(sum(col("__sz")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (nOcc > PrefixFilterThreshold) prefixPairsFrom(sh, threshold)
+    else plainPairsFrom(sh, threshold)
+  }
+
+  /** (id, shingle_set, __sz) cached — the shared input of both Jaccard
+    * join plans.
+    */
+  private def preparedShingles(df: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
       .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
       .cache()
+
+  private def plainPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val ex = sh.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
     jaccardJoin(ex, ex, col("x.id") < col("y.id"))
       .filter(col("jaccard") >= threshold)
@@ -190,10 +226,10 @@ object Dedup {
     * partition-local, no global sort.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                              n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), col("shingle_set"), size(col("shingle_set")).as("__sz"))
-      .cache()
+                              n: Int = 3, threshold: Double = 0.5): DataFrame =
+    prefixPairsFrom(preparedShingles(df, idCol, textCol, n), threshold)
+
+  private def prefixPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val ex = sh.select(col("id"), col("__sz"), explode(col("shingle_set")).as("__s"))
     val freq = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("id")).orderBy(col("__df").asc, col("__s").asc)
@@ -285,9 +321,18 @@ object Dedup {
     val rowsPer = k / bands
     val shB = shingleSets(batch, idCol, textCol, n).cache()
     val shC = shingleSets(corpus, idCol, textCol, n).cache()
-    def banded(sh: DataFrame) = sh.select(col("id"),
-      explode(lshBandKeys(minhashSignature(col("shingle_set"), k),
-        bands, rowsPer)).as("band_key"))
+    // same materialization barrier as minhashLshPairs: md5 exactly once
+    // per shingle into a cached long array, then the k permutations run
+    // on the cached hashes — feeding the raw shingle set to
+    // minhashSignature would recompute every md5 k times (project
+    // collapsing inlines the column tree per permutation)
+    def banded(sh: DataFrame) = sh
+      .select(col("id"),
+        transform(col("shingle_set"), t => md5Long(t)).as("__hashes"))
+      .cache()
+      .select(col("id"),
+        explode(lshBandKeys(minhashFromHashes(col("__hashes"), k),
+          bands, rowsPer)).as("band_key"))
     val cand = banded(shB).as("x").join(banded(shC).as("y"), Seq("band_key"))
       .select(col("x.id").as("__bid"), col("y.id").as("__cid"))
       .distinct()

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.graph.{Components, PageRank, Traversals}
 import graft.pipeline.Dedup
@@ -35,15 +34,20 @@ object GraphPack extends QueryPack {
         .orderBy(col("id"))
     },
 
-    // ---- V8 shape: cluster size summary, ids reassigned by size ----
+    // ---- V8 shape: cluster size summary, ids reassigned by size.
+    //      The id reassignment is a distributed sort + zipWithIndex
+    //      (Components.withGlobalRowNumber), NOT a partitionless
+    //      row_number window — #clusters is ~n/2 on a near-dup corpus,
+    //      so a single-partition exchange here would be the 100 TB
+    //      bottleneck ----
     "q38_cluster_sizes" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.allPairs(emb, "vec_id", "embedding", 0.4)
       val comps = Components.connectedComponentsFast(emb.select("vec_id"), pairs)
-      val w = Window.orderBy(col("cluster_size").desc, col("component").asc)
-      comps.groupBy("component")
+      val sizes = comps.groupBy("component")
         .agg(count(lit(1)).as("cluster_size"))
-        .withColumn("cluster_id", row_number().over(w))
+      Components.withGlobalRowNumber(sizes, "cluster_id",
+          Seq(col("cluster_size").desc, col("component").asc))
         .select("cluster_id", "component", "cluster_size")
         .orderBy("cluster_id")
     },
@@ -85,6 +89,14 @@ object GraphPack extends QueryPack {
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("is_keeper"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- SCALE twin of q35: similarity degree over the LSH candidate
+    //      graph (band equi-join + exact verify) — no cross join ----
+    "q111_lsh_degree" -> { (s, d) =>
+      SimilarityOps.similarityDegreeLsh(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.3, bands = 3, bitsPerBand = 4)
+        .orderBy(col("id"))
     },
 
     // ---- fixed-point PageRank over the LSH similarity graph: integer
@@ -207,6 +219,15 @@ object GraphPack extends QueryPack {
 
     "q74_lsh_components" ->
       (ccSql(lshEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
+
+    "q111_lsh_degree" ->
+      s"""WITH p AS (${lshEdgesSqlAt(0.3)}),
+         |d AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT ia AS id FROM p UNION ALL SELECT ib AS id FROM p)
+         |  GROUP BY id)
+         |SELECT e.vec_id AS id, COALESCE(d.deg, 0) AS degree
+         |FROM embeddings e LEFT JOIN d ON e.vec_id = d.id
+         |ORDER BY id""".stripMargin,
 
     "q38_cluster_sizes" ->
       s"""WITH cc AS (${ccSql(simEdgesSql, "embeddings", "vec_id")})

@@ -100,6 +100,14 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("centroid"), col("pos"))
     },
 
+    // ---- SCALE twin of q32: kNN from IVF-blocked candidates (equi-
+    //      join on centroid, per-query window over block survivors) ----
+    "q110_blocked_knn" -> { (s, d) =>
+      SimilarityOps.blockedKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCentroids = 8, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -214,6 +222,26 @@ object SimilarityPack extends QueryPack {
          |  ON a.centroid = b.centroid AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q110_blocked_knn" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM assign q JOIN assign c
+         |    ON q.centroid = c.centroid AND q.vec_id <> c.vec_id) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q75_kmeans_step" ->
       s"""WITH assign AS (

@@ -261,7 +261,9 @@ object SimilarityOps {
                     k: Int): DataFrame = {
     require(lo <= hi && k > 0, "need lo <= hi and k > 0")
     // cache: both union branches read the banded pairs — uncached, the
-    // block join + exact cosine verification would execute twice
+    // block join + exact cosine verification would execute twice. The
+    // result is lazy, so the caller owns eviction after the query runs
+    // (see Dedup's cache-lifecycle note).
     val pairs = allPairsBlocked(emb, idCol, vecCol, threshold = lo, nCentroids)
       .filter(col("sim") <= hi).cache()
     val sym = pairs.select(col("id_a").as("anchor"),
@@ -310,13 +312,58 @@ object SimilarityOps {
     * sim >= threshold (0 for isolated vectors).
     */
   def similarityDegree(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
-    val pairs = allPairs(emb, idCol, vecCol, threshold)
+                       threshold: Double): DataFrame =
+    degreeFromPairs(emb, idCol, allPairs(emb, idCol, vecCol, threshold))
+
+  /** Scale twin of `similarityDegree`: degree over the sign-LSH
+    * candidate graph (`lshCandidatePairs` — band equi-join + exact
+    * cosine verify) instead of the exact O(n²) cross join. Counts are a
+    * deterministic subset of the exact degrees (pairs whose signatures
+    * disagree in every band are missed); the oracle replays the same
+    * blocking, so the result is exactly reproducible.
+    */
+  def similarityDegreeLsh(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, bands: Int = 3,
+                          bitsPerBand: Int = 4): DataFrame =
+    degreeFromPairs(emb, idCol,
+      lshCandidatePairs(emb, idCol, vecCol, threshold, bands, bitsPerBand))
+
+  /** Degree table from a canonical (id_a < id_b) pair list: count both
+    * endpoints, left-join back so isolated vectors get 0.
+    */
+  private def degreeFromPairs(emb: DataFrame, idCol: String,
+                              pairs: DataFrame): DataFrame = {
     val both = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))
     val counts = both.groupBy("id").agg(count(lit(1)).as("degree"))
     emb.select(col(idCol).as("id"))
       .join(counts, Seq("id"), "left")
       .withColumn("degree", coalesce(col("degree"), lit(0L)))
+  }
+
+  /** Scale twin of `knnForIds` (exact brute-force kNN): candidates come
+    * from the IVF centroid block — an equi-join on `centroid`, the same
+    * shape as `hardNegatives` — and the per-query top-k window runs
+    * over block survivors only (rows per window ≈ n/nCentroids, not n).
+    * Recall trade: neighbors in other blocks are missed, and a vector
+    * alone in its block returns no rows — the standard IVF nprobe=1
+    * semantics, replayed exactly by the oracle.
+    */
+  def blockedKnn(emb: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val assigned = assignToCentroids(emb, idCol, vecCol, nCentroids)
+    val q = assigned.select(col(idCol).as("query_id"), col("centroid"),
+      col(vecCol).as("__qvec"))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col("centroid"),
+      col(vecCol).as("__cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, "centroid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim6(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
   }
 }

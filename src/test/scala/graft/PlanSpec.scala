@@ -146,6 +146,69 @@ class PlanSpec extends SparkSpec {
       s"hard-negative candidates must come from the centroid block join:\n$p")
   }
 
+  test("GLOBAL invariant: cartesian/nested-loop joins appear ONLY in the " +
+       "declared parity set or with a provably bounded broadcast side") {
+    Graft.install(spark)
+    // The exact O(n²) reference-parity queries. Each has an in-contract
+    // scale twin: q31→q53 (IVF-blocked), q32→q110 (blocked kNN),
+    // q35→q111 (LSH degree), q37→q74 (LSH-CC), q38→q74+summary. At
+    // sf0.001 AQE compiles their cross joins to BroadcastNestedLoopJoin;
+    // at scale they would be CartesianProduct — either way they may not
+    // appear anywhere else.
+    val parity = Set("q31_allpairs_cosine", "q32_knn_per_vector",
+      "q35_sim_degree", "q37_connected_components", "q38_cluster_sizes")
+    // Queries whose BroadcastNestedLoopJoin has a PROVABLY BOUNDED build
+    // side — a map-side operation at any scale, not a cartesian blowup:
+    //  - one broadcast query/stat row: q30, q52 (query vector),
+    //    q79 (sketch row), q84/q93 (corpus doc count / avgdl), q95/q109
+    //    (histogram stats), q99 (total token count), q100 (skew summary)
+    //  - the ≤1024-row centroid seed table (assignToCentroids requires
+    //    nCentroids <= 1024): q34, q53, q75, q94, q107, q110
+    val boundedBroadcast = Set(
+      "q30_cosine_topk", "q52_ivf_topk", "q79_cms_heavy_hitters",
+      "q84_tfidf_topterms", "q93_bm25", "q95_hist_quantiles",
+      "q99_unigram_surprisal", "q100_key_skew", "q109_grouped_quantiles",
+      "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
+      "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if parity(name) => None
+      case (name, fn) =>
+        val p = finalPlan(fn(spark, sf))
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin")
+        if (cart || (bnlj && !boundedBroadcast(name))) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"non-parity queries with a cartesian-shaped join: $offenders — " +
+        "either fix the plan or (only for a bounded broadcast side) " +
+        "extend the allowlist with justification")
+    // non-vacuous: the parity contrast still IS cartesian-shaped
+    val p31 = finalPlan(SparkEntry.queries("q31_allpairs_cosine")(spark, sf))
+    assert(p31.contains("CartesianProduct") ||
+      p31.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q110 blocked kNN (q32's scale twin): centroid equi-join, " +
+       "window over block survivors only") {
+    val p = plan("q110_blocked_knn")
+    assert(!p.contains("CartesianProduct"),
+      s"blocked kNN candidates must come from the centroid block join:\n$p")
+    assert(p.contains("Window"), "per-query top-k window present")
+  }
+
+  test("q111 LSH degree (q35's scale twin): band equi-join, no cartesian") {
+    val p = plan("q111_lsh_degree")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH degree must stay equi-join shaped:\n$p")
+  }
+
+  test("q38 cluster-id ranking: no window at all (distributed sort + " +
+       "zipWithIndex), so no single-partition exchange") {
+    val p = plan("q38_cluster_sizes")
+    assert(!p.contains("Window"),
+      s"cluster-id reassignment must not use a partitionless window:\n$p")
+  }
+
   test("q90 sequence packing shuffles once: the shard window partition") {
     // AQE's toString repeats the tree under "== Initial Plan ==" — count
     // only the executed (final) section
