@@ -63,15 +63,69 @@ class FileStore(rootUri: String,
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9_-]", "_")
 }
 
+/** S9: PDF text extraction by shelling out to poppler's `pdftotext`,
+  * exactly like the reference (src/embedding/TextExtractor.cpp:39-64:
+  * `pdftotext -q <file> -`, stdout streamed with an early exit once
+  * maxLength is exceeded, empty output → None). The binary is detected
+  * at first use; on hosts without poppler-utils `available` is false
+  * and extraction returns None, so callers keep their stub fallback.
+  */
+object PdfText {
+
+  /** One PATH scan per JVM (the executor-side hot path must not fork
+    * `which` per row).
+    */
+  lazy val available: Boolean =
+    sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+      .exists(d => d.nonEmpty &&
+        java.nio.file.Files.isExecutable(java.nio.file.Paths.get(d, "pdftotext")))
+
+  /** Extract text from PDF bytes via a temp file + `pdftotext -q f -`.
+    * None when the binary is missing, the run fails, or output is empty.
+    */
+  def extract(content: Array[Byte], maxLength: Int = 8000): Option[String] = {
+    if (!available) return None
+    val tmp = java.nio.file.Files.createTempFile("graft-pdf", ".pdf")
+    try {
+      java.nio.file.Files.write(tmp, content)
+      val pb = new ProcessBuilder("pdftotext", "-q", tmp.toString, "-")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new StringBuilder
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream,
+          java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val buf = new Array[Char](4096)
+        var n = reader.read(buf)
+        // reference early-exit: stop reading once past maxLength
+        while (n >= 0 && out.length <= maxLength) {
+          out.appendAll(buf, 0, n)
+          n = reader.read(buf)
+        }
+      } finally { reader.close(); proc.destroy() }
+      if (out.isEmpty) None else Some(out.toString.take(maxLength))
+    } catch {
+      case _: java.io.IOException => None
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+}
+
 /** Text extraction dispatch (reference S8-S10,
   * src/embedding/TextExtractor.cpp): .txt/.md/.text read + truncate to
-  * 8000 chars; PDFs would shell out to pdftotext (not present in the
-  * runtime) — represented by a pluggable extractor so the pipeline
-  * shape is real and testable.
+  * 8000 chars; PDFs shell out to `pdftotext` when the binary exists on
+  * this host (PdfText), with `pdfFallback` (default: none) covering
+  * hosts without poppler-utils — the pipeline shape stays real and
+  * testable either way.
   */
 class TextExtractor(store: FileStore,
-                    pdfExtractor: Array[Byte] => Option[String] = _ => None,
+                    pdfFallback: Array[Byte] => Option[String] = _ => None,
                     maxLength: Int = 8000) extends Serializable {
+
+  private def pdfExtractor(content: Array[Byte]): Option[String] =
+    PdfText.extract(content, maxLength).orElse(pdfFallback(content))
 
   def extractFromFile(relPath: String): Option[String] = {
     if (!store.exists(relPath)) return None // EmbeddingService.cpp:33 exists guard

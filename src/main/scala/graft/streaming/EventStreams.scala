@@ -144,6 +144,74 @@ object EventStreams {
     }
   }
 
+  /** Stream-static incremental dedup in its 100 TB form — the streaming
+    * twin of `Dedup.crossCorpusDedupLsh`: the near-dup probe is a
+    * MinHash BAND-KEY equi-join against the static corpus signature
+    * table (bands keys per corpus doc — precomputable — instead of
+    * ~|doc| shingle postings), candidates verified against the exact
+    * shingle Jaccard, decisions per batch doc: (id, exact_dup, n_near,
+    * is_new). Identical decision semantics to the batch operator
+    * (spec-pinned stream==batch); probe traffic ∝ batch, corpus work is
+    * one static plan.
+    *
+    * Plan shape: the whole pipeline is stateless maps + stream-static
+    * joins + ONE update-mode aggregate keyed by doc id (each doc
+    * arrives once, so its final row carries the complete decision).
+    * Stream-side signatures recompute md5 per permutation (no cache
+    * barrier exists inside a streaming plan) — acceptable because that
+    * cost is batch-proportional; the CORPUS side reuses cached hash
+    * arrays like the batch operator.
+    */
+  def corpusDedupStreamLsh(newDocs: DataFrame, corpus: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 3, k: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions._
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k) or trailing signature rows are silently unused")
+    val rowsPer = k / bands
+    // static corpus structures (at scale: precomputed tables)
+    val shC = graft.pipeline.Dedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("id").as("__cid"), col("shingle_set").as("__sb"))
+      .cache()
+    val bandedC = shC
+      .select(col("__cid"), col("__sb"),
+        transform(col("__sb"), t => md5Long(t)).as("__hashes"))
+      .cache()
+      .select(col("__cid"), col("__sb"),
+        explode(lshBandKeys(minhashFromHashes(col("__hashes"), k),
+          bands, rowsPer)).as("band_key"))
+    val corpusHashes = corpus
+      .select(md5(col(textCol)).as("__h")).distinct()
+      .withColumn("__hit", lit(true))
+    // stream side: hash + shingle + band-explode are stateless maps
+    val docs = newDocs
+      .select(col(idCol), col(textCol),
+        md5(col(textCol)).as("__h"),
+        array_distinct(shingles(tokens(col(textCol)), n)).as("__sa"))
+      .join(corpusHashes, Seq("__h"), "left")
+      .withColumn("exact_dup", coalesce(col("__hit"), lit(false)))
+    val banded = docs.select(col(idCol), col("__sa"), col("exact_dup"),
+      explode(lshBandKeys(minhashSignature(col("__sa"), k), bands, rowsPer))
+        .as("band_key"))
+    // candidate = any shared band (left join keeps no-candidate docs);
+    // verification inline, so the aggregate sees only narrow columns
+    val verified = banded
+      .join(bandedC, Seq("band_key"), "left")
+      .select(col(idCol), col("exact_dup"),
+        when(col("__cid").isNotNull &&
+          round(jaccard(col("__sa"), col("__sb")), 6) >= threshold,
+          col("__cid")).as("__near_id"))
+    // countDistinct is not stream-legal; collect_set (null-skipping,
+    // mergeable state) + size gives the same distinct-candidate count
+    verified
+      .groupBy(col(idCol))
+      .agg(first(col("exact_dup")).as("exact_dup"),
+        size(collect_set(col("__near_id"))).cast("long").as("n_near"))
+      .select(col(idCol), col("exact_dup"), col("n_near"),
+        (!col("exact_dup") && col("n_near") === 0).as("is_new"))
+  }
+
   /** Stream-stream interval join: pair each right-side event with the
     * same user's left-side events whose timestamp lies in
     * [r_ts − maxGap, r_ts] — the canonical attribution join ("which

@@ -146,6 +146,44 @@ class EnrichSpec extends SparkSpec {
     assert(!t3.contains("Content:"), "missing file -> metadata only (exists guard)")
   }
 
+  test("S9: PDF extraction — pdftotext when present, fallback seam when not") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pdf").toString
+    val store = new graft.io.FileStore(root,
+      clock = () => 1717200000000L, rand = () => 2)
+    // a minimal single-page PDF with the text "Hello PDF" — enough for
+    // pdftotext to extract when the binary exists on this host
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+      "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+      "3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+      "/Contents 4 0 R/Resources<</Font<</F1 5 0 R>>>>>>endobj\n" +
+      "4 0 obj<</Length 44>>stream\nBT /F1 12 Tf 72 720 Td (Hello PDF) Tj ET\nendstream endobj\n" +
+      "5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>endobj\n" +
+      "trailer<</Root 1 0 R>>\n%%EOF").getBytes("UTF-8")
+    val rel = store.saveFile("doc.pdf", pdf)
+
+    if (graft.io.PdfText.available) {
+      // real poppler on this host: the reference shell-out path runs
+      val ext = new graft.io.TextExtractor(store)
+      val got = ext.extractFromFile(rel)
+      assert(got.exists(_.contains("Hello PDF")),
+        s"pdftotext extraction (TextExtractor.cpp:39-64), got: $got")
+    } else {
+      // no poppler (this CI container): extraction falls back to the
+      // injected seam; default seam yields None
+      assert(graft.io.PdfText.extract(pdf).isEmpty)
+      assert(new graft.io.TextExtractor(store).extractFromFile(rel).isEmpty)
+      val stubbed = new graft.io.TextExtractor(store,
+        pdfFallback = _ => Some("stub text"))
+      assert(stubbed.extractFromFile(rel).contains("stub text"))
+    }
+    // the 8000-char cap applies to the fallback path too
+    val capped = new graft.io.TextExtractor(store,
+      pdfFallback = _ => Some("y" * 9000))
+    if (!graft.io.PdfText.available)
+      assert(capped.extractFromFile(rel).get.length == 8000)
+  }
+
   test("V8 getClusters over stored links") {
     val linked = db.updateNode(1, NodePatch(linkedNodes = Some(Seq(2L))))
       .updateNode(2, NodePatch(linkedNodes = Some(Seq(1L))))

@@ -130,4 +130,44 @@ class StreamingSpec extends SparkSpec {
     assert(ids == (20L until 50L).toSeq,
       s"got ${ids.size} docs: ${ids.take(5)}...")
   }
+
+  test("stream-static LSH dedup decision table == batch crossCorpusDedupLsh") {
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 30)
+    val batchDocs = docs.filter(col("doc_id") >= 20 && col("doc_id") < 60)
+    // two micro-batches covering the same probe set
+    val dir = Files.createTempDirectory("docstream-lsh").toString
+    Seq((20, 40, "b0"), (40, 60, "b1")).foreach { case (lo, hi, name) =>
+      val tmp = Files.createTempDirectory(s"lshbatch$name").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch_$name.parquet"))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.corpusDedupStreamLsh(stream, corpus),
+      "corpus_lsh_test", OutputMode.Update())
+    val batch = graft.pipeline.Dedup.crossCorpusDedupLsh(
+      corpus, batchDocs, "doc_id", "text")
+    val s = streamed.orderBy("doc_id")
+      .select("doc_id", "exact_dup", "n_near", "is_new")
+      .collect().map(_.toString).toSeq
+    val b = batch.orderBy("doc_id")
+      .select("doc_id", "exact_dup", "n_near", "is_new")
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "streamed band-probe decisions must equal the batch LSH operator")
+    assert(streamed.filter(col("exact_dup")).count() >= 1,
+      "overlap rows [20,30) are exact corpus duplicates — non-vacuous")
+  }
 }
