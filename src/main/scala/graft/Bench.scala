@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every contract query at the scale-factor dir in
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line.
+  *
+  * Measurement protocol (r5, after the r4 artifact was taken on a
+  * contended host and came out 3-40× inflated):
+  *  - caches are evicted before EVERY timed run (`clearCache` + unpersist
+  *    of lingering RDD persists) so each query measures its own cold
+  *    cost, operators that cache-and-return don't leak storage across
+  *    104 queries, and no `Asked to cache already cached data` warnings
+  *    accumulate;
+  *  - best-of-2 for queries whose first run is under 15 s — a second
+  *    cold run filters transient host contention (the dominant noise
+  *    source on a shared VM) at ~2× cost only where that cost is small;
+  *    long queries are work-dominated, so contention inflates them
+  *    smoothly and a rerun buys little;
+  *  - the JSON line is written to `bench_out.json` FIRST, then printed
+  *    and flushed before `spark.stop()`, so neither tail-truncation nor
+  *    shutdown log noise can corrupt the parseable artifact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,11 +49,26 @@ object Bench {
           .count()
       } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // evict everything a query (or operator that caches-and-returns) left
+    // behind: plan-keyed DataFrame caches AND raw RDD persists (CC labels,
+    // localCheckpoint blocks)
+    def evict(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      evict()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $dt%.2fs")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rerunBelowSec = 15.0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = timeOnce(fn)
+      val dt = if (t1 < rerunBelowSec) math.min(t1, timeOnce(fn)) else t1
+      System.err.println(f"[bench] $name: $dt%.2fs (first $t1%.2fs)")
       name -> dt
     }
     // 4-dp per-query values keep the whole JSON line compact (~2.5 KB for
@@ -49,6 +84,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
-    spark.stop()
+    System.out.flush()
+    try spark.stop() catch { case _: Throwable => () }
   }
 }

@@ -184,7 +184,11 @@ object Components {
   private[graft] def withGlobalRowNumber(df: DataFrame, rankCol: String,
                                          order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
+    // materialize the sort ONCE: zipWithIndex runs an extra counting job
+    // for per-partition offsets, and `.rdd` re-plans from scratch — an
+    // un-checkpointed input would re-execute its whole upstream (CC
+    // labels → groupBy here) once per pass (the r4 q38 regression)
+    val sorted = df.orderBy(order: _*).localCheckpoint()
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))

@@ -26,29 +26,45 @@ object Traversals {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long")).cache()
-    var dist = vertices.select(col(vertices.columns(0)).cast("long").as("id"))
-      .distinct()
-      .select(col("id"),
-        when(col("id") === source, lit(0L)).cast("long").as("dist"))
+    // frontier/reached accumulation: each round touches only the NEW
+    // frontier (never the full vertex set — the r4 shape joined all N
+    // vertices every round, 4 shuffles/round of mostly-idle work). The
+    // reached set is a lazy union of per-round checkpointed frontiers
+    // (≤ maxHops branches, each materialized — no recursive lineage), so
+    // a round is: frontier ⋈ edges → distinct → anti-join reached, ONE
+    // checkpoint job, and the loop exits early once the frontier drains.
+    var frontier = vertices
+      .select(col(vertices.columns(0)).cast("long").as("id"))
+      .filter(col("id") === source).distinct()
+      .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (h <- 1 to maxHops) {
-      val frontier = dist.filter(col("dist") === (h - 1))
-        .join(e, col("id") === col("src"))
-        .select(col("dst").as("__r")).distinct()
-        // drop already-visited targets before the vertex-set join — on
-        // dense graphs most layer-(h−1) neighbors were reached earlier
-        .join(dist.filter(col("dist").isNotNull).select(col("id")),
-          col("__r") === col("id"), "left_anti")
-      dist = dist.join(frontier, dist("id") === frontier("__r"), "left")
-        .select(col("id"),
-          coalesce(col("dist"),
-            when(col("__r").isNotNull, lit(h.toLong))).as("dist"))
+    var reached = frontier
+    var h = 1
+    var drained = frontier.isEmpty
+    while (h <= maxHops && !drained) {
+      frontier = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached.select(col("id").as("__v")),
+          col("id") === col("__v"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("dist"))
         .localCheckpoint()
+      // count over just-checkpointed blocks — cheap, and an empty
+      // frontier ends the loop (a diameter-3 graph pays 3 rounds, not
+      // maxHops)
+      drained = frontier.isEmpty
+      if (!drained) reached = reached.unionAll(frontier)
+      h += 1
     }
-    // dist is localCheckpointed; free the cached edge table (see
-    // PageRank.fixedPoint — same long-lived-session hygiene)
+    val out = vertices
+      .select(col(vertices.columns(0)).cast("long").as("id")).distinct()
+      .join(reached.withColumnRenamed("id", "__r"),
+        col("id") === col("__r"), "left")
+      .select(col("id"), col("dist"))
+    // free the cached edge table (see PageRank.fixedPoint — same
+    // long-lived-session hygiene); `out` reads only checkpointed blocks
     e.unpersist(false)
-    dist
+    out
   }
 
   /** Per-vertex triangle count over an UNDIRECTED graph given as

@@ -104,9 +104,14 @@ object GraphPack extends QueryPack {
     //      bit-deterministic (a float PR can't hash-match any oracle) ----
     "q98_pagerank" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      // materialize the candidate pipeline ONCE before symmetrizing: the
+      // union reads `pairs` twice, and the signature/band/verify join is
+      // the dominant cost of the whole query (r4 verdict: uncached, it
+      // ran twice when PageRank materialized its edge cache)
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
           threshold = 0.4, bands = 3, bitsPerBand = 4)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
       PageRank.run(emb.select("vec_id"), sym.toDF("src", "dst"), iters = 3)
         .select(col("id").as("vec_id"), col("rank"))
@@ -117,8 +122,9 @@ object GraphPack extends QueryPack {
     //      (6-dp sims quantize exactly), same fixed-point machinery ----
     "q103_pagerank_weighted" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      // materialized once — see q98
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
-        threshold = 0.4, bands = 3, bitsPerBand = 4)
+        threshold = 0.4, bands = 3, bitsPerBand = 4).localCheckpoint()
       val w = round(col("sim") * 1e6).cast("long")
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w.as("w"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("w")))
@@ -134,8 +140,9 @@ object GraphPack extends QueryPack {
     //      contribution, teleport-return, and dangling paths ----
     "q108_personalized_pagerank" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      // materialized once — see q98
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
-        threshold = 0.2, bands = 3, bitsPerBand = 4)
+        threshold = 0.2, bands = 3, bitsPerBand = 4).localCheckpoint()
       val w = round(col("sim") * 1e6).cast("long")
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w.as("w"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("w")))
@@ -149,9 +156,11 @@ object GraphPack extends QueryPack {
     //      (the 0.2 graph actually propagates; 0.4 is near-empty) ----
     "q104_bfs_hops" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      // materialized once — see q98
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
           threshold = 0.2, bands = 3, bitsPerBand = 4)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
       Traversals.bfsHops(emb.select("vec_id"), sym.toDF("src", "dst"),
           source = 150L, maxHops = 6)

@@ -333,8 +333,11 @@ object SimilarityOps {
     */
   private def degreeFromPairs(emb: DataFrame, idCol: String,
                               pairs: DataFrame): DataFrame = {
-    val both = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id")))
+    // the endpoint union reads `pairs` twice — materialize the (often
+    // expensive: LSH verify or all-pairs) candidate pipeline once
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val both = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id")))
     val counts = both.groupBy("id").agg(count(lit(1)).as("degree"))
     emb.select(col(idCol).as("id"))
       .join(counts, Seq("id"), "left")
