@@ -10,12 +10,19 @@ import org.apache.spark.sql.types._
   * `mapPartitions` operators (the Scala analogue of `mapInPandas` —
   * one partition = one batch through the codec).
   *
-  * The codecs themselves are STUBBED with deterministic fakes (no
-  * image/audio libraries exist in this runtime): `decodeStub` parses a
-  * tiny fake header, `featureStub` computes a byte histogram. The
-  * Spark-side contract — schema, partitioning, batch shape, null
-  * behavior — is real and tested; swapping a real codec in changes one
-  * function.
+  * Image metadata decode is REAL: `withMediaMeta` runtime-detects
+  * `javax.imageio` (present on every standard JDK) and reads
+  * format/width/height from the image header — header-only, the pixel
+  * payload is never decoded, so the per-row cost is O(header) not
+  * O(pixels). Payloads no installed reader recognizes (and all media
+  * when ImageIO is absent, e.g. a stripped runtime image without
+  * `java.desktop`) fall back to the deterministic `decodeStub` — the
+  * same detect-or-stub seam as the PDF extractor (io/FileStore S9).
+  * Audio/video feature extraction remains honestly stubbed
+  * (`featureStub` byte histogram — no audio/video libraries exist in
+  * this runtime); the Spark-side contract — schema, partitioning, batch
+  * shape, null behavior — is real and tested, and swapping a real
+  * embedding codec in changes one function.
   *
   * Scale notes: binary payloads stay columnar (parquet/binaryFile) and
   * never pass through the driver; feature extraction is map-side only;
@@ -50,7 +57,51 @@ object Multimodal {
       if (bytes.length >= 4) ((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) else 0,
       bytes.length.toLong)
 
-  /** Attach the decoded metadata struct — batch-iterator operator. */
+  /** True iff `javax.imageio` is loadable in this runtime (it is on any
+    * standard JDK; a jlink-stripped image without `java.desktop` lacks
+    * it). Checked once per JVM — executors each evaluate their own copy.
+    */
+  private lazy val imageIoAvailable: Boolean =
+    try { Class.forName("javax.imageio.ImageIO"); true }
+    catch { case _: Throwable => false }
+
+  /** Real image-header decode via ImageIO: format name (png/jpeg/gif/
+    * bmp/…) and pixel dimensions read from the HEADER ONLY — the reader
+    * is never asked for pixel data, so cost is O(header bytes) per blob
+    * regardless of image size. None when no installed reader recognizes
+    * the payload (caller falls back to `decodeStub`).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Row] = {
+    if (!imageIoAvailable || bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some(Row(reader.getFormatName.toLowerCase,
+              reader.getWidth(0), reader.getHeight(0), bytes.length.toLong))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Metadata for one blob: real ImageIO header decode when a reader
+    * recognizes the payload, deterministic stub otherwise.
+    */
+  def decodeMediaMeta(bytes: Array[Byte]): Row =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
+
+  /** Attach the decoded metadata struct — batch-iterator operator.
+    * Real image formats (PNG/JPEG/GIF/BMP/… — whatever readers the JVM
+    * ships) get true format/width/height; unrecognized payloads get the
+    * stub header parse, keeping the column total and deterministic.
+    */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField("media_meta", mediaMetaSchema))
@@ -59,7 +110,7 @@ object Multimodal {
       df.rdd.mapPartitions { it =>
         it.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(r.toSeq :+ decodeStub(bytes))
+          Row.fromSeq(r.toSeq :+ decodeMediaMeta(bytes))
         }
       }, schema)
   }
@@ -88,10 +139,12 @@ object Multimodal {
       coalesce(graft.Graft.byteHistogram(col(binCol), bins),
         array((0 until bins).map(_ => lit(0f)): _*)))
 
-  /** Columnar media metadata: the decode-stub header arithmetic as pure
+  /** Columnar media metadata: the decode-STUB header arithmetic as pure
     * column expressions (`substring`/`hex`/`conv` work on binary), so
-    * metadata extraction also stays codegen'd — same output as
-    * `withMediaMeta`.
+    * metadata extraction stays codegen'd — same output as
+    * `withMediaMeta`'s fallback path (i.e. for payloads no ImageIO
+    * reader recognizes; real image formats need the library call and go
+    * through `withMediaMeta`).
     */
   def withMediaMetaColumnar(df: DataFrame, binCol: String): DataFrame = {
     val bin = col(binCol)

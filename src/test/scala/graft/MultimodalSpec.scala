@@ -66,6 +66,37 @@ class MultimodalSpec extends SparkSpec {
     assert(m1 == m2, "columnar header decode == decodeStub")
   }
 
+  test("real image decode: ImageIO header metadata for PNG/JPEG, stub fallback beside it") {
+    import spark.implicits._
+    // generate genuine image bytes in-test (ImageIO is part of the JDK)
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JVM can encode $fmt")
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, imageBytes("png", 17, 9)),
+      (2L, imageBytes("jpg", 5, 31)),
+      (3L, Array[Byte](1, 44, 0, 100, 5, 6, 7, 8, 9, 10)), // not an image
+      (4L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val rows = Multimodal.withMediaMeta(df, "content")
+      .orderBy("media_id").select("media_meta.*").collect()
+    assert(rows(0).getString(0) == "png" &&
+      rows(0).getInt(1) == 17 && rows(0).getInt(2) == 9,
+      "real PNG dimensions from the header")
+    assert(rows(1).getString(0).startsWith("jp") &&
+      rows(1).getInt(1) == 5 && rows(1).getInt(2) == 31,
+      "real JPEG dimensions from the header")
+    assert(rows(2).getString(0) == "fmt1" && rows(2).getInt(1) == (1 << 8 | 44),
+      "unrecognized payload falls back to the deterministic stub")
+    assert(rows(3).getString(0) == null && rows(3).getLong(3) == 0L,
+      "null payload -> null meta, zero bytes")
+  }
+
   test("frame sampling: explode shape and bounds") {
     import spark.implicits._
     val big = Seq((1L, Array.tabulate[Byte](1024)(i => (i % 127).toByte)))
