@@ -54,6 +54,24 @@ class WhisperApi(initial: WhisperDB,
   @volatile private var current: WhisperDB = initial
   def db: WhisperDB = current
 
+  /** Serializes read-modify-write transitions of `current`. The
+    * reference server is strictly sequential (one request at a time);
+    * ours runs handlers on a pool, so without this a concurrent
+    * create/create interleaving double-allocates ids and an
+    * update/delete pair loses one of the writes (check-then-act on the
+    * snapshot var). Reads stay lock-free on the volatile snapshot —
+    * only transitions queue, which is exactly the reference's
+    * serialization point, minus blocking the readers.
+    */
+  private val transition = new Object
+  private def mutate[A](f: WhisperDB => Either[ApiError, (WhisperDB, A)]): ApiResult[A] =
+    transition.synchronized {
+      f(current) match {
+        case Left(err) => err
+        case Right((db2, a)) => current = db2; ApiOk(a)
+      }
+    }
+
   /** GET /api/nodes (Q1/Q2 with filters + sort + pagination). */
   def listNodes(filters: NodeFilters = NodeFilters(), sort: String = "id",
                 order: String = "asc", limit: Int = 0, offset: Int = 0): DataFrame =
@@ -81,29 +99,28 @@ class WhisperApi(initial: WhisperDB,
       case Left(msg) => ApiError(400, msg)
       case Right(_) =>
         val stamped = if (n.date.isEmpty) n.copy(date = now()) else n
-        val (db2, id) = current.addNode(stamped)
-        current = db2
-        ApiOk(id)
+        mutate(db => Right(db.addNode(stamped)))
     }
 
   /** PUT /api/nodes/:id (C4; id in the patch is ignored — stripped at
     * the reference API, main.cpp:275).
     */
   def updateNode(id: Long, patch: NodePatch): ApiResult[Long] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else { current = current.updateNode(id, patch); ApiOk(id) }
+    mutate { db =>
+      if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+      else Right((db.updateNode(id, patch), id))
+    }
 
   /** DELETE /api/nodes/:id (C5); cascades blob deletes through the
     * configured FileStore (reference GraphDB.cpp:398-407).
     */
   def deleteNode(id: Long): ApiResult[Long] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else {
-      current = store match {
-        case Some(st) => current.deleteNode(id, st)
-        case None => current.deleteNode(id)
-      }
-      ApiOk(id)
+    mutate { db =>
+      if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+      else Right((store match {
+        case Some(st) => db.deleteNode(id, st)
+        case None => db.deleteNode(id)
+      }, id))
     }
 
   /** GET /api/nodes/:id/files (C8). */
@@ -113,8 +130,10 @@ class WhisperApi(initial: WhisperDB,
     * pre-stored path without writing a blob.
     */
   def attachFile(id: Long, path: String): ApiResult[String] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else { current = current.addFileToNode(id, path); ApiOk(path) }
+    mutate { db =>
+      if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+      else Right((db.addFileToNode(id, path), path))
+    }
 
   /** POST /api/nodes/:id/files (C6 + S5) with CONTENT — the reference's
     * multipart upload path (main.cpp routes → GraphDB.cpp:416-448):
@@ -126,11 +145,9 @@ class WhisperApi(initial: WhisperDB,
     store match {
       case None => ApiError(500, "No file store configured")
       case Some(st) =>
-        if (!current.exists(id)) ApiError(404, s"Node $id not found")
-        else {
-          val (db2, rel) = current.addFileToNode(id, filename, content, st)
-          current = db2
-          ApiOk(rel)
+        mutate { db =>
+          if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+          else Right(db.addFileToNode(id, filename, content, st))
         }
     }
 
@@ -138,13 +155,12 @@ class WhisperApi(initial: WhisperDB,
     * blob when a store is configured (GraphDB.cpp:450-475).
     */
   def detachFile(id: Long, path: String): ApiResult[String] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else {
-      current = store match {
-        case Some(st) => current.removeFileFromNode(id, path, st)
-        case None => current.removeFileFromNode(id, path)
-      }
-      ApiOk(path)
+    mutate { db =>
+      if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+      else Right((store match {
+        case Some(st) => db.removeFileFromNode(id, path, st)
+        case None => db.removeFileFromNode(id, path)
+      }, path))
     }
 
   /** GET /api/nodes/:id/similar?limit (V5, default k=10). */
@@ -156,20 +172,19 @@ class WhisperApi(initial: WhisperDB,
 
   /** POST /api/nodes/:id/embedding (E5). */
   def generateEmbedding(id: Long): ApiResult[Long] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else {
-      val (nodes2, _) = enrich.generateMissingEmbeddings(current.nodes)
-      current = current.withState(current.state.copy(nodes = nodes2))
-      ApiOk(id)
+    mutate { db =>
+      if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+      else {
+        val (nodes2, _) = enrich.generateMissingEmbeddings(db.nodes)
+        Right((db.withState(db.state.copy(nodes = nodes2)), id))
+      }
     }
 
   /** POST /api/nodes/:id/tags (E7). */
   def generateTags(id: Long): ApiResult[TaggingReport] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
-    else {
-      val (db2, report) = enrich.generateTagsForNode(current, id)
-      current = db2
-      ApiOk(report)
+    mutate { db =>
+      if (!db.exists(id)) Left(ApiError(404, s"Node $id not found"))
+      else Right(enrich.generateTagsForNode(db, id))
     }
 
   /** POST /api/cluster?threshold (V7, default 0.75; threshold must be
@@ -177,11 +192,7 @@ class WhisperApi(initial: WhisperDB,
     */
   def cluster(threshold: Double = 0.75): ApiResult[ClusteringReport] =
     if (threshold < 0 || threshold > 1) ApiError(400, "threshold must be in [0,1]")
-    else {
-      val (db2, report) = enrich.runClustering(current, threshold)
-      current = db2
-      ApiOk(report)
-    }
+    else mutate(db => Right(enrich.runClustering(db, threshold)))
 
   /** GET /api/tags (T1). */
   def getTags: Seq[String] = current.tagBank
@@ -194,11 +205,7 @@ class WhisperApi(initial: WhisperDB,
   /** POST /api/tags/link-all?threshold (E9 batch). */
   def linkAllByTags(threshold: Double = 0.3): ApiResult[Long] =
     if (threshold < 0 || threshold > 1) ApiError(400, "threshold must be in [0,1]")
-    else {
-      val (db2, n) = enrich.updateAllTagBasedLinks(current, threshold)
-      current = db2
-      ApiOk(n)
-    }
+    else mutate(db => Right(enrich.updateAllTagBasedLinks(db, threshold)))
 
   /** GET /api/clusters (V8). */
   def clusters(): DataFrame = enrich.getClusters(current)

@@ -297,4 +297,59 @@ class HttpApiSpec extends SparkSpec {
       assert(mapper.readTree(cb).get("nodesProcessed").asLong == 3)
     }
   }
+
+  test("8 concurrent mutating clients: distinct id allocation, no lost " +
+       "updates across nodes, consistent final count") {
+    // the reference server is sequential; ours shares one SparkSession
+    // across a handler pool — this pins that parallel create/update/
+    // delete interleavings cannot lose writes or double-allocate ids
+    withServer() { (base, _) =>
+      val nClients = 8
+      val perClient = 4
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+      try {
+        val futures = (0 until nClients).map { c =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(String, Boolean)]] {
+            def call(): Seq[(String, Boolean)] =
+              (0 until perClient).map { i =>
+                val (cs, cb) = send("POST", s"$base/api/nodes",
+                  s"""{"title":"c$c-n$i","author":"client$c","subject":"load"}""".getBytes)
+                assert(cs == 201 && jsonField(cb, "status") == "success",
+                  s"concurrent create failed: $cs $cb")
+                val id = jsonField(cb, "nodeId")
+                val (us, _) = send("PUT", s"$base/api/nodes/$id",
+                  s"""{"description":"updated by client $c"}""".getBytes)
+                assert(us == 200, s"concurrent update failed on node $id")
+                // every client deletes its even-numbered nodes
+                val deleted = i % 2 == 0
+                if (deleted) {
+                  val (ds, db) = send("DELETE", s"$base/api/nodes/$id")
+                  assert(ds == 200, s"concurrent delete failed on $id: $db")
+                }
+                (id, deleted)
+              }
+          })
+        }
+        val results = futures.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        val allIds = results.map(_._1)
+        assert(allIds.distinct.size == nClients * perClient,
+          s"id allocation raced: ${allIds.size} creates, ${allIds.distinct.size} distinct ids")
+        val survivors = results.filter(!_._2).map(_._1).toSet
+        val (ls, lb) = send("GET", s"$base/api/nodes?limit=1000")
+        assert(ls == 200)
+        val listed = mapper.readTree(lb).get("nodes")
+        val listedIds = (0 until listed.size)
+          .map(listed.get(_).get("id").asLong.toString).toSet
+        assert(listedIds == survivors,
+          s"final node set inconsistent: expected ${survivors.size} survivors, server has ${listedIds.size}")
+        // no lost updates: every survivor carries its client's PUT
+        (0 until listed.size).foreach { j =>
+          val n = listed.get(j)
+          val author = n.get("author").asText // "client<c>"
+          assert(n.get("description").asText == s"updated by ${author.replace("client", "client ")}",
+            s"lost update on node ${n.get("id")}: ${n.get("description").asText}")
+        }
+      } finally pool.shutdownNow()
+    }
+  }
 }
