@@ -95,9 +95,10 @@ object Traversals {
         col("ac.id_a") === col("ab.id_a") && col("ac.id_b") === col("bc.id_b"))
       .select(col("ab.id_a").as("a"), col("ab.id_b").as("b"),
         col("bc.id_b").as("c"))
-    val members = tri.select(col("a").as("id"))
-      .union(tri.select(col("b").as("id")))
-      .union(tri.select(col("c").as("id")))
+    // single-pass corner explode — a 3-branch union would execute the
+    // two-step triangle join three times
+    val members = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
     vertices.select(col(vertices.columns(0)).cast("long").as("id")).distinct()
       .join(members, Seq("id"), "left")

@@ -333,11 +333,10 @@ object SimilarityOps {
     */
   private def degreeFromPairs(emb: DataFrame, idCol: String,
                               pairs: DataFrame): DataFrame = {
-    // the endpoint union reads `pairs` twice — materialize the (often
-    // expensive: LSH verify or all-pairs) candidate pipeline once
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val both = p.select(col("id_a").as("id"))
-      .unionAll(p.select(col("id_b").as("id")))
+    // single-pass endpoint explode — a 2-branch union would read (and
+    // re-execute) the often-expensive candidate pipeline twice
+    val both = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     val counts = both.groupBy("id").agg(count(lit(1)).as("degree"))
     emb.select(col(idCol).as("id"))
       .join(counts, Seq("id"), "left")

@@ -112,13 +112,22 @@ object TagOps {
           array_union(col("linkedNodes"), array(lit(id1))))
         .otherwise(col("linkedNodes")))
 
+  /** Both directions of a canonical (id_a, id_b) edge list as (id, nbr)
+    * rows, in ONE pass over the input — a 2-branch union would execute
+    * the upstream edge pipeline (often an LSH candidate join) twice.
+    */
+  private def symmetrized(edges: DataFrame): DataFrame = edges
+    .select(explode(array(
+      struct(col("id_a").as("id"), col("id_b").as("nbr")),
+      struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("e"))
+    .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
+
   /** Merge a set of undirected edges into linkedNodes (V6 merge
     * semantics, reference EmbeddingService.cpp:86-138): per node, new
     * links = old ∪ neighbors-from-edges.
     */
   def mergeLinks(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionAll(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val adj = symmetrized(edges)
       .groupBy("id").agg(sort_array(collect_set(col("nbr"))).as("__new_links"))
     nodes.join(adj, Seq("id"), "left")
       .withColumn("linkedNodes",
@@ -134,8 +143,7 @@ object TagOps {
     * touches nodes present in the adjacency map).
     */
   def replaceLinks(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionAll(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val adj = symmetrized(edges)
       .groupBy("id").agg(sort_array(collect_set(col("nbr"))).as("__new_links"))
     nodes.join(adj, Seq("id"), "left")
       .withColumn("linkedNodes",

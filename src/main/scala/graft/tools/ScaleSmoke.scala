@@ -4,18 +4,29 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Opt-in 10× scale smoke (not part of the driver contract): runs the
-  * q74 (LSH candidate graph → connected components) and q98 (integer
-  * PageRank) pipelines on a GENERATED embeddings table ~10× sf0.1
-  * (≈ sf1-equivalent), recording wall time and total shuffle bytes —
-  * evidence that the iterative LSH-CC and PageRank loops scale as
-  * designed rather than just asserting it.
+/** Opt-in scale smoke (not part of the driver contract): runs the three
+  * iterative/candidate-generation pipelines the 100 TB claim rests on —
+  * q74's LSH candidate graph → connected components, q98's integer
+  * PageRank, and q92/q101's incremental batch-vs-corpus dedup — on
+  * GENERATED tables `copies`× the sf0.1 data, recording wall time,
+  * per-stage shuffle bytes, and peak task memory. Evidence that the
+  * loops scale as designed rather than just asserting it.
   *
-  * The 10× table replicates sf0.1 with deterministic per-copy
-  * perturbations (id offset + small element-wise delta), so neighbor
-  * structure is preserved without creating degenerate identical-vector
-  * megaclusters. Usage:
-  *   tools/scale_smoke.sh   (or runMain graft.tools.ScaleSmoke [sfDir] [copies])
+  * The replicas use deterministic per-copy perturbations (id offset +
+  * small element-wise delta for vectors; verbatim text for documents —
+  * the crawl-corpus duplication pattern), so neighbor structure is
+  * preserved without creating degenerate identical-vector megaclusters.
+  *
+  * The one knob that MUST grow with the data is the LSH band-key space:
+  * a fixed 4-bit key (16 buckets/band, right for 2k vectors) would put
+  * n/16 vectors in every bucket and the candidate set grows O(n²/16).
+  * The smoke sizes bitsPerBand so expected bucket occupancy stays
+  * ~constant (≈500), exactly what a production deployment does —
+  * candidate volume then grows ~linearly with n.
+  *
+  * Usage: tools/scale_smoke.sh [sfDir] [copies]
+  *   copies=10  → ~sf1-equivalent  (20k vectors)
+  *   copies=100 → ~sf10-equivalent (200k vectors, ~6M corpus shingle rows)
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -42,47 +53,78 @@ object ScaleSmoke {
     val base = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val n0 = base.count()
-    // deterministic 10×: copy c shifts ids by c*n0 and perturbs element
-    // i by ((i*31 + c*17) % 7 - 3) * 0.002 — neighborhoods survive,
-    // copies stay distinct
-    val emb10 = (0 until copies).map { c =>
+    // deterministic copies: copy c shifts ids by c*n0 and perturbs
+    // element i by ((i*31 + c*17) % 7 - 3) * 0.002 — neighborhoods
+    // survive, copies stay distinct
+    val embN = (0 until copies).map { c =>
       base.select(
         (col("vec_id") + lit(c.toLong * n0)).as("vec_id"),
         transform(col("embedding"),
           (x, i) => (x + ((i * 31 + lit(c * 17)) % 7 - 3).cast("float") * 0.002f)
             .cast("float")).as("embedding"))
     }.reduce(_ unionAll _).cache()
-    val n = emb10.count()
+    val n = embN.count()
 
-    def timed[A](f: => A): (A, Double) = {
+    // size the band-key space to the data: ~500 vectors per bucket per
+    // band keeps the verify join linear in n (see scaladoc)
+    val bitsPerBand = math.min(16, math.max(4,
+      (math.log(n / 500.0) / math.log(2)).ceil.toInt))
+
+    def timed[A](f: => A): (A, Double, Long) = {
+      val s0 = shuffleWrite.get
       val t0 = System.nanoTime(); val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
+      (a, (System.nanoTime() - t0) / 1e9, shuffleWrite.get - s0)
     }
 
-    // q74 shape: LSH candidate edges -> RDD pointer-jumping CC
-    val (ccRows, ccSec) = timed {
+    // --- q74 shape: LSH candidate edges → RDD pointer-jumping CC ---
+    val (ccRows, ccSec, ccShuf) = timed {
       val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
-        emb10, "vec_id", "embedding", threshold = 0.4, bands = 3, bitsPerBand = 4)
+        embN, "vec_id", "embedding", threshold = 0.4,
+        bands = 3, bitsPerBand = bitsPerBand)
       graft.graph.Components.connectedComponentsFast(
-        emb10.select("vec_id"), pairs.select("id_a", "id_b")).count()
+        embN.select("vec_id"), pairs.select("id_a", "id_b")).count()
     }
 
-    // q98 shape: 3-iteration integer PageRank over the same graph
-    val (prRows, prSec) = timed {
+    // --- q98 shape: 3-iteration integer PageRank over the same graph ---
+    val (prRows, prSec, prShuf) = timed {
       val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
-        emb10, "vec_id", "embedding", threshold = 0.4, bands = 3, bitsPerBand = 4)
+        embN, "vec_id", "embedding", threshold = 0.4,
+        bands = 3, bitsPerBand = bitsPerBand)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // candidate pipeline runs once (r5 query fix)
       val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
       // default 1e12 scale caps at ~9e4 vertices; micro-unit scale has
       // overflow headroom to ~9e10 (see PageRank scaladoc)
-      graft.graph.PageRank.run(emb10.select("vec_id"), sym.toDF("src", "dst"),
+      graft.graph.PageRank.run(embN.select("vec_id"), sym.toDF("src", "dst"),
         iters = 3, scale = 1000000L).count()
+    }
+
+    // --- q92/q101 shape: incremental batch-vs-corpus dedup. Corpus =
+    // copies× documents replicated VERBATIM under shifted ids (the crawl
+    // duplication pattern: every batch doc has `copies` exact twins);
+    // batch = one near-dup copy (one token appended, so the MinHash band
+    // probe must do real work, not just the md5 exact gate) ---
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val d0 = docs.count()
+    val corpusN = (0 until copies).map { c =>
+      docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"), col("text"))
+    }.reduce(_ unionAll _).cache()
+    val nCorpus = corpusN.count()
+    val batch = docs.select(
+      (col("doc_id") + lit(copies.toLong * d0)).as("doc_id"),
+      concat(col("text"), lit(" smokebatch")).as("text"))
+    val (ddRows, ddSec, ddShuf) = timed {
+      graft.pipeline.Dedup.crossCorpusDedupLsh(
+        corpusN, batch, "doc_id", "text").count()
     }
 
     val json =
       s"""{"metric":"scale_smoke","sf_dir":"$sfDir","copies":$copies,""" +
-        s""""n_vectors":$n,"cc_rows":$ccRows,"cc_sec":${f"$ccSec%.2f"},""" +
-        s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},""" +
+        s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
+        s""""cc_rows":$ccRows,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf,""" +
+        s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf,""" +
+        s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf,""" +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
