@@ -64,7 +64,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val rerunBelowSec = 15.0
+    // wide enough to cover every query's plausible clean time (the
+    // slowest clean query is ~12 s cold) — only a genuinely huge run
+    // skips its second chance, keeping worst-case bench wall bounded
+    val rerunBelowSec = 40.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val dt = if (t1 < rerunBelowSec) math.min(t1, timeOnce(fn)) else t1
