@@ -48,6 +48,21 @@ object Bench {
           .groupBy(col("j")).agg(count(lit(1)), sum(aggregate(col("arr"), lit(0L), _ + _)))
           .count()
       } catch { case _: Throwable => () }
+      // warm the similarity-graph machinery (hyperplane signature, band
+      // explode+join, cosine verify, PageRank's checkpoint loop) on a
+      // tiny synthetic table — otherwise its first-use JIT lands
+      // entirely on whichever graph query runs first alphabetically
+      try {
+        val tiny = spark.range(64).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)),
+            i => (i * col("id") % 13).cast("float") / 13f).as("embedding"))
+        val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
+            tiny, "vec_id", "embedding", threshold = 0.1)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        graft.graph.PageRank.run(tiny.select("vec_id"),
+          sym.toDF("src", "dst"), iters = 1).count()
+      } catch { case _: Throwable => () }
     }
     // evict everything a query (or operator that caches-and-returns) left
     // behind: plan-keyed DataFrame caches AND raw RDD persists (CC labels,

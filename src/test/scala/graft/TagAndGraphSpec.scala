@@ -163,6 +163,34 @@ class TagAndGraphSpec extends SparkSpec {
       (4L, None), (5L, None)), "4 is 3 hops away (beyond bound), 5 isolated")
   }
 
+  test("bfsHops: distances propagate THROUGH edge endpoints outside the " +
+       "vertex table, but only vertices appear in the output") {
+    import spark.implicits._
+    // 99 bridges 1→3 but is not a vertex — the recursive-CTE oracle
+    // walks ALL edges and only joins the vertex table at the end, so the
+    // operator must too (the r4 full-vertex-join shape could not reach 3)
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((1L, 99L), (99L, 3L))
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = graft.graph.Traversals.bfsHops(vertices, sym, source = 1L,
+        maxHops = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(0L)), (2L, None), (3L, Some(2L))),
+      "3 reached via the non-vertex bridge; 99 absent from output")
+  }
+
+  test("bfsHops: early drain — a diameter-1 graph with a huge hop bound " +
+       "terminates and distances are exact") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L).toDF("id")
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = graft.graph.Traversals.bfsHops(vertices, sym, source = 1L,
+        maxHops = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L)))
+  }
+
   test("triangleCounts: each triangle counted once per member") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
