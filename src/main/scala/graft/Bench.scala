@@ -11,11 +11,14 @@ import org.apache.spark.sql.SparkSession
   *    cost, operators that cache-and-return don't leak storage across
   *    104 queries, and no `Asked to cache already cached data` warnings
   *    accumulate;
-  *  - best-of-2 for queries whose first run is under 15 s — a second
-  *    cold run filters transient host contention (the dominant noise
-  *    source on a shared VM) at ~2× cost only where that cost is small;
-  *    long queries are work-dominated, so contention inflates them
-  *    smoothly and a rerun buys little;
+  *  - best-of-2 for queries whose first run is under `rerunBelowSec`
+  *    (40 s — wide enough to cover every query's plausible clean time) —
+  *    a second cold run filters transient host contention and first-use
+  *    JIT at ~2× cost; only a genuinely huge run skips its second
+  *    chance, bounding worst-case bench wall;
+  *  - a query that THROWS is recorded as -1 (and the error printed to
+  *    stderr), never as a fast time — an exception fails in
+  *    milliseconds and would otherwise read as a speedup;
   *  - the JSON line is written to `bench_out.json` FIRST, then printed
   *    and flushed before `spark.stop()`, so neither tail-truncation nor
   *    shutdown log noise can corrupt the parseable artifact.
@@ -64,28 +67,27 @@ object Bench {
           sym.toDF("src", "dst"), iters = 1).count()
       } catch { case _: Throwable => () }
     }
-    // evict everything a query (or operator that caches-and-returns) left
-    // behind: plan-keyed DataFrame caches AND raw RDD persists (CC labels,
-    // localCheckpoint blocks)
-    def evict(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
-    }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      evict()
+    // returns elapsed seconds, or -1 if the query threw (a failure
+    // finishes in milliseconds and must never read as a fast time)
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      Graft.evictAll(spark)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1.0
+      }
     }
-    // wide enough to cover every query's plausible clean time (the
-    // slowest clean query is ~12 s cold) — only a genuinely huge run
-    // skips its second chance, keeping worst-case bench wall bounded
     val rerunBelowSec = 40.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      val dt = if (t1 < rerunBelowSec) math.min(t1, timeOnce(fn)) else t1
+      val t1 = timeOnce(name, fn)
+      val dt =
+        if (t1 < 0) -1.0
+        else if (t1 < rerunBelowSec) {
+          val t2 = timeOnce(name, fn)
+          if (t2 < 0) -1.0 else math.min(t1, t2)
+        } else t1
       System.err.println(f"[bench] $name: $dt%.2fs (first $t1%.2fs)")
       name -> dt
     }
@@ -94,7 +96,7 @@ object Bench {
     def r4(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the file is the driver-parseable artifact; stdout can be truncated

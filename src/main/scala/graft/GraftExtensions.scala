@@ -84,6 +84,20 @@ object Graft {
     spark
   }
 
+  /** Evict everything a query (or an operator that caches-and-returns:
+    * prepared shingles, CC labels, checkpoint blocks) left in executor
+    * storage: plan-keyed DataFrame caches AND raw RDD persists. Harness
+    * mains (Bench/Verify/QueryProbe) call this between queries so
+    * storage stays flat across a 100+ query session; long-lived API
+    * servers can call it on their own cadence.
+    */
+  def evictAll(spark: SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+  }
+
   /** Column-level API for the native expression; requires `install`
     * (or the extension) on the session that runs the plan.
     */

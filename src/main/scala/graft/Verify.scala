@@ -25,10 +25,7 @@ object Verify {
       // evict per query: operators that cache-and-return (prepared
       // shingles, CC labels, checkpoint blocks) would otherwise
       // accumulate storage across the 100+ query session
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
+      Graft.evictAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -81,12 +81,18 @@ class WhisperApi(initial: WhisperDB,
   def countNodes(filters: NodeFilters = NodeFilters()): Long =
     current.countNodes(filters)
 
-  /** GET /api/nodes/:id (C1 + C8: node + files). */
-  def getNode(id: Long): ApiResult[(DataFrame, DataFrame)] =
-    current.find(id) match {
-      case Some(df) => ApiOk((df, current.getNodeFiles(id)))
+  /** GET /api/nodes/:id (C1 + C8: node + files). Reads capture the
+    * snapshot ONCE — a second `current` read racing a delete would
+    * answer from two different states (node from one, files from
+    * another), a response no single state ever had.
+    */
+  def getNode(id: Long): ApiResult[(DataFrame, DataFrame)] = {
+    val db = current
+    db.find(id) match {
+      case Some(df) => ApiOk((df, db.getNodeFiles(id)))
       case None => ApiError(404, s"Node $id not found")
     }
+  }
 
   /** POST /api/nodes (C9/C10: validate + default date + insert).
     * `now` is injectable for determinism (the reference stamps wall
@@ -163,12 +169,16 @@ class WhisperApi(initial: WhisperDB,
       }, path))
     }
 
-  /** GET /api/nodes/:id/similar?limit (V5, default k=10). */
-  def similarNodes(id: Long, limit: Int = 10): ApiResult[DataFrame] =
-    if (!current.exists(id)) ApiError(404, s"Node $id not found")
+  /** GET /api/nodes/:id/similar?limit (V5, default k=10). Snapshot
+    * captured once — see getNode.
+    */
+  def similarNodes(id: Long, limit: Int = 10): ApiResult[DataFrame] = {
+    val db = current
+    if (!db.exists(id)) ApiError(404, s"Node $id not found")
     else ApiOk(SimilarityOps.topKSimilar(
-      current.nodes.filter(org.apache.spark.sql.functions.col("embedding").isNotNull),
+      db.nodes.filter(org.apache.spark.sql.functions.col("embedding").isNotNull),
       "id", "embedding", id, limit))
+  }
 
   /** POST /api/nodes/:id/embedding (E5). */
   def generateEmbedding(id: Long): ApiResult[Long] =
@@ -197,10 +207,13 @@ class WhisperApi(initial: WhisperDB,
   /** GET /api/tags (T1). */
   def getTags: Seq[String] = current.tagBank
 
-  /** GET /api/tags/:tag/nodes (T3 + payload join). */
-  def nodesByTag(tag: String): DataFrame =
-    TagOps.findNodesByTag(current.nodes, tag)
-      .join(current.nodes, "id")
+  /** GET /api/tags/:tag/nodes (T3 + payload join). Snapshot captured
+    * once — see getNode.
+    */
+  def nodesByTag(tag: String): DataFrame = {
+    val nodes = current.nodes
+    TagOps.findNodesByTag(nodes, tag).join(nodes, "id")
+  }
 
   /** POST /api/tags/link-all?threshold (E9 batch). */
   def linkAllByTags(threshold: Double = 0.3): ApiResult[Long] =

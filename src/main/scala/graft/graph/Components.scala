@@ -186,9 +186,12 @@ object Components {
     val spark = df.sparkSession
     // materialize the sort ONCE: zipWithIndex runs an extra counting job
     // for per-partition offsets, and `.rdd` re-plans from scratch — an
-    // un-checkpointed input would re-execute its whole upstream (CC
-    // labels → groupBy here) once per pass (the r4 q38 regression)
-    val sorted = df.orderBy(order: _*).localCheckpoint()
+    // un-cached input would re-execute its whole upstream (CC labels →
+    // groupBy here) once per pass (the r4 q38 regression). cache(), not
+    // localCheckpoint(): the blocks are evictable (Graft.evictAll /
+    // clearCache — long-lived API sessions call clusterSummary
+    // repeatedly) and the lineage stays recomputable after eviction.
+    val sorted = df.orderBy(order: _*).cache()
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))

@@ -33,10 +33,14 @@ object Traversals {
     // (≤ maxHops branches, each materialized — no recursive lineage), so
     // a round is: frontier ⋈ edges → distinct → anti-join reached, ONE
     // checkpoint job, and the loop exits early once the frontier drains.
-    var frontier = vertices
-      .select(col(vertices.columns(0)).cast("long").as("id"))
-      .filter(col("id") === source).distinct()
-      .select(col("id"), lit(0L).as("dist"))
+    // seed the source UNCONDITIONALLY (not filtered through the vertex
+    // table): the recursive-CTE oracle starts from the source id and
+    // walks all edges regardless of vertex membership, joining the
+    // vertex table only at the end — a source present only in the edge
+    // list must still propagate distances to reachable vertices
+    val spark = vertices.sparkSession
+    var frontier = spark.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist"))
       .localCheckpoint()
     var reached = frontier
     var h = 1

@@ -74,7 +74,11 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Option[Row] = {
     if (!imageIoAvailable || bytes == null || bytes.length < 8) return None
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory defaults to a FileCacheImageInputStream for stream
+      // sources (one temp file created+deleted per row on the hot map
+      // path); the bytes are already in memory
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -23,10 +23,7 @@ object QueryProbe {
     // exactly like Bench so run2 measures a cold query, not a session
     // with run1's checkpoint blocks still resident
     (1 to 2).foreach { i =>
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
+      Graft.evictAll(spark)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val n = df.count()

@@ -70,10 +70,20 @@ object ScaleSmoke {
     val bitsPerBand = math.min(16, math.max(4,
       (math.log(n / 500.0) / math.log(2)).ceil.toInt))
 
+    // stage-completed events arrive on the async listener bus AFTER the
+    // action returns — poll the counter to stability before taking a
+    // section's delta, or late events of one section land in the next
+    def settleShuffle(): Long = {
+      var prev = -1L
+      var cur = shuffleWrite.get
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = shuffleWrite.get }
+      cur
+    }
     def timed[A](f: => A): (A, Double, Long) = {
-      val s0 = shuffleWrite.get
+      val s0 = settleShuffle()
       val t0 = System.nanoTime(); val a = f
-      (a, (System.nanoTime() - t0) / 1e9, shuffleWrite.get - s0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (a, dt, settleShuffle() - s0)
     }
 
     // --- q74 shape: LSH candidate edges → RDD pointer-jumping CC ---

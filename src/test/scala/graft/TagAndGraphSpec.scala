@@ -180,6 +180,19 @@ class TagAndGraphSpec extends SparkSpec {
       "3 reached via the non-vertex bridge; 99 absent from output")
   }
 
+  test("bfsHops: a source absent from the vertex table still propagates " +
+       "(oracle seeds the source unconditionally)") {
+    import spark.implicits._
+    val vertices = Seq(2L, 3L).toDF("id")
+    val pairs = Seq((150L, 2L), (2L, 3L))
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = graft.graph.Traversals.bfsHops(vertices, sym, source = 150L,
+        maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)),
+      "distances flow from the non-vertex source; source itself not in output")
+  }
+
   test("bfsHops: early drain — a diameter-1 graph with a huge hop bound " +
        "terminates and distances are exact") {
     import spark.implicits._
