@@ -18,11 +18,18 @@ import org.apache.spark.sql.types._
   * when ImageIO is absent, e.g. a stripped runtime image without
   * `java.desktop`) fall back to the deterministic `decodeStub` — the
   * same detect-or-stub seam as the PDF extractor (io/FileStore S9).
-  * Audio/video feature extraction remains honestly stubbed
-  * (`featureStub` byte histogram — no audio/video libraries exist in
-  * this runtime); the Spark-side contract — schema, partitioning, batch
-  * shape, null behavior — is real and tested, and swapping a real
-  * embedding codec in changes one function.
+  * Audio header decode is REAL too: `withAudioMeta` runtime-detects
+  * `javax.sound.sampled` (also part of `java.desktop`) and reads
+  * container/channels/sample-rate/frame-count from WAV/AIFF/AU headers
+  * — again header-only, no sample data decoded. Image RESIZE is real
+  * for ImageIO-recognized payloads (`resizeImages`: decode, bilinear
+  * scale via `Graphics2D` on a headless `BufferedImage`, re-encode
+  * PNG); that one is O(pixels) by nature and says so below. Video and
+  * the learned feature extraction remain honestly stubbed
+  * (`featureStub` byte histogram — no video codecs or embedding models
+  * exist in this runtime); the Spark-side contract — schema,
+  * partitioning, batch shape, null behavior — is real and tested, and
+  * swapping a real codec in changes one function.
   *
   * Scale notes: binary payloads stay columnar (parquet/binaryFile) and
   * never pass through the driver; feature extraction is map-side only;
@@ -115,6 +122,144 @@ object Multimodal {
         it.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
           Row.fromSeq(r.toSeq :+ decodeMediaMeta(bytes))
+        }
+      }, schema)
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", FloatType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("n_bytes", LongType)))
+
+  /** True iff `javax.sound.sampled` is loadable (part of `java.desktop`
+    * like ImageIO; absent only on jlink-stripped runtimes).
+    */
+  private lazy val javaSoundAvailable: Boolean =
+    try { Class.forName("javax.sound.sampled.AudioSystem"); true }
+    catch { case _: Throwable => false }
+
+  /** Real audio-header decode via javax.sound: container type (wave/
+    * aiff/au), channel count, sample rate, bit depth and frame count
+    * read from the HEADER ONLY — `getAudioFileFormat` never touches
+    * sample data, so cost is O(header) per blob regardless of clip
+    * length. None when no installed provider recognizes the payload
+    * (caller falls back to `audioStub`).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[Row] = {
+    if (!javaSoundAvailable || bytes == null || bytes.length < 12) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val duration =
+        if (f.getFrameRate > 0 && frames >= 0) frames / f.getFrameRate.toDouble
+        else null
+      Some(Row(aff.getType.toString.toLowerCase, f.getChannels,
+        f.getSampleRate, f.getSampleSizeInBits, frames, duration,
+        bytes.length.toLong))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Deterministic fake audio header for payloads javax.sound does not
+    * recognize (or when the module is absent): pure byte arithmetic,
+    * clearly fake values, total over any input.
+    */
+  def audioStub(bytes: Array[Byte]): Row =
+    if (bytes == null || bytes.isEmpty)
+      Row(null, null, null, null, 0L, null, 0L)
+    else {
+      val channels = (bytes(0) & 1) + 1
+      val rate = 8000f * ((bytes(math.min(1, bytes.length - 1)) & 3) + 1)
+      val bits = 8 * ((bytes(math.min(2, bytes.length - 1)) & 1) + 1)
+      val frames = bytes.length.toLong / (channels * bits / 8)
+      Row("pcmstub", channels, rate, bits, frames, frames / rate.toDouble,
+        bytes.length.toLong)
+    }
+
+  /** Attach decoded audio metadata — batch-iterator operator. Real
+    * WAV/AIFF/AU header fields when javax.sound recognizes the payload,
+    * the deterministic stub otherwise (same seam as `withMediaMeta`).
+    */
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+ decodeAudio(bytes).getOrElse(audioStub(bytes)))
+        }
+      }, schema)
+  }
+
+  /** Real image resize: decode via ImageIO, scale to fit inside
+    * maxW×maxH preserving aspect ratio (never upscales), bilinear
+    * `Graphics2D` interpolation on a headless `BufferedImage`,
+    * re-encode as PNG. Unlike the header decodes this is O(pixels) —
+    * the price of a real resample. Returns the ORIGINAL bytes when the
+    * image already fits (no lossy round-trip), None when no reader
+    * recognizes the payload.
+    */
+  def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] = {
+    if (!imageIoAvailable || bytes == null || bytes.length < 8) return None
+    require(maxW > 0 && maxH > 0, s"resize bounds must be positive: ${maxW}x$maxH")
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      if (scale >= 1.0) return Some(bytes)
+      val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  /** Deterministic resize stand-in for non-image payloads: stride-sample
+    * the bytes down to at most maxW*maxH, preserving prefix order.
+    */
+  def resizeStub(bytes: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    if (bytes == null) return Array.emptyByteArray
+    val cap = maxW * maxH
+    if (bytes.length <= cap) bytes
+    else {
+      val stride = math.ceil(bytes.length.toDouble / cap).toInt
+      bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+    }
+  }
+
+  /** Attach a bounded-size `resized` binary column — batch-iterator
+    * operator. ImageIO-recognized payloads get a true bilinear resample
+    * (PNG-encoded); everything else gets the deterministic stride stub.
+    * Payloads never cross the driver; the per-row cost is O(pixels) for
+    * real images, O(bytes) otherwise.
+    */
+  def resizeImages(df: DataFrame, binCol: String, maxW: Int, maxH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("resized", BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+
+            resizeImage(bytes, maxW, maxH).getOrElse(resizeStub(bytes, maxW, maxH)))
         }
       }, schema)
   }

@@ -97,6 +97,83 @@ class MultimodalSpec extends SparkSpec {
       "null payload -> null meta, zero bytes")
   }
 
+  test("real audio decode: javax.sound WAV header metadata, stub fallback beside it") {
+    import spark.implicits._
+    // generate a genuine 1-second 16 kHz mono WAV in-test (javax.sound
+    // is part of the JDK, same as ImageIO)
+    def wavBytes(rateHz: Int, channels: Int, seconds: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, channels, true, false)
+      val nFrames = (rateHz * seconds).toLong
+      val pcm = new Array[Byte]((nFrames * channels * 2).toInt)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wavBytes(16000, 1, 1.0)),
+      (2L, wavBytes(8000, 2, 0.25)),
+      (3L, Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9)), // not audio
+      (4L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val rows = Multimodal.withAudioMeta(df, "content")
+      .orderBy("media_id").select("audio_meta.*").collect()
+    assert(rows(0).getString(0) == "wave" && rows(0).getInt(1) == 1 &&
+      rows(0).getFloat(2) == 16000f && rows(0).getInt(3) == 16 &&
+      rows(0).getLong(4) == 16000L &&
+      math.abs(rows(0).getDouble(5) - 1.0) < 1e-6,
+      "real WAV header: container, channels, rate, depth, frames, duration")
+    assert(rows(1).getInt(1) == 2 && rows(1).getFloat(2) == 8000f &&
+      rows(1).getLong(4) == 2000L,
+      "stereo 8 kHz quarter-second clip decodes from its header")
+    assert(rows(2).getString(0) == "pcmstub",
+      "unrecognized payload falls back to the deterministic stub")
+    // stub determinism: same bytes -> same fake header
+    assert(Multimodal.audioStub(Array[Byte](9, 9, 9)) ==
+      Multimodal.audioStub(Array[Byte](9, 9, 9)))
+    assert(rows(3).getString(0) == null && rows(3).getLong(6) == 0L,
+      "null payload -> null meta, zero bytes")
+  }
+
+  test("real image resize: aspect-preserving bound, PNG re-encode, stub beside it") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val small = imageBytes("png", 10, 8) // already fits -> returned verbatim
+    val df = Seq(
+      (1L, imageBytes("png", 64, 48)),
+      (2L, imageBytes("png", 48, 64)),
+      (3L, small),
+      (4L, Array.tabulate[Byte](5000)(i => (i % 101).toByte)), // not an image
+      (5L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val out = Multimodal.resizeImages(df, "content", 32, 32)
+      .orderBy("media_id").select("media_id", "resized").collect()
+    def dims(bytes: Array[Byte]) = {
+      val r = Multimodal.decodeImage(bytes).get
+      (r.getInt(1), r.getInt(2))
+    }
+    assert(dims(out(0).getAs[Array[Byte]](1)) == (32, 24),
+      "landscape 64x48 -> 32x24 inside a 32x32 box")
+    assert(dims(out(1).getAs[Array[Byte]](1)) == (24, 32),
+      "portrait 48x64 -> 24x32 inside a 32x32 box")
+    assert(out(2).getAs[Array[Byte]](1).sameElements(small),
+      "image already inside the box -> original bytes, no re-encode")
+    val stubbed = out(3).getAs[Array[Byte]](1)
+    assert(stubbed.length <= 32 * 32 && stubbed(0) == 0,
+      "non-image payload stride-sampled to at most maxW*maxH bytes")
+    assert(out(4).getAs[Array[Byte]](1).isEmpty,
+      "null payload -> empty resized blob")
+  }
+
   test("frame sampling: explode shape and bounds") {
     import spark.implicits._
     val big = Seq((1L, Array.tabulate[Byte](1024)(i => (i % 127).toByte)))
