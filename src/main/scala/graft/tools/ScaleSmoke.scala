@@ -24,14 +24,31 @@ import org.apache.spark.sql.functions._
   * ~constant (≈500), exactly what a production deployment does —
   * candidate volume then grows ~linearly with n.
   *
-  * Usage: tools/scale_smoke.sh [sfDir] [copies]
+  * Two replica modes separate WORKLOAD growth from ENGINE scaling:
+  *   - `dense` (default): per-copy element perturbation keeps every
+  *     copy within LSH threshold of its source, so each vector gains
+  *     ~`copies` near-twins — the verified edge set grows
+  *     ~quadratically in `copies`. A worst-case densification stress.
+  *   - `constant`: each copy multiplies its vectors elementwise by a
+  *     deterministic per-copy ±1 (Rademacher) pattern. A common sign
+  *     pattern cancels in every inner product, so WITHIN-copy cosines
+  *     equal the base corpus's exactly, while CROSS-copy cosines
+  *     decorrelate to ~N(0, 1/√dim) — far below the 0.4 threshold at
+  *     dim 64. Graph degree stays constant as n grows: the curve in
+  *     this mode is the engine's own scaling, not the workload's.
+  *
+  * Usage: tools/scale_smoke.sh [sfDir] [copies] [mode]
   *   copies=10  → ~sf1-equivalent  (20k vectors)
   *   copies=100 → ~sf10-equivalent (200k vectors, ~6M corpus shingle rows)
+  *   mode = dense | constant (writes scale_smoke.json /
+  *     scale_smoke_constant.json respectively)
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val mode = args.drop(2).headOption.getOrElse("dense")
+    require(mode == "dense" || mode == "constant", s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,11 +74,20 @@ object ScaleSmoke {
     // element i by ((i*31 + c*17) % 7 - 3) * 0.002 — neighborhoods
     // survive, copies stay distinct
     val embN = (0 until copies).map { c =>
-      base.select(
-        (col("vec_id") + lit(c.toLong * n0)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => (x + ((i * 31 + lit(c * 17)) % 7 - 3).cast("float") * 0.002f)
-            .cast("float")).as("embedding"))
+      val shiftedId = (col("vec_id") + lit(c.toLong * n0)).as("vec_id")
+      val replica =
+        if (mode == "constant")
+          // Rademacher sign per (element, copy) via Murmur3: common
+          // within a copy (inner products unchanged), decorrelated
+          // across copies (cross cosines ~N(0, 1/sqrt(dim)))
+          transform(col("embedding"), (x, i) =>
+            (x * when(pmod(hash(i, lit(c)), lit(2)) === 0, 1.0f).otherwise(-1.0f))
+              .cast("float"))
+        else
+          transform(col("embedding"),
+            (x, i) => (x + ((i * 31 + lit(c * 17)) % 7 - 3).cast("float") * 0.002f)
+              .cast("float"))
+      base.select(shiftedId, replica.as("embedding"))
     }.reduce(_ unionAll _).cache()
     val n = embN.count()
 
@@ -130,14 +156,16 @@ object ScaleSmoke {
     }
 
     val json =
-      s"""{"metric":"scale_smoke","sf_dir":"$sfDir","copies":$copies,""" +
+      s"""{"metric":"scale_smoke","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
         s""""cc_rows":$ccRows,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf,""" +
         s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf,""" +
         s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf,""" +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
+    val outFile =
+      if (mode == "constant") "scale_smoke_constant.json" else "scale_smoke.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -1,9 +1,11 @@
 #!/bin/bash
 # Opt-in 10x scale smoke: q74 LSH-CC + q98 PageRank on a generated
-# ~sf1-equivalent embeddings table. Usage: tools/scale_smoke.sh [sfDir] [copies]
+# ~sf1-equivalent embeddings table. Usage: tools/scale_smoke.sh [sfDir] [copies] [mode]
+# mode: dense (default, densifying worst case) | constant (constant-degree)
 set -e
 SF=${1:-/root/testdata/sf0.1}
 COPIES=${2:-10}
+MODE=${3:-dense}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -16,4 +18,4 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 exec java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.tools.ScaleSmoke "$SF" "$COPIES"
+  graft.tools.ScaleSmoke "$SF" "$COPIES" "$MODE"
