@@ -24,12 +24,16 @@ import org.apache.spark.sql.types._
   * — again header-only, no sample data decoded. Image RESIZE is real
   * for ImageIO-recognized payloads (`resizeImages`: decode, bilinear
   * scale via `Graphics2D` on a headless `BufferedImage`, re-encode
-  * PNG); that one is O(pixels) by nature and says so below. Video and
-  * the learned feature extraction remain honestly stubbed
-  * (`featureStub` byte histogram — no video codecs or embedding models
-  * exist in this runtime); the Spark-side contract — schema,
-  * partitioning, batch shape, null behavior — is real and tested, and
-  * swapping a real codec in changes one function.
+  * PNG); that one is O(pixels) by nature and says so below. Video
+  * CONTAINER metadata is REAL as well: `withVideoMeta` walks ISO-BMFF
+  * (MP4/MOV) boxes byte-by-byte — brand, movie duration, track
+  * dimensions — needing no library at all. What remains honestly
+  * stubbed is anything requiring an actual media CODEC or model:
+  * video frame decode (`sampleFrames` slices bytes, not pictures) and
+  * learned feature extraction (`featureStub` byte histogram). The
+  * Spark-side contract — schema, partitioning, batch shape, null
+  * behavior — is real and tested, and swapping a real codec in
+  * changes one function.
   *
   * Scale notes: binary payloads stay columnar (parquet/binaryFile) and
   * never pass through the driver; feature extraction is map-side only;
@@ -194,6 +198,122 @@ object Multimodal {
         it.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
           Row.fromSeq(r.toSeq :+ decodeAudio(bytes).getOrElse(audioStub(bytes)))
+        }
+      }, schema)
+  }
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("timescale", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("n_bytes", LongType)))
+
+  /** Real video-container header decode: a pure byte-level ISO-BMFF
+    * (MP4/MOV/3GP, ISO/IEC 14496-12) box walk — `ftyp` gives the major
+    * brand, `moov/mvhd` the movie timescale + duration (v0 and v1
+    * boxes), and the first `trak/tkhd` with nonzero dimensions the
+    * presentation width×height (16.16 fixed-point; audio-only files
+    * report 0×0 honestly). No codec library involved — box headers are
+    * length-prefixed, so cost is O(boxes), never O(media). None when
+    * the payload is not ISO-BMFF or the structure is malformed (caller
+    * falls back to `videoStub`). Frame DECODE (pixels) still needs a
+    * real codec and stays behind `sampleFrames`' stub.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long =
+      if (off + 8 > bytes.length) -1L else (u32(off) << 32) | u32(off + 4)
+    def typ(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the child boxes of [start, end), calling f(type, payloadStart,
+    // payloadEnd); returns false on structural corruption
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off)
+        val (size, hdr) =
+          if (size0 == 1L) (u64(off + 8), 16) // 64-bit largesize
+          else if (size0 == 0L) ((end - off).toLong, 8) // to end of span
+          else (size0, 8)
+        if (size < hdr || off + size > end) return false
+        f(typ(off + 4), off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+      true
+    }
+    try {
+      // sniff: an ISO-BMFF file leads with a box whose type is ftyp (or
+      // moov/mdat/free/wide for brand-less QuickTime)
+      val lead = typ(4)
+      if (!Set("ftyp", "moov", "mdat", "free", "wide", "skip").contains(lead))
+        return None
+      var brand: String = null
+      var timescale = -1L
+      var durationUnits = -1L
+      var w = 0; var h = 0
+      val ok = walk(0, bytes.length) { (t, p, pEnd) =>
+        t match {
+          case "ftyp" if pEnd - p >= 4 => brand = typ(p).trim
+          case "moov" =>
+            walk(p, pEnd) { (t2, p2, p2End) =>
+              t2 match {
+                case "mvhd" if p2 < p2End =>
+                  val v = bytes(p2) & 0xff
+                  if (v == 1) { timescale = u32(p2 + 20); durationUnits = u64(p2 + 24) }
+                  else { timescale = u32(p2 + 12); durationUnits = u32(p2 + 16) }
+                case "trak" =>
+                  walk(p2, p2End) { (t3, p3, _) =>
+                    if (t3 == "tkhd" && w == 0) {
+                      val v = bytes(p3) & 0xff
+                      val base = if (v == 1) p3 + 88 else p3 + 76
+                      val tw = (u32(base) >> 16).toInt // 16.16 fixed point
+                      val th = (u32(base + 4) >> 16).toInt
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                    }
+                  }
+                case _ =>
+              }
+            }
+          case _ =>
+        }
+      }
+      if (!ok || timescale <= 0) None
+      else Some(Row(if (brand != null) brand else "mov", w, h, timescale,
+        if (durationUnits >= 0) durationUnits.toDouble / timescale else null,
+        bytes.length.toLong))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Deterministic fake video header for non-ISO-BMFF payloads: pure
+    * byte arithmetic, clearly fake values, total over any input.
+    */
+  def videoStub(bytes: Array[Byte]): Row =
+    if (bytes == null || bytes.isEmpty)
+      Row(null, null, null, 0L, null, 0L)
+    else Row("rawstub",
+      ((bytes(0) & 0xff) << 4) + 16,
+      ((bytes(math.min(1, bytes.length - 1)) & 0xff) << 4) + 16,
+      90000L, bytes.length / 90000.0, bytes.length.toLong)
+
+  /** Attach decoded video-container metadata — batch-iterator operator.
+    * Real brand/dimensions/duration for ISO-BMFF payloads, the
+    * deterministic stub otherwise (same seam as `withMediaMeta`).
+    */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("video_meta", videoMetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(r.toSeq :+ decodeVideo(bytes).getOrElse(videoStub(bytes)))
         }
       }, schema)
   }

@@ -137,6 +137,65 @@ class MultimodalSpec extends SparkSpec {
       "null payload -> null meta, zero bytes")
   }
 
+  test("real video decode: ISO-BMFF box walk for MP4 headers, stub fallback beside it") {
+    import spark.implicits._
+    // hand-assemble a minimal valid MP4 (ISO/IEC 14496-12): length-
+    // prefixed boxes are the whole format, so a spec-true file fits in
+    // a few hundred bytes
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u64(v: Long): Array[Byte] = u32(v >> 32) ++ u32(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def mp4(brand: String, timescale: Long, durationUnits: Long,
+            w: Int, h: Int, v1: Boolean): Array[Byte] = {
+      val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ u32(0) ++
+        "isom".getBytes("US-ASCII"))
+      val mvhd =
+        if (v1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++
+          u32(timescale) ++ u64(durationUnits) ++ new Array[Byte](80))
+        else box("mvhd", new Array[Byte](4) ++ u32(0) ++ u32(0) ++
+          u32(timescale) ++ u32(durationUnits) ++ new Array[Byte](80))
+      // tkhd v0: ver+flags(4) creation/mod/id/res/duration(20)
+      // reserved(8) layer/alt/vol/res(8) matrix(36) then 16.16 dims
+      val tkhd = box("tkhd", new Array[Byte](76) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd)) ++
+        box("mdat", Array[Byte](1, 2, 3))
+    }
+    val df = Seq(
+      (1L, mp4("isom", 1000L, 5000L, 640, 360, v1 = false)),
+      (2L, mp4("mp42", 90000L, 45000L, 1920, 1080, v1 = true)),
+      (3L, Array[Byte](8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8)), // not a video
+      (4L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val rows = Multimodal.withVideoMeta(df, "content")
+      .orderBy("media_id").select("video_meta.*").collect()
+    assert(rows(0).getString(0) == "isom" && rows(0).getInt(1) == 640 &&
+      rows(0).getInt(2) == 360 && rows(0).getLong(3) == 1000L &&
+      math.abs(rows(0).getDouble(4) - 5.0) < 1e-9,
+      "v0 boxes: brand, 16.16 track dims, mvhd timescale/duration")
+    assert(rows(1).getString(0) == "mp42" && rows(1).getInt(1) == 1920 &&
+      rows(1).getInt(2) == 1080 &&
+      math.abs(rows(1).getDouble(4) - 0.5) < 1e-9,
+      "v1 boxes read their 64-bit duration at the shifted offsets")
+    assert(rows(2).getString(0) == "rawstub",
+      "non-ISO-BMFF payload falls back to the deterministic stub")
+    assert(Multimodal.videoStub(Array[Byte](8, 8, 8)) ==
+      Multimodal.videoStub(Array[Byte](8, 8, 8)), "stub determinism")
+    assert(rows(3).getString(0) == null && rows(3).getLong(5) == 0L,
+      "null payload -> null meta, zero bytes")
+    // audio-only ISO-BMFF (no video trak): real parse, honest 0x0 dims
+    val m4a = mp4("M4A ", 600L, 600L, 0, 0, v1 = false)
+    val r = Multimodal.decodeVideo(m4a).get
+    assert(r.getString(0) == "M4A" && r.getInt(1) == 0 && r.getInt(2) == 0 &&
+      math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    // truncated moov: structural corruption -> None, not garbage fields
+    val cut = mp4("isom", 1000L, 5000L, 640, 360, v1 = false)
+    assert(Multimodal.decodeVideo(cut.take(cut.length - 40)).isEmpty)
+  }
+
   test("real image resize: aspect-preserving bound, PNG re-encode, stub beside it") {
     import spark.implicits._
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
