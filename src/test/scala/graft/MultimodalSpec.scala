@@ -243,6 +243,100 @@ class MultimodalSpec extends SparkSpec {
     assert(r(0).getInt(2) == 0 && r(0).getAs[Array[Byte]](3).length == 64)
   }
 
+  test("real frame extraction: animated GIF frames decoded, stub beside it") {
+    import spark.implicits._
+    // write a genuine 5-frame animated GIF in-test via ImageIO's
+    // sequence writer (GIF encode+decode are both in the JDK)
+    def animatedGif(nFrames: Int, w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until nFrames).foreach { i =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, i * 0x112233) // frames differ
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val gif = animatedGif(5, 12, 7)
+    val df = Seq(
+      (1L, gif),
+      (2L, Array.tabulate[Byte](1024)(i => (i % 127).toByte))) // not a gif
+      .toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(df, "content", frameSize = 64, stride = 2)
+      .orderBy("media_id", "frame_idx")
+      .select("media_id", "frame_idx", "frame").collect()
+    val gifFrames = frames.filter(_.getLong(0) == 1L)
+    assert(gifFrames.map(_.getInt(1)).toSeq == Seq(0, 2, 4),
+      "every stride-th frame of the 5-frame sequence, true indices")
+    gifFrames.foreach { fr =>
+      val meta = Multimodal.decodeImage(fr.getAs[Array[Byte]](2)).get
+      assert(meta.getString(0) == "png" &&
+        meta.getInt(1) == 12 && meta.getInt(2) == 7,
+        "extracted frames are real decoded images at the GIF's dimensions")
+    }
+    assert(frames.count(_.getLong(0) == 2L) == 8,
+      "non-GIF payload still byte-slices: 1024/(64*2) = 8 stub frames")
+    // single-frame GIF degenerates to one real frame
+    assert(Multimodal.extractGifFrames(animatedGif(1, 3, 3), 2).get.size == 1)
+  }
+
+  test("real audio features: PCM decode with known-signal statistics, stub beside it") {
+    import spark.implicits._
+    // half-scale square wave at 16-bit: rms = peak = 0.5 exactly, and
+    // the sign flips every sample so zero-cross rate = 1
+    def squareWav(rateHz: Int, n: Int, amp: Short, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rateHz.toFloat, 16, 1, true, bigEndian)
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = if (i % 2 == 0) amp else (-amp).toShort
+        val (lo, hi) = if (bigEndian) (i * 2 + 1, i * 2) else (i * 2, i * 2 + 1)
+        pcm(lo) = (v & 0xff).toByte; pcm(hi) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, squareWav(8000, 800, 16384, bigEndian = false)),
+      (2L, Array[Byte](7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7)), // not audio
+      (3L, null: Array[Byte]))
+      .toDF("media_id", "content")
+    val rows = Multimodal.withAudioFeatures(df, "content")
+      .orderBy("media_id").select("audio_features.*").collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.5) < 1e-9 &&
+      math.abs(rows(0).getDouble(1) - 0.5) < 1e-9,
+      "real PCM decode: half-scale square wave has rms = peak = 0.5")
+    assert(math.abs(rows(0).getDouble(2) - 1.0) < 1e-9 &&
+      rows(0).getLong(3) == 800L,
+      "alternating signs -> zero-cross rate 1.0 over 800 samples")
+    // byte-order independence: the same signal big-endian decodes equal
+    val be = Multimodal.audioFeatures(
+      squareWav(8000, 800, 16384, bigEndian = true)).get
+    assert(math.abs(be.getDouble(0) - 0.5) < 1e-9 && be.getLong(3) == 800L)
+    // amplitude scales linearly: quarter-scale square wave -> rms 0.25
+    val dc = Multimodal.audioFeatures(squareWav(8000, 4, 8192, false))
+    assert(math.abs(dc.get.getDouble(0) - 0.25) < 1e-9)
+    // non-audio payload: deterministic stub over raw bytes
+    assert(rows(1).getLong(3) == 13L && rows(1).getDouble(1) == 7.0 / 128,
+      "stub treats bytes as signed 8-bit samples")
+    assert(Multimodal.audioFeatureStub(Array[Byte](7, 7)) ==
+      Multimodal.audioFeatureStub(Array[Byte](7, 7)), "stub determinism")
+    assert(rows(2).isNullAt(0) && rows(2).getLong(3) == 0L,
+      "null payload -> null stats, zero samples")
+  }
+
   test("binaryFile source ingests a directory") {
     val dir = java.nio.file.Files.createTempDirectory("binsrc")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
