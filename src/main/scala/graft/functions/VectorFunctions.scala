@@ -53,6 +53,13 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(fsum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y))))
 
+  /** Squared L2 distance (no sqrt) — the additive form product
+    * quantization needs: per-subspace squared distances sum to the
+    * full-vector squared distance, so ADC lookup tables stay exact.
+    */
+  def sqDistance(a: Column, b: Column): Column =
+    fsum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
+
   /** Deterministic pseudo-random sign for hyperplane j, dimension i
     * (both 0-based): a middle bit of an integer mix — portable integer
     * arithmetic, identical in the DuckDB oracle.

@@ -108,6 +108,21 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- product quantization: packed codes + distortion (the 64x
+    //      memory compression a 100 TB embedding index ships) ----
+    "q112_pq_codes" -> { (s, d) =>
+      SimilarityOps.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 8, nCodes = 16)
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- PQ search via asymmetric distance computation: LUT equi-join
+    //      over codes only, no vector math per candidate ----
+    "q113_pq_adc_topk" -> { (s, d) =>
+      SimilarityOps.pqAdcTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, m = 8, nCodes = 16, k = 10)
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -258,6 +273,56 @@ object SimilarityPack extends QueryPack {
          |        generate_subscripts(embedding, 1) AS pos
          |      FROM assign) t
          |GROUP BY centroid, pos ORDER BY centroid, pos""".stripMargin,
+
+    "q112_pq_codes" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code, d2m FROM (
+         |        SELECT vec_id, sub, code, d2m,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1)
+         |SELECT vec_id, CAST(SUM(code << (sub * 4)) AS BIGINT) AS pq_code,
+         |  CAST(SUM(d2m) AS DOUBLE) / 1e6 AS distortion
+         |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    "q113_pq_adc_topk" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |q AS (SELECT sub, sv AS qv FROM sl WHERE vec_id = 0),
+         |lut AS (SELECT cb.sub, cb.code,
+         |          CAST(ROUND(${sq("q.qv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM cb JOIN q USING (sub))
+         |SELECT a.vec_id, CAST(SUM(l.lm) AS DOUBLE) / 1e6 AS adc_dist
+         |FROM a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+         |WHERE a.vec_id <> 0
+         |GROUP BY a.vec_id
+         |ORDER BY adc_dist ASC, a.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "q36_label_centroid" ->
       """SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 6) AS avg_v

@@ -172,6 +172,43 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("pqCodes/pqAdcTopK: exact codes, zero seed distortion, ADC order") {
+    // dim 8, m=4 (subDim 2), nCodes=4. Seeds 0..3 are flat vectors of
+    // value i+1, so every subspace's codebook is {[1,1],[2,2],[3,3],
+    // [4,4]} and all assignments are hand-computable in exact floats.
+    val vecs = (0 until 4).map { i =>
+      (i.toLong, Array.fill(8)((i + 1).toFloat))
+    } :+ (4L, Array(1f, 1f, 2f, 2f, 3f, 3f, 4f, 4f)) // exact tile of seeds
+    val emb = vecs.toDF("vec_id", "embedding")
+    val codes = SimilarityOps.pqCodes(emb, "vec_id", "embedding", m = 4, nCodes = 4)
+      .orderBy("vec_id").collect()
+    // seed i's code in every subspace is i -> packed i*(1+4+16+64)=85i
+    // (bitsPerCode=2); the tiled vector packs (0,1,2,3) -> 228
+    assert(codes.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 85L), (2L, 170L), (3L, 255L), (4L, 228L)))
+    assert(codes.forall(_.getDouble(2) == 0.0),
+      "every vector is exactly codebook-representable -> zero distortion")
+    // ADC from query 4: codes are exact, so adc == true squared L2:
+    // d2(1)=2+0+2+8=12, d2(2)=8+2+0+2=12, d2(0)=d2(3)=28 — both tie
+    // pairs break by id
+    val adc = SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding",
+        queryId = 4L, m = 4, nCodes = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(adc.toSeq == Seq((1L, 12.0), (2L, 12.0), (0L, 28.0), (3L, 28.0)))
+    // lossy case: a vector strictly between seeds quantizes to the
+    // nearer seed (tie to lower code) and reports the exact residual
+    val lossy = (vecs :+ (5L, Array.fill(8)(1.2f))).toDF("vec_id", "embedding")
+    val r5 = SimilarityOps.pqCodes(lossy, "vec_id", "embedding", m = 4, nCodes = 4)
+      .filter(col("vec_id") === 5L).collect()(0)
+    assert(r5.getLong(1) == 0L, "1.2 is nearest seed 1 -> code 0 in every sub")
+    // residual: 8 dims x (1.2f-1)^2, micro-rounded per subspace then
+    // exactly summed — replay the same arithmetic
+    val per = BigDecimal(
+      (1.2f - 1.0).toDouble * (1.2f - 1.0).toDouble * 2 * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r5.getDouble(2) == per * 4 / 1e6, "exact integer-micro distortion")
+  }
+
   test("spanDupStats: only cross-doc windows count as duplicated") {
     val docs = Seq(
       (1L, "s1 s2 s3 s4 s5 s6 s7 s8 a1 a2"), // 3 windows, 1 shared
