@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{ByteHistogram, CmsSketch, CosineSimilarity, KmvSketch}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, KmvSketch}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.kmvSketchDescriptor)
     ext.injectFunction(Graft.cmsSketchDescriptor)
     ext.injectFunction(Graft.byteHistogramDescriptor)
+    ext.injectFunction(Graft.bloomSketchDescriptor)
   }
 }
 
@@ -73,10 +74,24 @@ object Graft {
       ByteHistogram(children.head, bins)
     })
 
+  private[graft] val bloomSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_sketch"),
+    new ExpressionInfo(classOf[BloomSketch].getName, "bloom_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "bloom_sketch expects (hash_col, bits, hashes)")
+      (children(1), children(2)) match {
+        case (Literal(bits: Int, _), Literal(k: Int, _)) =>
+          BloomSketch(children.head, bits, k)
+        case other => throw new IllegalArgumentException(
+          s"bloom_sketch bits/hashes must be integer literals, got $other")
+      }
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
-        byteHistogramDescriptor).foreach {
+        byteHistogramDescriptor, bloomSketchDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -119,6 +134,32 @@ object Graft {
   def byteHistogram(bin: Column, bins: Int): Column =
     call_function("byte_histogram", bin,
       org.apache.spark.sql.functions.lit(bins))
+
+  /** Bloom filter (packed bit words) over a pre-hashed bigint column. */
+  def bloomSketch(hashed: Column, bits: Int, hashes: Int): Column =
+    call_function("bloom_sketch", hashed,
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(hashes))
+
+  /** Bloom membership probe: true iff ALL `hashes` addressed bits are
+    * set — pure column arithmetic (element_at + mask), no UDF, so the
+    * probe side stays inside whole-stage codegen. Same universal-hash
+    * family as the sketch update. No false negatives; false positives
+    * at the textbook (1−e^(−kn/m))^k rate, deterministically
+    * reproducible in any engine that replays the bit arithmetic.
+    */
+  def bloomContains(sketch: Column, hashed: Column,
+                    bits: Int, hashes: Int): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until hashes).map { i =>
+      val bit = pmod(
+        (hashed * (2L * i + 1L) + (i.toLong * i + 98765L)),
+        lit(graft.functions.TextFunctions.MinhashP)) % bits
+      val word = element_at(sketch, (floor(bit / 64) + 1).cast("int"))
+      val mask = call_function("shiftleft", lit(1L), (bit % 64).cast("int"))
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+  }
 
   /** CMS point estimate: min over rows of the addressed counter.
     * `hashed` is the probe key's md5Long; same universal-hash family as

@@ -93,6 +93,49 @@ object Corpus {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB form of `decontaminate`:
+    * the eval set's n-gram shingles compress into ONE fixed-size bit
+    * array (`functions.BloomSketch`, default 32768 bits = 4 KiB
+    * regardless of eval size), broadcast to every executor, and each
+    * training shingle probes it with pure column arithmetic
+    * (`Graft.bloomContains` — codegen'd, no UDF, no shuffle on the
+    * probe side). Compare: exact `decontaminate` shuffles the full
+    * eval-shingle vocabulary into an equi-join; here the "join" is a
+    * broadcast blob + map-side bit tests, the standard production
+    * shape for blocklist/benchmark screening at corpus scale.
+    *
+    * Semantics: NO false negatives (every truly contaminated shingle
+    * is flagged); false positives at the textbook (1−e^(−kn/m))^k
+    * rate, deterministic — the oracle replays the exact bit set, so
+    * even the false positives hash-match. Output per train doc:
+    * (id, n_shingles, n_flagged, flagged). Requires `Graft.install`.
+    */
+  def bloomDecontaminate(df: DataFrame, idCol: String, textCol: String,
+                         evalPred: org.apache.spark.sql.Column,
+                         n: Int = 5, bits: Int = 32768,
+                         hashes: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), evalPred.as("__is_eval"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("__s"))
+      .withColumn("__h", md5Long(col("__s")))
+    val sketch = sh.filter(col("__is_eval"))
+      .agg(graft.Graft.bloomSketch(col("__h"), bits, hashes).as("__bloom"))
+    val probed = sh.filter(!col("__is_eval"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("__hit",
+        graft.Graft.bloomContains(col("__bloom"), col("__h"), bits, hashes))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_flagged"))
+    df.filter(!evalPred)
+      .select(col(idCol))
+      .join(probed, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).as("flagged"))
+  }
+
   /** Cross-document repeated-span detection (the signal behind exact
     * substring dedup, Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022 — windowed-hash form): every

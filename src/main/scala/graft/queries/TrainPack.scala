@@ -75,6 +75,15 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Bloom-filter decontamination: eval shingles -> one 4 KiB
+    //      broadcast bit array, train shingles probe it map-side ----
+    "q114_bloom_decontaminate" -> { (s, d) =>
+      Corpus.bloomDecontaminate(Tables.documents(s, d), "doc_id", "text",
+          evalPred = col("doc_id") % 10 === 0, n = 5,
+          bits = 32768, hashes = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- PII scrub over a constructed contact string ----
     "q82_pii_scrub" -> { (s, d) =>
       val withContact = Tables.documents(s, d)
@@ -261,6 +270,35 @@ object TrainPack extends QueryPack {
          |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
          |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q114_bloom_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+         |    unnest(list_distinct(${shingleSql("tk", 5)})) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |hv AS (SELECT doc_id, is_eval, ${md5LongSql("s")} AS h FROM sh),
+         |ki AS (SELECT unnest(range(0, 3)) AS i),
+         |bits AS (SELECT DISTINCT
+         |           ((2 * ki.i + 1) * hv.h + ki.i * ki.i + 98765)
+         |             % 2147483647 % 32768 AS bit
+         |         FROM hv, ki WHERE is_eval),
+         |tr AS (SELECT doc_id, h, row_number() OVER () AS rid
+         |       FROM hv WHERE NOT is_eval),
+         |pb AS (SELECT tr.doc_id, tr.rid,
+         |         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nset
+         |       FROM tr CROSS JOIN ki
+         |       LEFT JOIN bits b
+         |         ON ((2 * ki.i + 1) * tr.h + ki.i * ki.i + 98765)
+         |              % 2147483647 % 32768 = b.bit
+         |       GROUP BY tr.doc_id, tr.rid),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
+         |          SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS n_flagged
+         |        FROM pb GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_shingles, 0) AS n_shingles,
+         |  COALESCE(a.n_flagged, 0) AS n_flagged,
+         |  COALESCE(a.n_flagged, 0) > 0 AS flagged
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     "q82_pii_scrub" ->

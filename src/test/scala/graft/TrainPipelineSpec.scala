@@ -172,6 +172,49 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("bloomSketch: no false negatives, partition-invariant, exact bit replay") {
+    Graft.install(spark)
+    val P = graft.functions.TextFunctions.MinhashP
+    val bits = 1024; val k = 3
+    def positions(h: Long): Seq[Long] =
+      (0 until k).map(i => ((2L * i + 1) * h + i.toLong * i + 98765L) % P % bits)
+    val keys = (0L until 200L).map(x => (x * 7919L + 13L) % P)
+    val sketchRow = keys.toDF("h")
+      .agg(Graft.bloomSketch(col("h"), bits, k).as("bloom"))
+    val words = sketchRow.collect()(0).getSeq[Long](0)
+    assert(words.length == bits / 64, "fixed-size state: bits/64 words")
+    // exact bit replay in Scala: the sketch IS the positions set
+    val expected = keys.flatMap(positions).toSet
+    val actual = (0 until bits).filter(b =>
+      (words(b >>> 6) & (1L << (b & 63))) != 0L).map(_.toLong).toSet
+    assert(actual == expected, "bit array matches the Scala replay exactly")
+    // partition invariance: OR-merge is commutative/associative
+    val words32 = keys.toDF("h").repartition(32)
+      .agg(Graft.bloomSketch(col("h"), bits, k).as("bloom"))
+      .collect()(0).getSeq[Long](0)
+    assert(words32 == words, "same sketch from any partitioning")
+    // no false negatives: every inserted key probes true (codegen probe)
+    val probed = keys.toDF("h").crossJoin(broadcast(sketchRow))
+      .select(Graft.bloomContains(col("bloom"), col("h"), bits, k).as("hit"))
+      .collect()
+    assert(probed.forall(_.getBoolean(0)), "inserted keys always hit")
+    // probe side agrees with the Scala membership rule, FPs included
+    val fresh = (0L until 500L).map(x => (x * 104729L + 7L) % P)
+    val got = fresh.toDF("h").crossJoin(broadcast(sketchRow))
+      .select(col("h"), Graft.bloomContains(col("bloom"), col("h"), bits, k).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    fresh.foreach { h =>
+      assert(got(h) == positions(h).forall(expected.contains),
+        s"probe($h) must equal the bit-set rule")
+    }
+    // and at this load (200 keys, 1024 bits, kn/m≈0.59) some false
+    // positive exists among 500 fresh keys — the filter is lossy by
+    // design, deterministically so
+    val inserted = keys.toSet
+    assert(fresh.exists(h => got(h) && !inserted.contains(h)),
+      "expected at least one deterministic false positive")
+  }
+
   test("pqCodes/pqAdcTopK: exact codes, zero seed distortion, ADC order") {
     // dim 8, m=4 (subDim 2), nCodes=4. Seeds 0..3 are flat vectors of
     // value i+1, so every subspace's codebook is {[1,1],[2,2],[3,3],
