@@ -212,6 +212,47 @@ object EventStreams {
         (!col("exact_dup") && col("n_near") === 0).as("is_new"))
   }
 
+  /** Streaming Bloom decontamination — the streaming twin of
+    * `Corpus.bloomDecontaminate` and the cheapest member of the
+    * stream-screening family: the static eval/blocklist corpus
+    * compresses ONCE (at plan time) into a fixed-size Bloom bit array
+    * (`functions.BloomSketch`, default 4 KiB) embedded in the plan as a
+    * literal — the production shape, where the sketch is a precomputed
+    * blob shipped with the job — and every batch shingle probes it with
+    * pure codegen'd column arithmetic (`Graft.bloomContains`). Per-batch
+    * cost is stateless maps + ONE update-mode aggregate keyed by doc id
+    * (each doc arrives once, its row carries the complete decision);
+    * nothing about the corpus is ever shuffled or joined. Decision
+    * semantics identical to the batch operator's probe side
+    * (spec-pinned stream==batch): no false negatives, deterministic
+    * false positives. Docs with no shingles (empty text) emit no row.
+    * Requires `Graft.install` on the session.
+    */
+  def corpusDecontaminateStreamBloom(newDocs: DataFrame, corpus: DataFrame,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text", n: Int = 5,
+                                     bits: Int = 32768,
+                                     hashes: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    val words = corpus
+      .select(explode(array_distinct(shingles(tokens(col(textCol)), n)))
+        .as("__s"))
+      .agg(graft.Graft.bloomSketch(md5Long(col("__s")), bits, hashes)
+        .as("__bloom"))
+      .collect()(0).getSeq[Long](0)
+    val sketch = typedLit(words)
+    newDocs
+      .select(col(idCol),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("__s"))
+      .withColumn("__hit",
+        graft.Graft.bloomContains(sketch, md5Long(col("__s")), bits, hashes))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col(idCol), col("n_shingles"), col("n_flagged"),
+        (col("n_flagged") > 0).as("flagged"))
+  }
+
   /** Stream-stream interval join: pair each right-side event with the
     * same user's left-side events whose timestamp lies in
     * [r_ts − maxGap, r_ts] — the canonical attribution join ("which

@@ -131,6 +131,49 @@ class StreamingSpec extends SparkSpec {
       s"got ${ids.size} docs: ${ids.take(5)}...")
   }
 
+  test("streaming Bloom screen == batch bloomDecontaminate probe side") {
+    import org.apache.spark.sql.types._
+    Graft.install(spark)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 30)
+    val probeDocs = docs.filter(col("doc_id") >= 30 && col("doc_id") < 70)
+    val dir = Files.createTempDirectory("docstream-bloom").toString
+    Seq((30, 50, "b0"), (50, 70, "b1")).foreach { case (lo, hi, name) =>
+      val tmp = Files.createTempDirectory(s"bloombatch$name").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch_$name.parquet"))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.corpusDecontaminateStreamBloom(stream, corpus),
+      "bloom_screen_test", OutputMode.Update())
+    // batch twin: bloomDecontaminate over corpus∪probe with the corpus
+    // as the "eval" side — its probe rows are exactly the stream docs
+    val batch = graft.pipeline.Corpus.bloomDecontaminate(
+      corpus.unionByName(probeDocs), "doc_id", "text",
+      evalPred = col("doc_id") < 30)
+    val s = streamed.orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_flagged", "flagged")
+      .collect().map(_.toString).toSeq
+    val b = batch.orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_flagged", "flagged")
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "streamed Bloom decisions must equal the batch operator")
+    assert(streamed.filter(col("flagged")).count() >= 1,
+      "the synthetic corpus repeats shingles across docs — non-vacuous")
+  }
+
   test("stream-static LSH dedup decision table == batch crossCorpusDedupLsh") {
     import org.apache.spark.sql.types._
     val sf = "/root/testdata/sf0.001"
