@@ -97,8 +97,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // failed count rides in the headline: a run with thrown queries
+    // excludes them from `value`, which would otherwise read as a
+    // SPEEDUP to anyone comparing totals across rounds
+    val failed = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // the file is the driver-parseable artifact; stdout can be truncated
     // by tail-capture (the r2/r3 failure mode)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -103,12 +103,21 @@ object Graft {
     * prepared shingles, CC labels, checkpoint blocks) left in executor
     * storage: plan-keyed DataFrame caches AND raw RDD persists. Harness
     * mains (Bench/Verify/QueryProbe) call this between queries so
-    * storage stays flat across a 100+ query session; long-lived API
-    * servers can call it on their own cadence.
+    * storage stays flat across a 100+ query session — safe THERE
+    * because every plan is rebuilt from scratch after the call.
+    *
+    * A caller that still HOLDS DataFrames built before the call must
+    * pass `includeCheckpointed = false`: a `localCheckpoint`ed RDD
+    * (PageRank's edge cache, BFS frontiers, …) has its lineage
+    * truncated, so unpersisting it makes any live plan that references
+    * it permanently unrecoverable ("Checkpoint block not found"), where
+    * plain cached data would just recompute. Long-lived API servers
+    * evicting on a cadence are exactly this case.
     */
-  def evictAll(spark: SparkSession): Unit = {
+  def evictAll(spark: SparkSession, includeCheckpointed: Boolean = true): Unit = {
     try spark.catalog.clearCache() catch { case _: Throwable => () }
     try spark.sparkContext.getPersistentRDDs.values
+      .filter(includeCheckpointed || !_.isCheckpointed)
       .foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
   }

@@ -60,9 +60,15 @@ case class BloomSketch(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < numHashes) {
-        // identical family to minhashFromHashes/CmsSketch: a=2i+1, b=i²+98765
-        val bit = (((2L * i + 1L) * h + (i.toLong * i + 98765L)) %
-          TextFunctions.MinhashP % numBits).toInt
+        // identical family to minhashFromHashes/CmsSketch: a=2i+1, b=i²+98765.
+        // Sign-normalize like the probe side's pmod: md5Long inputs are
+        // already in [0, P), but the function is registered for ANY
+        // bigint column (xxhash64 output is frequently negative) and a
+        // sign-following % would index the word array negatively.
+        val r = ((2L * i + 1L) * h + (i.toLong * i + 98765L)) %
+          TextFunctions.MinhashP
+        val bit = (((r + TextFunctions.MinhashP) % TextFunctions.MinhashP)
+          % numBits).toInt
         buf(bit >>> 6) |= 1L << (bit & 63)
         i += 1
       }

@@ -186,16 +186,21 @@ object Components {
     val spark = df.sparkSession
     // materialize the sort ONCE: zipWithIndex runs an extra counting job
     // for per-partition offsets, and `.rdd` re-plans from scratch — an
-    // un-cached input would re-execute its whole upstream (CC labels →
-    // groupBy here) once per pass (the r4 q38 regression). cache(), not
-    // localCheckpoint(): the blocks are evictable (Graft.evictAll /
-    // clearCache — long-lived API sessions call clusterSummary
-    // repeatedly) and the lineage stays recomputable after eviction.
-    val sorted = df.orderBy(order: _*).cache()
+    // un-persisted input would re-execute its whole upstream (CC labels
+    // → groupBy here) once per pass (the r4 q38 regression). Persist at
+    // the RDD level, NOT DataFrame .cache(): the ZippedWithIndexRDD
+    // holds the only reference, so when the caller drops the result
+    // Spark's ContextCleaner auto-unpersists the blocks — a long-lived
+    // API session calling clusterSummary repeatedly doesn't accumulate
+    // orphaned cache entries (which catalog-level caches would, absent
+    // an explicit clearCache). Lineage stays recomputable (total-order
+    // sort ⇒ deterministic) if blocks are evicted early.
+    val sortedRdd = df.orderBy(order: _*).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
         rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sortedRdd.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
     }
     spark.createDataFrame(rdd, schema)

@@ -104,7 +104,9 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis, true, true)
-            Some(Row(reader.getFormatName.toLowerCase,
+            // Locale.ROOT: default-locale lowercasing is not portable
+            // (Turkish-family locales dot-map I/i differently)
+            Some(Row(reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
               reader.getWidth(0), reader.getHeight(0), bytes.length.toLong))
           } finally reader.dispose()
         }
@@ -165,13 +167,19 @@ object Multimodal {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
       val f = aff.getFormat
-      val frames = aff.getFrameLength.toLong
+      // getFrameLength may legally be AudioSystem.NOT_SPECIFIED (-1) —
+      // a header that doesn't carry the count; surface null, not -1
+      // (which would silently poison sums/filters downstream)
+      val rawFrames = aff.getFrameLength.toLong
+      val frames: Any = if (rawFrames >= 0) rawFrames else null
       val duration =
-        if (f.getFrameRate > 0 && frames >= 0) frames / f.getFrameRate.toDouble
+        if (f.getFrameRate > 0 && rawFrames >= 0)
+          rawFrames / f.getFrameRate.toDouble
         else null
-      Some(Row(aff.getType.toString.toLowerCase, f.getChannels,
-        f.getSampleRate, f.getSampleSizeInBits, frames, duration,
-        bytes.length.toLong))
+      Some(Row(
+        aff.getType.toString.toLowerCase(java.util.Locale.ROOT),
+        f.getChannels, f.getSampleRate, f.getSampleSizeInBits, frames,
+        duration, bytes.length.toLong))
     } catch { case _: Throwable => None }
   }
 
@@ -263,33 +271,47 @@ object Multimodal {
       var timescale = -1L
       var durationUnits = -1L
       var w = 0; var h = 0
+      // every fixed-offset field read is bounded by ITS OWN box's
+      // payload end — a truncated mvhd/tkhd is structural corruption
+      // (-> None -> stub), never a read into the bytes of a sibling box
+      // presented as real metadata; inner-walk corruption propagates
+      var corrupt = false
       val ok = walk(0, bytes.length) { (t, p, pEnd) =>
         t match {
           case "ftyp" if pEnd - p >= 4 => brand = typ(p).trim
           case "moov" =>
-            walk(p, pEnd) { (t2, p2, p2End) =>
+            val innerOk = walk(p, pEnd) { (t2, p2, p2End) =>
               t2 match {
                 case "mvhd" if p2 < p2End =>
                   val v = bytes(p2) & 0xff
-                  if (v == 1) { timescale = u32(p2 + 20); durationUnits = u64(p2 + 24) }
-                  else { timescale = u32(p2 + 12); durationUnits = u32(p2 + 16) }
+                  if (v == 1) {
+                    if (p2 + 32 > p2End) corrupt = true
+                    else { timescale = u32(p2 + 20); durationUnits = u64(p2 + 24) }
+                  } else {
+                    if (p2 + 20 > p2End) corrupt = true
+                    else { timescale = u32(p2 + 12); durationUnits = u32(p2 + 16) }
+                  }
                 case "trak" =>
-                  walk(p2, p2End) { (t3, p3, _) =>
-                    if (t3 == "tkhd" && w == 0) {
+                  if (!walk(p2, p2End) { (t3, p3, p3End) =>
+                    if (t3 == "tkhd" && w == 0 && p3 < p3End) {
                       val v = bytes(p3) & 0xff
                       val base = if (v == 1) p3 + 88 else p3 + 76
-                      val tw = (u32(base) >> 16).toInt // 16.16 fixed point
-                      val th = (u32(base + 4) >> 16).toInt
-                      if (tw > 0 && th > 0) { w = tw; h = th }
+                      if (base + 8 > p3End) corrupt = true
+                      else {
+                        val tw = (u32(base) >> 16).toInt // 16.16 fixed point
+                        val th = (u32(base + 4) >> 16).toInt
+                        if (tw > 0 && th > 0) { w = tw; h = th }
+                      }
                     }
-                  }
+                  }) corrupt = true
                 case _ =>
               }
             }
+            if (!innerOk) corrupt = true
           case _ =>
         }
       }
-      if (!ok || timescale <= 0) None
+      if (!ok || corrupt || timescale <= 0) None
       else Some(Row(if (brand != null) brand else "mov", w, h, timescale,
         if (durationUnits >= 0) durationUnits.toDouble / timescale else null,
         bytes.length.toLong))

@@ -359,20 +359,29 @@ object SimilarityOps {
     * assignment join is per-subspace against that broadcast — map-side
     * only, n×m×nCodes candidate rows reduced before any shuffle.
     */
-  private def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-                       m: Int, nCodes: Int): DataFrame = {
-    require(m > 0 && nCodes > 0 && nCodes <= 1024,
-      "packed argmin keeps the code in 10 bits")
+  /** Explode each vector into its `m` equal subvectors — the ONE place
+    * the PQ slicing rule lives (subDim = ⌊d/m⌋, 1-based slice offsets,
+    * trailing remainder dims dropped); encode, codebook, and ADC query
+    * sides all share it so they can never desynchronize.
+    */
+  private def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
+                           m: Int): DataFrame = {
     val subDim = floor(size(col(vecCol)) / m).cast("int")
-    def sliced(df: DataFrame) = df.select(col(idCol),
+    df.select(col(idCol),
         explode(array((0 until m).map { s =>
           struct(lit(s).as("sub"),
             slice(col(vecCol), lit(s) * subDim + 1, subDim).as("subvec"))
         }: _*)).as("__sv"))
       .select(col(idCol), col("__sv.sub").as("sub"),
         col("__sv.subvec").as("subvec"))
-    val parts = sliced(emb)
-    val cb = sliced(emb.filter(col(idCol) < nCodes))
+  }
+
+  private def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int, nCodes: Int): DataFrame = {
+    require(m > 0 && nCodes > 0 && nCodes <= 1024,
+      "packed argmin keeps the code in 10 bits")
+    val parts = pqSubvectors(emb, idCol, vecCol, m)
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
       .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
     parts.join(broadcast(cb), "sub")
       .withColumn("__d2m",
@@ -417,17 +426,9 @@ object SimilarityOps {
                 queryId: Long, m: Int = 8, nCodes: Int = 16,
                 k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
-    val subDim = floor(size(col(vecCol)) / m).cast("int")
-    def sliced(df: DataFrame) = df.select(col(idCol),
-        explode(array((0 until m).map { s =>
-          struct(lit(s).as("sub"),
-            slice(col(vecCol), lit(s) * subDim + 1, subDim).as("subvec"))
-        }: _*)).as("__sv"))
-      .select(col(idCol), col("__sv.sub").as("sub"),
-        col("__sv.subvec").as("subvec"))
-    val q = sliced(emb.filter(col(idCol) === queryId))
+    val q = pqSubvectors(emb.filter(col(idCol) === queryId), idCol, vecCol, m)
       .select(col("sub"), col("subvec").as("__qvec"))
-    val cb = sliced(emb.filter(col(idCol) < nCodes))
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
       .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
     val lut = cb.join(broadcast(q), "sub")
       .select(col("sub"), col("code"),

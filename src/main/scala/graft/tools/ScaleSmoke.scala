@@ -4,13 +4,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Opt-in scale smoke (not part of the driver contract): runs the three
-  * iterative/candidate-generation pipelines the 100 TB claim rests on —
-  * q74's LSH candidate graph → connected components, q98's integer
-  * PageRank, and q92/q101's incremental batch-vs-corpus dedup — on
-  * GENERATED tables `copies`× the sf0.1 data, recording wall time,
-  * per-stage shuffle bytes, and peak task memory. Evidence that the
-  * loops scale as designed rather than just asserting it.
+/** Opt-in scale smoke (not part of the driver contract): runs the five
+  * pipelines the 100 TB claim rests on — q74's LSH candidate graph →
+  * connected components, q98's integer PageRank, q92/q101's incremental
+  * batch-vs-corpus dedup, q113's PQ ADC search (code-only scan +
+  * broadcast LUT), and q114's Bloom decontamination (constant-size
+  * broadcast filter) — on GENERATED tables `copies`× the sf0.1 data,
+  * recording wall time, per-stage shuffle bytes, and peak task memory.
+  * Evidence that the loops scale as designed rather than just
+  * asserting it.
   *
   * The replicas use deterministic per-copy perturbations (id offset +
   * small element-wise delta for vectors; verbatim text for documents —
@@ -155,12 +157,36 @@ object ScaleSmoke {
         corpusN, batch, "doc_id", "text").count()
     }
 
+    // --- q113 shape: PQ ADC search over the replicated vectors. Codes
+    // are 8×10-bit per vector vs 64 floats — the scan-side compression
+    // an ANN index ships; the LUT is broadcast and the probe is an
+    // equi-join on (sub, code) + integer sums, so cost is one pass over
+    // codes regardless of dimensionality ---
+    val (pqRows, pqSec, pqShuf) = timed {
+      graft.similarity.SimilarityOps.pqAdcTopK(
+        embN, "vec_id", "embedding", queryId = 0L,
+        m = 8, nCodes = 256, k = 10).count()
+    }
+
+    // --- q114 shape: Bloom decontamination. The eval side (the base
+    // corpus, fixed size) collapses into ONE bit array — 512 KiB here,
+    // sized to its ~n·50 shingles so kn/m stays ~0.2, and CONSTANT as
+    // `copies` grows; the probe side (all replicas) grows with copies
+    // but is pure map-side bit tests ---
+    val (blRows, blSec, blShuf) = timed {
+      graft.pipeline.Corpus.bloomDecontaminate(
+        corpusN.unionByName(batch), "doc_id", "text",
+        evalPred = col("doc_id") < d0, bits = 1 << 22).count()
+    }
+
     val json =
       s"""{"metric":"scale_smoke","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
         s""""cc_rows":$ccRows,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf,""" +
         s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf,""" +
         s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf,""" +
+        s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf,""" +
+        s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf,""" +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     val outFile =
