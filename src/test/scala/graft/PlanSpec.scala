@@ -52,28 +52,6 @@ class PlanSpec extends SparkSpec {
       "partial + final aggregate pair")
   }
 
-  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
-    import spark.implicits._
-    val df = spark.range(0, 1000).select(col("id"),
-      (col("id") % 7).as("v"))
-    df.write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("b1")
-    df.write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("b2")
-    // force the shuffle-join path (tiny test tables would broadcast)
-    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = spark.table("b1").join(spark.table("b2"), "id")
-      val p = finalPlan(joined)
-      assert(p.contains("SortMergeJoin") && !p.contains("ShuffleExchange")
-          && !p.contains("Exchange hashpartitioning"),
-        s"bucketed SMJ must not shuffle either side:\n$p")
-      assert(joined.count() == 1000)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-      spark.sql("DROP TABLE b1"); spark.sql("DROP TABLE b2")
-    }
-  }
-
   test("q74 LSH similarity graph: candidate edges with NO cross join") {
     Graft.install(spark)
     val emb = Tables.embeddings(spark, sf)
@@ -144,6 +122,40 @@ class PlanSpec extends SparkSpec {
     val p = plan("q107_hard_negatives")
     assert(!p.contains("CartesianProduct"),
       s"hard-negative candidates must come from the centroid block join:\n$p")
+  }
+
+  test("bucketed co-located join: zero Exchange on either side, " +
+       "result identical to the shuffled join") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val customer = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    graft.operators.Bucketing.writeBucketed(orders, "b_orders",
+      "o_custkey", 8, Some(s"$wh/b_orders"))
+    graft.operators.Bucketing.writeBucketed(customer, "b_customer",
+      "o_custkey", 8, Some(s"$wh/b_customer"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join shape a fact⋈fact join has at scale (no broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.operators.Bucketing.bucketedJoin(
+        spark, "b_orders", "b_customer", "o_custkey")
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle EITHER side:\n$p")
+      // the plan savings change nothing about the answer
+      val shuffled = orders.join(customer, "o_custkey")
+      assert(finalPlan(shuffled).contains("Exchange"),
+        "contrast: the un-bucketed join does shuffle")
+      assert(joined.orderBy("o_orderkey").collect().map(_.toString).toSeq ==
+        shuffled.orderBy("o_orderkey").collect().map(_.toString).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
   }
 
   test("GLOBAL invariant: cartesian/nested-loop joins appear ONLY in the " +
