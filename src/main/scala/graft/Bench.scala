@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   *  - caches are evicted before EVERY timed run (`clearCache` + unpersist
   *    of lingering RDD persists) so each query measures its own cold
   *    cost, operators that cache-and-return don't leak storage across
-  *    104 queries, and no `Asked to cache already cached data` warnings
-  *    accumulate;
+  *    the 100+ queries, and no `Asked to cache already cached data`
+  *    warnings accumulate;
   *  - best-of-2 for queries whose first run is under `rerunBelowSec`
   *    (40 s — wide enough to cover every query's plausible clean time) —
   *    a second cold run filters transient host contention and first-use

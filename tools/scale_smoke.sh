@@ -1,6 +1,7 @@
 #!/bin/bash
-# Opt-in 10x scale smoke: q74 LSH-CC + q98 PageRank on a generated
-# ~sf1-equivalent embeddings table. Usage: tools/scale_smoke.sh [sfDir] [copies] [mode]
+# Opt-in scale smoke: LSH-CC, PageRank, incremental dedup, PQ ADC, and
+# Bloom decontamination on generated copies-x tables.
+# Usage: tools/scale_smoke.sh [sfDir] [copies] [mode]
 # mode: dense (default, densifying worst case) | constant (constant-degree)
 set -e
 SF=${1:-/root/testdata/sf0.1}
