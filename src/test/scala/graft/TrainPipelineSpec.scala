@@ -250,6 +250,19 @@ class TrainPipelineSpec extends SparkSpec {
       (1.2f - 1.0).toDouble * (1.2f - 1.0).toDouble * 2 * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     assert(r5.getDouble(2) == per * 4 / 1e6, "exact integer-micro distortion")
+    // d % m != 0: subDim = floor(d/m), trailing remainder dims are
+    // DROPPED — a dim-10 corpus with m=4 quantizes on its first 8 dims,
+    // so a vector differing only in dims 9-10 still gets zero distortion
+    val ragged = Seq(
+      (0L, Array.fill(10)(1f)),
+      (1L, Array.fill(10)(2f)),
+      (2L, Array.fill(8)(1f) ++ Array(9f, 9f))) // tail outside all subspaces
+      .toDF("vec_id", "embedding")
+    val rr = SimilarityOps.pqCodes(ragged, "vec_id", "embedding", m = 4, nCodes = 2)
+      .orderBy("vec_id").collect()
+    assert(rr.map(_.getDouble(2)).forall(_ == 0.0),
+      "remainder dims never enter the quantization error")
+    assert(rr(2).getLong(1) == 0L, "vec 2 codes as seed 0 on its first 8 dims")
   }
 
   test("spanDupStats: only cross-doc windows count as duplicated") {
