@@ -344,7 +344,10 @@ object SimilarityOps {
   }
 
   /** Product-quantization assignment, long form (id, sub, code, d2m) —
-    * shared by `pqCodes` and `pqAdcTopK`. Each vector splits into `m`
+    * shared by `pqCodes` and `pqAdcTopK` (Jégou, Douze & Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    * the codebook-per-subspace decomposition and the asymmetric
+    * distance computation both come from there). Each vector splits into `m`
     * equal subvectors (trailing remainder dims are dropped when
     * d % m != 0); the per-subspace codebook is the first `nCodes`
     * vectors' slices (the same deterministic seeding rule as
