@@ -173,9 +173,17 @@ object WdbIO {
     sb.append("}")
   }
 
-  /** Native scale format: partitioned parquet per table. */
+  /** Native scale format: parquet per table, nodes PARTITIONED by
+    * `course` — the reference's hot equality filter (Q2/Q3 accept
+    * exactly subject/author/course/title/tag, and course is the one
+    * low-cardinality key among them; GraphDB.cpp:119-122). A
+    * `findNodes(course = …)` against this layout prunes whole
+    * directories before any file is opened (`PartitionFilters` in the
+    * scan, WdbIOSpec-pinned); the others stay row-group-stat pruning.
+    */
   def writeNative(state: WhisperState, dir: String): Unit = {
-    state.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    state.nodes.write.mode("overwrite")
+      .partitionBy("course").parquet(s"$dir/nodes")
     state.nodeFiles.write.mode("overwrite").parquet(s"$dir/node_files")
     val spark = state.nodes.sparkSession
     import spark.implicits._
@@ -184,7 +192,11 @@ object WdbIO {
   }
 
   def readNative(spark: SparkSession, dir: String): WhisperState = {
+    // partitionBy moved `course` into directory names; restore the
+    // canonical column order (writeWdb's row formatter and any
+    // positional consumer depend on Node.schema order)
     val nodes = spark.read.schema(Node.schema).parquet(s"$dir/nodes")
+      .select(Node.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val files = spark.read.parquet(s"$dir/node_files")
     val bank = spark.read.parquet(s"$dir/tag_bank")
       .collect().map(_.getString(0)).toSeq

@@ -81,12 +81,25 @@ class WdbIOSpec extends SparkSpec {
       st.nodes.orderBy("id").collect().map(_.toString).toSeq)
   }
 
-  test("native parquet round-trip") {
+  test("native parquet round-trip; course partition pruning") {
     val st = WdbIO.readWdb(spark, tmp(fixture))
     val dir = Files.createTempDirectory("wdb_native").toString
     WdbIO.writeNative(st, dir)
     val st2 = WdbIO.readNative(spark, dir)
     assert(st2.nodes.count() == 3 && st2.tagBank == st.tagBank)
+    // full fidelity despite the partition layout: same rows, same
+    // canonical column order
+    assert(st2.nodes.schema.fieldNames.toSeq ==
+      graft.model.Node.schema.fieldNames.toSeq)
+    assert(st2.nodes.orderBy("id").collect().map(_.toString).toSeq ==
+      st.nodes.orderBy("id").collect().map(_.toString).toSeq)
+    // the reference's course equality filter prunes whole directories:
+    // PartitionFilters (not just PushedFilters) carries the predicate
+    val filtered = st2.nodes.filter(org.apache.spark.sql.functions.col("course") === 2)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*course""".r.findFirstIn(plan).isDefined,
+      s"course filter must reach PartitionFilters:\n$plan")
   }
 
   test("course stoi semantics") {
