@@ -45,4 +45,42 @@ object Export {
       .partitionBy("shard")
       .parquet(outDir)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetFileBytes⌉ files. Every incremental pipeline
+    * (streaming sinks, per-batch dedup appends, many-shard exports)
+    * accretes small files, and at 100 TB the scan's task-scheduling and
+    * footer-reading overhead becomes proportional to FILE COUNT, not
+    * data size — periodic compaction is how production tables keep the
+    * read path O(data). Uses `repartition` (round-robin shuffle) for
+    * even output sizes regardless of input skew; rewrites to a fresh
+    * directory (never in place — the swap is the caller's atomic
+    * rename/pointer flip, matching how table formats commit).
+    * Returns (filesBefore, filesAfter, bytes).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(inDir != outDir, "compaction never rewrites in place")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          buf += ((f.getPath.toString, f.getLen))
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(inDir)
+    val bytes = before.map(_._2).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    (before.size.toLong, parquetFiles(outDir).size.toLong, bytes)
+  }
 }

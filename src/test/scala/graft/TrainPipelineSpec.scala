@@ -150,6 +150,28 @@ class TrainPipelineSpec extends SparkSpec {
         .filter(col("shard") === 2).count())
   }
 
+  test("compact: many small files -> sized file count, data identical") {
+    val in = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // fragment: 64 files for 10k rows
+    spark.range(10000).toDF("id").repartition(64).write
+      .mode("overwrite").parquet(in)
+    val totalBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (nBefore, nAfter, bytes) =
+      Export.compact(spark, in, out, targetFileBytes = totalBytes / 4)
+    assert(nBefore == 64 && bytes == totalBytes)
+    assert(nAfter >= 4 && nAfter <= 6,
+      s"ceil(bytes/target)=~4-5 output files, got $nAfter")
+    assert(spark.read.parquet(out).agg(sum(col("id"))).collect()(0).getLong(0) ==
+      spark.range(10000).agg(sum(col("id"))).collect()(0).getLong(0),
+      "compaction moves bytes, never changes rows")
+    // never in place
+    intercept[IllegalArgumentException] {
+      Export.compact(spark, in, in)
+    }
+  }
+
   test("quantizeInt8: reconstruction error bounded by half a step") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = SimilarityOps.quantizeInt8(emb, "vec_id", "embedding")
