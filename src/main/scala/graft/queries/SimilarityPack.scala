@@ -123,6 +123,14 @@ object SimilarityPack extends QueryPack {
         queryId = 0L, m = 8, nCodes = 16, k = 10)
     },
 
+    // ---- coarse semantic dedup by PQ-cell equality: one shuffle on
+    //      the 4-byte packed code, the pre-pairwise first pass ----
+    "q115_pq_dedup" -> { (s, d) =>
+      SimilarityOps.pqDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 8, nCodes = 16)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -322,6 +330,32 @@ object SimilarityPack extends QueryPack {
          |WHERE a.vec_id <> 0
          |GROUP BY a.vec_id
          |ORDER BY adc_dist ASC, a.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q115_pq_dedup" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |codes AS (SELECT vec_id, CAST(SUM(code << (sub * 4)) AS BIGINT) AS pq_code
+         |          FROM a GROUP BY vec_id),
+         |cells AS (SELECT pq_code, MIN(vec_id) AS keeper, COUNT(*) AS cell_size
+         |          FROM codes GROUP BY pq_code)
+         |SELECT c.vec_id, c.pq_code, l.cell_size, c.vec_id = l.keeper AS keep
+         |FROM codes c JOIN cells l USING (pq_code)
+         |ORDER BY c.vec_id""".stripMargin
     },
 
     "q36_label_centroid" ->

@@ -416,6 +416,27 @@ object SimilarityOps {
         (sum(col("d2m")).cast("double") / 1e6).as("distortion"))
   }
 
+  /** Coarse semantic dedup by PQ-code equality: two vectors sharing ALL
+    * m codes lie in the same cell of the product-quantizer grid — a
+    * 64×-compressed proxy for "nearly identical embedding". Keep-lowest-
+    * id per cell, report the cell population. This is the cheapest
+    * member of the semantic-dedup family: one shuffle on a 4-byte
+    * packed code (vs `semanticDedup`'s within-centroid pair join), the
+    * right first pass over 100 TB before anything pairwise runs.
+    * Granularity is the quantizer's: raise m/nCodes for finer cells.
+    */
+  def pqDedup(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val codes = pqCodes(emb, idCol, vecCol, m, nCodes)
+      .select(col(idCol), col("pq_code"))
+    val cells = codes.groupBy(col("pq_code"))
+      .agg(min(col(idCol)).as("__keeper"),
+        count(lit(1)).as("cell_size"))
+    codes.join(cells, "pq_code")
+      .select(col(idCol), col("pq_code"), col("cell_size"),
+        (col(idCol) === col("__keeper")).as("keep"))
+  }
+
   /** PQ search via asymmetric distance computation (ADC): the query
     * vector stays full-precision; every database vector is just its
     * codes. Approximate distance = Σ_s ‖q_s − codebook(s, code)‖² —

@@ -272,6 +272,17 @@ class TrainPipelineSpec extends SparkSpec {
       (1.2f - 1.0).toDouble * (1.2f - 1.0).toDouble * 2 * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     assert(r5.getDouble(2) == per * 4 / 1e6, "exact integer-micro distortion")
+    // PQ-cell dedup: a near-copy of vector 4 (inside every cell) shares
+    // its cell and loses the keep flag to the lower id; distinct seeds
+    // keep their own singleton cells
+    val withDup = (vecs :+
+      (6L, Array(1.01f, 1f, 2f, 2f, 3f, 3f, 4f, 4f))).toDF("vec_id", "embedding")
+    val dd = SimilarityOps.pqDedup(withDup, "vec_id", "embedding", m = 4, nCodes = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(dd(4) == ((4L, 228L, 2L, true)) && dd(5) == ((6L, 228L, 2L, false)),
+      "same cell -> keep lowest id, cell_size 2")
+    assert(dd.take(4).forall(t => t._3 == 1L && t._4), "seeds: singleton cells")
     // d % m != 0: subDim = floor(d/m), trailing remainder dims are
     // DROPPED — a dim-10 corpus with m=4 quantizes on its first 8 dims,
     // so a vector differing only in dims 9-10 still gets zero distortion
