@@ -172,6 +172,59 @@ object Corpus {
             col("n_windows").cast("double")), 6).as("dup_fraction"))
   }
 
+  /** Removal counterpart of [[spanDupStats]] — the "ExactSubstr" dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), in windowed form: rewrite each document by
+    * DELETING every token covered by an n-token window that also occurs
+    * in at least one OTHER document. Boilerplate, templates, and
+    * mirrored passages vanish from every copy; unique prose survives.
+    * Docs shorter than n form one whole-doc window (mirror of
+    * [[graft.functions.TextFunctions.shingles]]), so exact short
+    * duplicates are fully removed too.
+    *
+    * Shape: explode per-start windows → hash-aggregate by window value
+    * for the cross-doc duplicated set (vocabulary-sized after map-side
+    * partials) → semi-join back → per-doc covered-position array →
+    * equi-join to the docs and a pure map-side HOF rebuild
+    * (`filter`/`transform` over the token array — codegen'd, no UDF).
+    * All shuffles key on window-value or doc-id; never pairwise. The
+    * covered array is bounded by doc length, so the membership filter
+    * is O(len · |covered|) map-side work — at 100 TB the cost is the
+    * same two shuffles as the stats pass plus one scan-shaped rewrite.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val wins = base.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("__tk")) - lit(n - 1), lit(1))),
+        s => struct(s.as("s"),
+          concat_ws(" ", slice(col("__tk"), s, lit(n))).as("w"))))
+        .as("__win"))
+      .select(col(idCol), col("__win.s").as("__s"), col("__win.w").as("__w"))
+    val dupSet = wins.groupBy(col("__w"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__w"))
+    val covered = wins.join(dupSet, Seq("__w"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        sequence(col("__s"), col("__s") + lit(n - 1)))))).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("__cv", coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__kept", filter(
+        transform(col("__tk"), (t, i) => struct(t.as("t"), (i + lit(1)).as("p"))),
+        x => !array_contains(col("__cv"), x.getField("p"))))
+      .select(
+        col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_removed"),
+        round(when(size(col("__tk")) === 0, lit(0.0))
+          .otherwise((size(col("__tk")) - size(col("__kept"))).cast("double") /
+            size(col("__tk")).cast("double")), 6).as("removed_fraction"),
+        concat_ws(" ", transform(col("__kept"), x => x.getField("t")))
+          .as("text_clean"))
+  }
+
   /** Top-k vocabulary by collection frequency with cumulative coverage:
     * the tokenizer-design view of a corpus (how much of the token
     * stream the first k vocabulary entries explain). Rank order is

@@ -84,6 +84,13 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- ExactSubstr-style duplicated-span REMOVAL (q89's rewrite twin) ----
+    "q116_span_removal" -> { (s, d) =>
+      Corpus.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- PII scrub over a constructed contact string ----
     "q82_pii_scrub" -> { (s, d) =>
       val withContact = Tables.documents(s, d)
@@ -390,6 +397,30 @@ object TrainPack extends QueryPack {
          |LEFT JOIN tot ON doc.doc_id = tot.doc_id
          |LEFT JOIN dup ON doc.doc_id = dup.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+
+    "q116_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, u.s AS s, u.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 6, 2)),
+         |    s -> {'s': s, 'w': array_to_string(tk[s:s+7], ' ')})) AS u
+         |  FROM t)),
+         |d AS (SELECT w FROM w GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT doc_id,
+         |    list_sort(list_distinct(flatten(list(range(s, s + 8))))) AS cv
+         |  FROM w JOIN d USING (w) GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, tk,
+         |    list_transform(list_filter(range(1, len(tk) + 1),
+         |      p -> NOT list_contains(COALESCE(cv, []::BIGINT[]), p)),
+         |      p -> tk[p]) AS kept
+         |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+         |SELECT doc_id, len(tk) AS n_tokens,
+         |  len(tk) - len(kept) AS n_removed,
+         |  ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE (len(tk) - len(kept))::DOUBLE / len(tk)::DOUBLE END, 6)
+         |    AS removed_fraction,
+         |  COALESCE(array_to_string(kept, ' '), '') AS text_clean
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q90_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

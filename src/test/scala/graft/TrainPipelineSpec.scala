@@ -312,6 +312,29 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, 0L, 0.0)))
   }
 
+  test("removeDuplicatedSpans: cross-doc windows cut, unique prose survives") {
+    val docs = Seq(
+      (1L, "a b c d"),  // windows(n=2): "a b","b c","c d"; "b c" shared w/ 2
+      (2L, "x b c y"),  // "x b","b c","c y"
+      (3L, "p q"),      // short doc -> whole-text window, duplicated in 4
+      (4L, "p q"),
+      (5L, "u v w")     // nothing shared -> untouched
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicatedSpans(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+      .sortBy(_._1)
+    // "b c" covers positions 2-3 in both docs: the flanking tokens survive
+    assert(out(0) == ((1L, 4L, 2L, 0.5, "a d")))
+    assert(out(1) == ((2L, 4L, 2L, 0.5, "x y")))
+    // exact short duplicates vanish entirely
+    assert(out(2) == ((3L, 2L, 2L, 1.0, "")))
+    assert(out(3) == ((4L, 2L, 2L, 1.0, "")))
+    // no cross-doc window -> identity rewrite
+    assert(out(4) == ((5L, 3L, 0L, 0.0, "u v w")))
+  }
+
   test("packSequences: per-shard offsets are the exact running layout") {
     val chunks = Seq(
       (1L, 0, 4), (1L, 1, 4), (2L, 0, 4), (2L, 1, 2), (3L, 0, 4)
