@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -223,6 +223,60 @@ object Corpus {
             size(col("__tk")).cast("double")), 6).as("removed_fraction"),
         concat_ws(" ", transform(col("__kept"), x => x.getField("t")))
           .as("text_clean"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): hashed word n-gram features (sizes 1..n, md5 →
+    * one of `buckets` buckets) estimate a target-domain and a raw
+    * feature distribution with add-one smoothing; each document scores
+    * the sum over its feature occurrences of ln(p_target(b)/p_raw(b)).
+    * High weight = looks like the target domain — the resampling gate
+    * that picks pretraining data matching a quality domain. Integer
+    * nano-nat units (the [[graft.pipeline.TextAnalysis.unigramSurprisal]]
+    * convention) make the fold bit-deterministic and the DuckDB oracle
+    * exact.
+    *
+    * Shape: explode features → one hash-aggregate to the B-bucket count
+    * table (B is a CONSTANT — like the Bloom blob, the model side stays
+    * broadcast-sized at any corpus scale) → broadcast equi-join of
+    * occurrences to bucket units → per-doc sum. Two scans of the
+    * corpus, zero corpus-sized shuffles beyond the Zipf-absorbed
+    * bucket aggregation.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, n: Int = 2,
+                  buckets: Int = 1024): DataFrame = {
+    val base = df.select(col(idCol), targetPred.as("__tgt"),
+      tokens(col(textCol)).as("__tk"))
+    val occ = base.select(col(idCol), col("__tgt"),
+      explode(concat((1 to n).map(k => shingles(col("__tk"), k)): _*))
+        .as("__f"))
+      .select(col(idCol), col("__tgt"),
+        pmod(md5Long(col("__f")), lit(buckets)).as("__b"))
+    val counts = occ.groupBy(col("__b"))
+      .agg(sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__tc"),
+        sum(when(!col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__rc"))
+    val totals = counts.agg(sum(col("__tc")).as("__tt"),
+      sum(col("__rc")).as("__tr"))
+    val units = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round((log((col("__tc") + 1).cast("double") /
+            (col("__tt") + lit(buckets)).cast("double")) -
+          log((col("__rc") + 1).cast("double") /
+            (col("__tr") + lit(buckets)).cast("double"))) * lit(1e9))
+          .cast("long").as("__u"))
+    val perDoc = occ.join(broadcast(units), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum(col("__u")).as("weight_units"))
+    base.select(col(idCol), col("__tgt")).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__tgt").as("is_target"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("weight_units"), lit(0L)).as("weight_units"),
+        round(when(coalesce(col("n_features"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("weight_units").cast("double") / lit(1e9)) /
+            col("n_features").cast("double")), 6).as("avg_log_ratio"))
   }
 
   /** Top-k vocabulary by collection frequency with cumulative coverage:

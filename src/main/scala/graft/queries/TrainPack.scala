@@ -84,6 +84,14 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DSIR importance weights: hashed n-gram log-likelihood ratio
+    //      vs the eval-style target slice (doc_id % 10 = 0) ----
+    "q117_dsir_weights" -> { (s, d) =>
+      Corpus.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          targetPred = col("doc_id") % 10 === 0, n = 2, buckets = 1024)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- ExactSubstr-style duplicated-span REMOVAL (q89's rewrite twin) ----
     "q116_span_removal" -> { (s, d) =>
       Corpus.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
@@ -397,6 +405,31 @@ object TrainPack extends QueryPack {
          |LEFT JOIN tot ON doc.doc_id = tot.doc_id
          |LEFT JOIN dup ON doc.doc_id = dup.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+
+    "q117_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt, $toksSql AS tk
+         |  FROM documents),
+         |f AS (SELECT doc_id, tgt,
+         |    unnest(list_concat(${shingleSql("tk", 1)}, ${shingleSql("tk", 2)})) AS fe
+         |  FROM t),
+         |b AS (SELECT doc_id, tgt, ${md5LongSql("fe")} % 1024 AS b FROM f),
+         |c AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+         |    SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS rc
+         |  FROM b GROUP BY b),
+         |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS tr FROM c),
+         |u AS (SELECT b, ROUND((LN((tc + 1)::DOUBLE / (tt + 1024)::DOUBLE)
+         |    - LN((rc + 1)::DOUBLE / (tr + 1024)::DOUBLE)) * 1e9)::BIGINT AS u
+         |  FROM c, tot),
+         |p AS (SELECT b.doc_id, COUNT(*) AS n_features, SUM(u.u) AS weight_units
+         |  FROM b JOIN u USING (b) GROUP BY b.doc_id)
+         |SELECT t.doc_id, t.tgt AS is_target,
+         |  COALESCE(n_features, 0) AS n_features,
+         |  COALESCE(weight_units, 0) AS weight_units,
+         |  ROUND(CASE WHEN COALESCE(n_features, 0) = 0 THEN 0.0
+         |    ELSE (weight_units::DOUBLE / 1e9) / n_features::DOUBLE END, 6)
+         |    AS avg_log_ratio
+         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q116_span_removal" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -175,14 +175,16 @@ class PlanSpec extends SparkSpec {
     //    q79 (sketch row), q84/q93 (corpus doc count / avgdl), q95/q109
     //    (histogram stats), q99 (total token count), q100 (skew summary),
     //    q114 (the single fixed-4KiB Bloom sketch row — the POINT of the
-    //    operator is that the eval set compresses to one broadcastable blob)
+    //    operator is that the eval set compresses to one broadcastable blob),
+    //    q117 (the single target/raw total-count row; the bucket table
+    //    itself is a constant-size broadcast equi-join, not a BNLJ)
     //  - the ≤1024-row centroid seed table (assignToCentroids requires
     //    nCentroids <= 1024): q34, q53, q75, q94, q107, q110
     val boundedBroadcast = Set(
       "q30_cosine_topk", "q52_ivf_topk", "q79_cms_heavy_hitters",
       "q84_tfidf_topterms", "q93_bm25", "q95_hist_quantiles",
       "q99_unigram_surprisal", "q100_key_skew", "q109_grouped_quantiles",
-      "q114_bloom_decontaminate",
+      "q114_bloom_decontaminate", "q117_dsir_weights",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -335,6 +335,32 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(4) == ((5L, 3L, 0L, 0.0, "u v w")))
   }
 
+  test("dsirWeights: target-domain text scores above raw, invariantly") {
+    val docs = Seq(
+      (1L, "bbb bbb bbb bbb"), (2L, "aaa aaa aaa aaa"),
+      (3L, "bbb bbb bbb bbb"), (4L, "aaa aaa aaa aaa")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dsirWeights(docs, "doc_id", "text",
+        targetPred = col("doc_id") % 2 === 0, n = 2, buckets = 1024)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    // 4 unigrams + 3 bigrams per doc
+    assert(out.forall(_._3 == 7L))
+    // target-only vocabulary scores positive, raw-only negative
+    assert(out(1)._5 > 0 && out(3)._5 > 0, "target docs look like the target")
+    assert(out(0)._5 < 0 && out(2)._5 < 0, "raw docs don't")
+    // identical docs get identical integer weights; flags match the predicate
+    assert(out(1)._4 == out(3)._4 && out(0)._4 == out(2)._4)
+    assert(out.map(_._2).toSeq == Seq(false, true, false, true))
+    // partition invariance of the integer fold
+    val re = Corpus.dsirWeights(docs.repartition(13), "doc_id", "text",
+        targetPred = col("doc_id") % 2 === 0, n = 2, buckets = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(re.map(_._2).toSeq == out.map(_._4).toSeq)
+  }
+
   test("packSequences: per-shard offsets are the exact running layout") {
     val chunks = Seq(
       (1L, 0, 4), (1L, 1, 4), (2L, 0, 4), (2L, 1, 2), (3L, 0, 4)
