@@ -68,26 +68,40 @@ class WhisperDB(val spark: SparkSession, val state: WhisperState) {
 
   // ============================ C3-C7: mutations ========================
 
-  /** C3: insert with generated id = max(id)+1 (gap-free monotonic like
-    * the reference's collision-scanning counter, GraphDB.cpp:485-491).
-    * Returns (newDb, assignedId).
+  /** C3: insert with generated id from the reference's collision-
+    * scanning process counter (GraphDB.cpp:485-491). Explicit ids
+    * (load path) bypass the counter without advancing it, exactly like
+    * the reference's direct map inserts. Returns (newDb, assignedId).
     */
   def addNode(n: Node): (WhisperDB, Long) = {
-    val newId =
-      if (n.id >= 0 && n.id != Int.MaxValue.toLong) n.id
-      else nextId()
+    val explicit = n.id >= 0 && n.id != Int.MaxValue.toLong
+    val newId = if (explicit) n.id else nextId()
     import spark.implicits._
     val row = Seq(n.copy(id = newId)).toDS().toDF()
       .select(Node.schema.fieldNames.map(col): _*)
     val db = withState(state.copy(
       nodes = nodes.unionByName(row),
-      declaredSize = state.declaredSize + 1))
+      declaredSize = state.declaredSize + 1,
+      idCounter = if (explicit) state.idCounter else newId + 1L))
     (db, newId)
   }
 
+  /** Smallest free id >= the process counter (reference semantics:
+    * `static int nextId` scans past existing ids and post-increments —
+    * it fills gaps below the max on a fresh process but NEVER rewinds,
+    * so an id freed by deleting the current max is not reallocated; a
+    * plain max(id)+1 would hand it out again and a concurrent
+    * create/delete/create interleaving would observe id reuse). One
+    * anti-join + min, no driver-side id scan.
+    */
   def nextId(): Long = {
-    val m = nodes.agg(max(col("id"))).collect()(0)
-    if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+    import spark.implicits._
+    val taken = nodes.select(col("id"))
+    val cands = nodes.select((col("id") + lit(1L)).as("cand"))
+      .filter(col("cand") >= state.idCounter)
+      .unionByName(Seq(state.idCounter).toDF("cand"))
+    cands.join(taken, cands("cand") === taken("id"), "left_anti")
+      .agg(min(col("cand"))).collect()(0).getLong(0)
   }
 
   /** C4: partial update — patch only the provided fields (field-wise

@@ -14,7 +14,11 @@ case class WhisperState(
     nodes: DataFrame,
     nodeFiles: DataFrame,
     tagBank: Seq[String],
-    declaredSize: Long)
+    declaredSize: Long,
+    // Reference id allocator state (GraphDB.cpp:485-491): a PROCESS
+    // counter, not persisted — every load starts it back at 1, exactly
+    // like the reference's `static int nextId = 1`.
+    idCounter: Long = 1L)
 
 /** Reader/writer for the reference's single-file `.wdb` JSON snapshot
   * format (reference: src/core/GraphDB.cpp:247-374) plus the

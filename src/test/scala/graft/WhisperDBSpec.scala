@@ -62,8 +62,22 @@ class WhisperDBSpec extends SparkSpec {
     assert(db.exists(3) && !db.exists(99))
     assert(db.find(99).isEmpty)
     val (db2, newId) = db.addNode(Node(id = Int.MaxValue, title = "New"))
-    assert(newId == 5, "id = max+1")
+    assert(newId == 5, "counter scans past ids 1-4 to the first free id")
     assert(db2.exists(5) && db2.size == 5)
+  }
+
+  test("C3: id counter is process-monotonic — freed max not recycled, " +
+       "pre-counter gaps filled (GraphDB.cpp:485-491)") {
+    // deleting the just-allocated max must NOT hand its id back out
+    val (db2, id5) = db.addNode(Node(id = Int.MaxValue, title = "New"))
+    val (db4, id6) = db2.deleteNode(id5)
+      .addNode(Node(id = Int.MaxValue, title = "Newer"))
+    assert(id5 == 5 && id6 == 6, "freed max id is not reallocated")
+    // but a fresh process's counter starts at 1 and fills gaps below
+    // the max, exactly like the reference's static counter after load
+    val loaded = new WhisperDB(spark, graft.io.WdbIO.empty(spark))
+      .addNode(Node(id = 2, title = "explicit"))._1
+    assert(loaded.addNode(Node(id = Int.MaxValue, title = "gap"))._2 == 1L)
   }
 
   test("C4: partial update patches only provided fields") {
