@@ -50,18 +50,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read it as raw nanos (legacy conf) and surface both
-    * `ts_ns` (exact long nanos, used for all arithmetic — never divide
-    * through double, int64 nanos exceed double's 53-bit mantissa) and
-    * `ts` (microsecond-truncated TimestampType for date functions).
+  /** `events.parquet` has shipped `ts` as either TIMESTAMP(NANOS)
+    * (surfaced as a raw long via the legacy nanosAsLong conf) or a
+    * micro-precision timestamp (surfaced as TIMESTAMP_NTZ). Normalize
+    * both to the pair every events query is written against:
+    * `ts_ns` (exact long epoch nanos, used for all arithmetic — never
+    * divide through double, int64 nanos exceed double's 53-bit
+    * mantissa) and `ts` (microsecond TimestampType for date
+    * functions). The session runs in UTC, so the NTZ→timestamp cast is
+    * the identity on the naive wall-clock value and `unix_micros`
+    * yields the same epoch DuckDB's `epoch_ns(ts)` does.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    apply(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        val tsUtc = col("ts").cast(TimestampType)
+        df.withColumn("ts_ns", unix_micros(tsUtc) * lit(1000L))
+          .withColumn("ts", tsUtc)
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

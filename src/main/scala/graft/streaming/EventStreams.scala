@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Explicit source schema (readStream requires one). `ts` arrives as
-    * int64 nanos (see Tables.events).
+  /** Source schema for `ts` shipped as int64 nanos (see
+    * Tables.normalizeEventTs — the testdata has also shipped `ts` as a
+    * micro-precision timestamp, which `readEventStream` detects).
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,15 +29,25 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based event stream: one parquet file per micro-batch. */
+  /** File-based event stream: one parquet file per micro-batch.
+    * readStream requires a declared schema, and the files' `ts` type has
+    * varied across testdata generations (int64 nanos vs micro-precision
+    * timestamp) — peek at the directory with a one-footer batch read and
+    * declare what is actually there, then normalize to the
+    * (`ts_ns` long, `ts` timestamp) pair all operators use.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 
   /** Tumbling 1h windowed aggregate with a watermark (stream form of
