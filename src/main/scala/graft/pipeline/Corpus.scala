@@ -318,6 +318,21 @@ object Corpus {
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75, topK: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    bm25Scored(df, idCol, textCol, queryTerms, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank"), col(idCol), col("tf"), col("score"))
+  }
+
+  /** Per-(document, term) 6-dp BM25 partial scores over `queryTerms` —
+    * the shared posting computation behind `bm25Scores` (per-term
+    * top-k) and `rrfHybridTopK` (per-document sum).
+    */
+  private def bm25Scored(df: DataFrame, idCol: String, textCol: String,
+                         queryTerms: Seq[String], k1: Double,
+                         b: Double): DataFrame = {
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
     val stats = toks.agg(
       count(lit(1)).as("__n_docs"),
@@ -335,15 +350,57 @@ object Corpus {
       (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val score = idf * (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    val w = Window.partitionBy(col("term"))
-      .orderBy(col("score").desc, col(idCol).asc)
     posting
       .join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .withColumn("score", round(score, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("term"), col("rank"), col(idCol), col("tf"), col("score"))
+  }
+
+  /** Hybrid lexical + dense retrieval fused by reciprocal rank (RRF,
+    * Cormack, Clarke & Buettcher, SIGIR 2009): the BM25 ranking of the
+    * query terms and the cosine ranking against the query vector each
+    * produce a top-N list; a document's fused score is
+    * Σ 1/(kRrf + rank) over the lists it appears in. Rankings compare
+    * exact integer micro-units (the 6-dp scores ×10⁶), so rank
+    * assignment is engine-portable; ties break by id.
+    *
+    * Scale: each list is a TakeOrderedAndProject over its scoring plan
+    * (BM25 = query-term postings only; dense = scan + broadcast query
+    * row) — the global row_number windows run AFTER `.limit(topN)`, on
+    * driver-bounded sets, never on the corpus (the q100 pattern). The
+    * fusion join is a topN×topN full outer equi-join — trivial at any
+    * corpus size.
+    */
+  def rrfHybridTopK(docs: DataFrame, docIdCol: String, textCol: String,
+                    emb: DataFrame, embIdCol: String, vecCol: String,
+                    queryTerms: Seq[String], queryVecId: Long,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    val lexRanked = bm25Scored(docs, docIdCol, textCol, queryTerms, k1, b)
+      .groupBy(col(docIdCol))
+      .agg(sum(round(col("score") * 1e6).cast("long")).as("lex_units"))
+      .orderBy(col("lex_units").desc, col(docIdCol).asc)
+      .limit(topN)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_units").desc, col(docIdCol).asc)))
+      .select(col(docIdCol).as("doc_id"), col("lex_rank"))
+    val q = emb.filter(col(embIdCol) === queryVecId)
+      .select(col(vecCol).as("__query_vec"))
+    val denseRanked = emb.filter(col(embIdCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim_units", round(
+        graft.similarity.SimilarityOps.sim6(col(vecCol), col("__query_vec"))
+          * 1e6).cast("long"))
+      .orderBy(col("sim_units").desc, col(embIdCol).asc)
+      .limit(topN)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("sim_units").desc, col(embIdCol).asc)))
+      .select(col(embIdCol).as("doc_id"), col("dense_rank"))
+    lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
   }
 
   /** Square-root temperature smoothing of the source mix — the

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -180,6 +181,62 @@ object TextAnalysis {
         round(-log(col("__tf").cast("double") / col("__tot").cast("double"))
           * lit(1e9)).cast("long").as("__u"))
     val perDoc = terms.join(units, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__u")).as("surprisal_units"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_units"), lit(0L)).as("surprisal_units"),
+        round(when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("surprisal_units").cast("double") / lit(1e9)) /
+            col("n_tokens").cast("double")), 6).as("avg_surprisal"))
+  }
+
+  /** Interpolated bigram LM surprisal — the CCNet-shape perplexity
+    * filter (Wenzek et al., LREC 2020) one order up from
+    * `unigramSurprisal`: each token after the first scores
+    * −ln(λ·P(w|prev) + (1−λ)·P(w)), the first token of a document
+    * scores −ln(P(w)); `avg_surprisal` is the per-token mean in nats
+    * (low = fluent/common text, high = noise — the quality gate
+    * thresholds on it). Probabilities are corpus MLE
+    * (bigram-count/prefix-count, tf/total).
+    *
+    * Determinism: like q99/q117, each DISTINCT (prev, term) key maps to
+    * one integer nano-nat unit value (double → ln → ×10⁹ → round), and
+    * per-document totals are exact integer sums — partition- and
+    * engine-invariant. λ defaults to 0.5 (exactly representable).
+    *
+    * Scale: two vocabulary-keyed hash aggregates (unigram, bigram) +
+    * equi-joins on term / (prev, term); the per-doc lag window
+    * partitions by document — nothing global anywhere.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      lambda: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos0", "term")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos0"))
+    val seq = toks.withColumn("prev", lag(col("term"), 1).over(w))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("__tf"))
+    val total = counts.agg(sum(col("__tf")).as("__tot"))
+    val uni = counts.crossJoin(broadcast(total)).select(
+      col("term"),
+      round(-log(col("__tf").cast("double") / col("__tot").cast("double"))
+        * lit(1e9)).cast("long").as("__uu"),
+      (col("__tf").cast("double") / col("__tot").cast("double")).as("__pu"))
+    val big = seq.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("__btf"))
+    val pref = big.groupBy(col("prev")).agg(sum(col("__btf")).as("__ptf"))
+    val bu = big.join(pref, "prev").join(uni.select(col("term"), col("__pu")), "term")
+      .select(col("prev"), col("term"),
+        round(-log(lit(lambda)
+            * (col("__btf").cast("double") / col("__ptf").cast("double"))
+          + lit(1.0 - lambda) * col("__pu")) * lit(1e9))
+          .cast("long").as("__bu"))
+    val perDoc = seq
+      .join(uni.select(col("term"), col("__uu")), Seq("term"))
+      .join(bu, Seq("prev", "term"), "left")
+      .withColumn("__u",
+        when(col("prev").isNull, col("__uu")).otherwise(col("__bu")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__u")).as("surprisal_units"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")

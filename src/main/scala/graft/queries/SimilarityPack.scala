@@ -100,6 +100,15 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("centroid"), col("pos"))
     },
 
+    // ---- full Lloyd's loop: 2 rounds of assign → mean (the clustering
+    //      primitive SemDeDup-style curation runs); 6-dp round per M
+    //      step keeps every round exactly replayable cross-engine ----
+    "q118_kmeans_fit" -> { (s, d) =>
+      SimilarityOps.kmeansFit(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("centroid"), col("pos"))
+    },
+
     // ---- SCALE twin of q32: kNN from IVF-blocked candidates (equi-
     //      join on centroid, per-query window over block survivors) ----
     "q110_blocked_knn" -> { (s, d) =>
@@ -280,6 +289,36 @@ object SimilarityPack extends QueryPack {
          |FROM (SELECT centroid, unnest(embedding)::DOUBLE AS v,
          |        generate_subscripts(embedding, 1) AS pos
          |      FROM assign) t
+         |GROUP BY centroid, pos ORDER BY centroid, pos""".stripMargin,
+
+    "q118_kmeans_fit" ->
+      s"""WITH c0 AS (SELECT vec_id AS centroid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e, c0 c) t
+         |  WHERE rn = 1),
+         |m1 AS (
+         |  SELECT centroid, pos, ROUND(AVG(v), 6) AS avg_v
+         |  FROM (SELECT centroid, unnest(embedding)::DOUBLE AS v,
+         |          generate_subscripts(embedding, 1) AS pos FROM a1) t
+         |  GROUP BY centroid, pos),
+         |c1 AS (SELECT centroid, list(avg_v ORDER BY pos) AS cv
+         |       FROM m1 GROUP BY centroid),
+         |a2 AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e, c1 c) t
+         |  WHERE rn = 1)
+         |SELECT centroid, CAST(pos AS INT) AS pos, ROUND(AVG(v), 6) AS avg_v,
+         |  COUNT(*) AS n_members
+         |FROM (SELECT centroid, unnest(embedding)::DOUBLE AS v,
+         |        generate_subscripts(embedding, 1) AS pos FROM a2) t
          |GROUP BY centroid, pos ORDER BY centroid, pos""".stripMargin,
 
     "q112_pq_codes" -> {

@@ -183,6 +183,15 @@ object TrainPack extends QueryPack {
         .orderBy(col("term"), col("rank"))
     },
 
+    // ---- hybrid retrieval: BM25 list + cosine list fused by
+    //      reciprocal rank (RRF) over integer micro-unit rankings ----
+    "q119_rrf_fusion" -> { (s, d) =>
+      Corpus.rrfHybridTopK(Tables.documents(s, d), "doc_id", "text",
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          queryTerms = Seq("spark", "vector", "join"), queryVecId = 0L,
+          k1 = 1.2, b = 0.75, kRrf = 60, topN = 20)
+    },
+
     // ---- SemDeDup: centroid-blocked semantic near-dup flags ----
     "q94_semantic_dedup" -> { (s, d) =>
       SimilarityOps.semanticDedup(Tables.embeddings(s, d), "vec_id",
@@ -237,6 +246,13 @@ object TrainPack extends QueryPack {
     // ---- unigram-LM surprisal (the cheap perplexity filter) ----
     "q99_unigram_surprisal" -> { (s, d) =>
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- CCNet-shape perplexity filter: interpolated bigram LM ----
+    "q120_bigram_surprisal" -> { (s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d), "doc_id", "text",
+          lambda = 0.5)
         .orderBy(col("doc_id"))
     },
 
@@ -523,6 +539,45 @@ object TrainPack extends QueryPack {
          |SELECT term, rank, doc_id, tf, score FROM r
          |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
 
+    "q119_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |          CAST(SUM(len(tk)) AS BIGINT) AS tok_total FROM t),
+         |posting AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+         |  (SELECT doc_id, len(tk)::BIGINT AS dl, unnest(tk) AS term FROM t) x
+         |  WHERE term IN ('spark', 'vector', 'join') GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |          FROM posting GROUP BY term),
+         |scored AS (SELECT p.doc_id,
+         |  ROUND(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |    * (p.tf * (1.2 + 1.0))
+         |    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+         |        / (s.tok_total::DOUBLE / s.n_docs::DOUBLE))), 6) AS score
+         |  FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s),
+         |lex AS (SELECT doc_id,
+         |    SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS lex_units
+         |  FROM scored GROUP BY doc_id),
+         |lexr AS (SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY lex_units DESC, doc_id ASC)::INT AS lex_rank FROM lex) z
+         |  WHERE lex_rank <= 20),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dense AS (SELECT e.vec_id,
+         |    CAST(ROUND(${cosSql("e.embedding", "q.qv")} * 1e6) AS BIGINT)
+         |      AS sim_units
+         |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+         |densr AS (SELECT doc_id, dense_rank FROM (
+         |    SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY sim_units DESC, vec_id ASC)::INT AS dense_rank
+         |    FROM dense) z
+         |  WHERE dense_rank <= 20)
+         |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank,
+         |  r.dense_rank,
+         |  ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+         |    + COALESCE(1.0 / (60 + r.dense_rank), 0), 6) AS rrf_score
+         |FROM lexr l FULL OUTER JOIN densr r ON l.doc_id = r.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
+
     "q94_semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS centroid, embedding AS cv
          |           FROM embeddings WHERE vec_id < 8),
@@ -664,6 +719,44 @@ object TrainPack extends QueryPack {
          |perdoc AS (SELECT terms.doc_id, COUNT(*) AS n_tokens,
          |  CAST(SUM(u.u) AS BIGINT) AS surprisal_units
          |  FROM terms JOIN units u USING (term) GROUP BY terms.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.surprisal_units, 0) AS surprisal_units,
+         |  ROUND(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE (p.surprisal_units::DOUBLE / 1000000000.0)
+         |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q120_bigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS term,
+         |    generate_subscripts(tk, 1) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |seq AS (SELECT doc_id, pos, term,
+         |    LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM toks),
+         |counts AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot FROM counts),
+         |uni AS (SELECT term,
+         |    ROUND(-LN(c.tf::DOUBLE / t.tot::DOUBLE)
+         |      * 1000000000.0)::BIGINT AS uu,
+         |    c.tf::DOUBLE / t.tot::DOUBLE AS pu
+         |  FROM counts c, tot t),
+         |big AS (SELECT prev, term, COUNT(*) AS btf FROM seq
+         |  WHERE prev IS NOT NULL GROUP BY prev, term),
+         |pref AS (SELECT prev, CAST(SUM(btf) AS BIGINT) AS ptf
+         |  FROM big GROUP BY prev),
+         |bu AS (SELECT b.prev, b.term,
+         |    ROUND(-LN(0.5 * (b.btf::DOUBLE / p.ptf::DOUBLE)
+         |      + 0.5 * u.pu) * 1000000000.0)::BIGINT AS bu
+         |  FROM big b JOIN pref p USING (prev) JOIN uni u USING (term)),
+         |scored AS (SELECT s.doc_id,
+         |    CASE WHEN s.prev IS NULL THEN u.uu ELSE b.bu END AS u
+         |  FROM seq s JOIN uni u USING (term)
+         |    LEFT JOIN bu b ON s.prev = b.prev AND s.term = b.term),
+         |perdoc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(u) AS BIGINT) AS surprisal_units
+         |  FROM scored GROUP BY doc_id)
          |SELECT d.doc_id,
          |  COALESCE(p.n_tokens, 0) AS n_tokens,
          |  COALESCE(p.surprisal_units, 0) AS surprisal_units,

@@ -132,6 +132,18 @@ object SimilarityOps {
     require(nCentroids <= 1024, "packed argmin keeps centroid in 10 bits")
     val cents = emb.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("centroid"), col(vecCol).as("__cvec"))
+    assignToGivenCentroids(emb, idCol, vecCol, cents)
+  }
+
+  /** Packed-argmin assignment against an ARBITRARY centroid table
+    * `cents` = (centroid: long in [0, 1024), __cvec: numeric array) —
+    * the general E-step `kmeansFit` iterates. Same plan shape as
+    * `assignToCentroids` (broadcast ≤1024-row build side, map-side
+    * distance + packed-long HashAggregate argmin); the broadcast is
+    * provably bounded by the 10-bit centroid-id pack.
+    */
+  def assignToGivenCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                             cents: DataFrame): DataFrame = {
     val best = emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("dist", round(l2Distance(col(vecCol), col("__cvec")), 6))
@@ -201,6 +213,54 @@ object SimilarityOps {
         posexplode(col(vecCol)).as(Seq("pos0", "v")))
       .groupBy(col("centroid"), (col("pos0") + 1).cast("int").as("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
+
+  /** Full distributed Lloyd's k-means: seed centroids are the k lowest
+    * ids (the deterministic seed `assignToCentroids` uses), then
+    * `iters` rounds of assign → element-wise mean. Every mean is
+    * rounded to 6 dp before it becomes the next round's centroid, so
+    * each round's input is exactly representable and the whole fit is
+    * replayable cross-engine (the oracle unrolls the same rounds in
+    * SQL). Clusters that lose all members simply drop out (both
+    * engines drop them the same way). Returns the FINAL model in long
+    * form — (centroid, pos, avg_v, n_members) — the shape `q36`/`q75`
+    * established for element-wise centroid output.
+    *
+    * Scale: each round is one scan + broadcast-k E-step + (centroid,
+    * pos)-keyed HashAggregate with map-side partials — the shuffle
+    * carries k×d partial sums, never vectors. The k×d model DF is
+    * `localCheckpoint`ed per round (it is tiny) so plan lineage stays
+    * flat in `iters` and nothing upstream re-executes.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int): DataFrame = {
+    require(k <= 1024, "packed argmin keeps centroid in 10 bits")
+    require(iters >= 1, "at least one Lloyd round")
+    var cents = emb.filter(col(idCol) < k)
+      .select(col(idCol).as("centroid"), col(vecCol).as("__cvec"),
+        lit(0L).as("n_members"))
+    for (_ <- 1 to iters) {
+      // one pass: posexplode members, (centroid, pos)-keyed mean; the
+      // per-(centroid, pos) row count IS the member count (each member
+      // contributes exactly one value per dimension)
+      val means = assignToGivenCentroids(emb, idCol, vecCol,
+          cents.select(col("centroid"), col("__cvec")))
+        .select(col("centroid"), posexplode(col(vecCol)).as(Seq("pos0", "v")))
+        .groupBy(col("centroid"), (col("pos0") + 1).cast("int").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("avg_v"),
+          count(lit(1)).as("__cnt"))
+      cents = means
+        .groupBy(col("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("avg_v")))),
+          s => s("avg_v")).as("__cvec"),
+          max(col("__cnt")).as("n_members"))
+        .localCheckpoint(true)
+    }
+    cents
+      .select(col("centroid"), col("n_members"),
+        posexplode(col("__cvec")).as(Seq("pos0", "avg_v")))
+      .select(col("centroid"), (col("pos0") + 1).cast("int").as("pos"),
+        col("avg_v"), col("n_members"))
+  }
 
   /** IVF search: probe only the query vector's centroid block, then
     * brute-force cosine top-k within it. The 100 TB path for V5: the

@@ -178,15 +178,18 @@ class PlanSpec extends SparkSpec {
     //    operator is that the eval set compresses to one broadcastable blob),
     //    q117 (the single target/raw total-count row; the bucket table
     //    itself is a constant-size broadcast equi-join, not a BNLJ)
-    //  - the ≤1024-row centroid seed table (assignToCentroids requires
-    //    nCentroids <= 1024): q34, q53, q75, q94, q107, q110
+    //  - the ≤1024-row centroid seed table (assignToCentroids and
+    //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
+    //    q118 (one BNLJ per Lloyd round, k-row build side each)
     val boundedBroadcast = Set(
       "q30_cosine_topk", "q52_ivf_topk", "q79_cms_heavy_hitters",
       "q84_tfidf_topterms", "q93_bm25", "q95_hist_quantiles",
       "q99_unigram_surprisal", "q100_key_skew", "q109_grouped_quantiles",
       "q114_bloom_decontaminate", "q117_dsir_weights",
+      "q119_rrf_fusion", "q120_bigram_surprisal",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
-      "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn")
+      "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
+      "q118_kmeans_fit")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if parity(name) => None
       case (name, fn) =>

@@ -632,4 +632,75 @@ class TrainPipelineSpec extends SparkSpec {
     assert(kept.count(_._2 == "huge") == expectHuge,
       "huge group keeps its 1-permille floor, not zero")
   }
+
+  test("kmeansFit: hand-computed 2-round Lloyd on a planted 2-cluster set") {
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)), (2L, Array(0f, 1f)),
+      (3L, Array(10f, 9f)), (4L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // round 1: {0,2,4}->c0 mean (1/3, 1/3); {1,3}->c1 mean (10, 9.5);
+    // round 2: same assignment, same means — the fit has converged
+    assert(out.toSeq == Seq(
+      (0L, 1, 0.333333, 3L), (0L, 2, 0.333333, 3L),
+      (1L, 1, 10.0, 2L), (1L, 2, 9.5, 2L)))
+    // one round of kmeansFit agrees with the single-step operator (q75)
+    val one = SimilarityOps.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 1)
+      .select("centroid", "pos", "avg_v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val step = SimilarityOps.updateCentroids(df, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(one == step)
+  }
+
+  test("rrfHybridTopK: fused ranks and score arithmetic, outer-list nulls") {
+    val docs = Seq((0L, "alpha beta"), (1L, "spark"), (2L, "spark pad"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(1f, 0.0001f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Corpus.rrfHybridTopK(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", queryTerms = Seq("spark"), queryVecId = 0L, topN = 2)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        r.getDouble(3)))
+    // lex: same tf, shorter doc wins -> doc1 rank 1, doc2 rank 2;
+    // dense: vec2 ~ query (rank 1), vec3 cos 0.6 (rank 2); vec0 excluded
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val both = r6(1.0 / 62 + 1.0 / 61)
+    assert(out.toSeq == Seq(
+      (2L, 2, 1, both),
+      (1L, 1, -1, r6(1.0 / 61)),
+      (3L, -1, 2, r6(1.0 / 62))),
+      "rrf ordering: fused doc first, then lexical-only, then dense-only")
+  }
+
+  test("bigramSurprisal: exact nano-nat units from the interpolated LM") {
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // unigrams: a=3, b=2, T=5; bigrams: (a,b)=2, (b,a)=1; prefixes a=2, b=1
+    val uuA = math.round(-math.log(3.0 / 5.0) * 1e9)
+    val buAB = math.round(-math.log(0.5 * (2.0 / 2.0) + 0.5 * (2.0 / 5.0)) * 1e9)
+    val buBA = math.round(-math.log(0.5 * (1.0 / 1.0) + 0.5 * (3.0 / 5.0)) * 1e9)
+    val u1 = uuA + buAB + buBA // "a"(first) "b"(after a) "a"(after b)
+    val u2 = uuA + buAB
+    def avg6(u: Long, n: Long) =
+      BigDecimal((u / 1e9) / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(out(0) == ((1L, 3L, u1, avg6(u1, 3))))
+    assert(out(1) == ((2L, 2L, u2, avg6(u2, 2))))
+    assert(out(2) == ((3L, 0L, 0L, 0.0)), "empty doc scores zero")
+    // partition invariance: the corpus LM is global state
+    val again = TextAnalysis.bigramSurprisal(df.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
 }
