@@ -147,4 +147,36 @@ object Stats {
         round(col("cnt").cast("double") / col("total_rows").cast("double"), 6)
           .as("share"))
   }
+
+  /** ANALYZE-style per-column optimizer statistics in ONE scan: row
+    * count, non-null count, exact distinct count, min and max
+    * (stringified into the uniform long-form schema). This is the
+    * profile a cost-based planner (or a pipeline auditing a new data
+    * drop) collects before choosing join orders and salting — the
+    * `Stats` companion to `keySkewProfile`.
+    *
+    * Scale: one pass; the multiple exact COUNT(DISTINCT)s compile to
+    * Spark's Expand strategy (one input row fans out per distinct
+    * aggregate) — exact but ×|cols| pre-shuffle rows. At 100 TB swap
+    * exact ndv for the KMV sketch aggregate (`functions.KmvSketch`,
+    * q56) — same shape, constant-size state; exact is the oracle-able
+    * default.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          col(s"__nn_$c").as("n_nonnull"), col(s"__ndv_$c").as("ndv"),
+          col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"),
+        col("p.ndv"), col("p.min_value"), col("p.max_value"))
+  }
 }

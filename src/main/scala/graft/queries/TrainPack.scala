@@ -262,6 +262,13 @@ object TrainPack extends QueryPack {
         .orderBy(col("rank"))
     },
 
+    // ---- ANALYZE-style one-scan column profile (count/ndv/min/max) ----
+    "q121_column_profile" -> { (s, d) =>
+      Stats.columnProfile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+        .orderBy(col("col_name"))
+    },
+
     // ---- deterministic per-group exemplars (stable eyeball-QA picks) ----
     "q102_group_exemplars" -> { (s, d) =>
       Sampling.topKPerGroup(Tables.documents(s, d), col("doc_id"),
@@ -765,6 +772,16 @@ object TrainPack extends QueryPack {
          |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q121_column_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS ndv,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q102_group_exemplars" ->
       s"""SELECT source, rank, doc_id FROM (

@@ -633,6 +633,19 @@ class TrainPipelineSpec extends SparkSpec {
       "huge group keeps its 1-permille floor, not zero")
   }
 
+  test("columnProfile: one-scan count/ndv/min/max with nulls") {
+    val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
+      .toDF("id", "s")
+    val out = Stats.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("id", 3L, 3L, 2L, "1", "2"),
+      ("s", 3L, 2L, 2L, "a", "b")),
+      "n_rows counts all rows; n_nonnull and ndv skip nulls")
+  }
+
   test("kmeansFit: hand-computed 2-round Lloyd on a planted 2-cluster set") {
     val df = Seq(
       (0L, Array(0f, 0f)), (1L, Array(10f, 10f)), (2L, Array(0f, 1f)),
