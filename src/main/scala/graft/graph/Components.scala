@@ -212,6 +212,53 @@ object Components {
     * size desc and reassign ids 1..n (size desc, then min-member-id asc
     * for determinism).
     */
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al., Phys. Rev. E 76, 2007): every vertex starts labeled with its
+    * own id; each round it adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label, isolated vertices keep
+    * theirs. The deterministic tie-break makes the synchronous update
+    * exactly replayable (the classic formulation breaks ties randomly;
+    * min-label is the standard reproducible variant), so a SQL oracle
+    * can unroll the rounds.
+    *
+    * Unlike connected components, LPA splits weakly-joined regions —
+    * the community structure a curation pipeline wants when near-dup
+    * clusters chain through hub documents.
+    *
+    * `edges` must be SYMMETRIC (src, dst both directions). Plan shape
+    * per round: one equi-join (neighbor labels) + one (vertex, label)
+    * count + the packed-long argmax HashAggregate — the q34 pattern:
+    * (count, label) packs into ONE long, `min` replaces the
+    * row_number window, map-side partials absorb hub vertices before
+    * the shuffle. Labels are ids and must stay < 2³¹ in the pack
+    * (ids beyond that: widen the shift — counts share the long).
+    * The label table is localCheckpoint-ed per round — lineage stays
+    * flat in `iters`, the loop's shuffle carries (id, label) pairs
+    * only.
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, "at least one propagation round")
+    val Shift = 1L << 31
+    var labels = vertices.select(col("id"), col("id").cast("long").as("label"))
+    for (_ <- 1 to iters) {
+      val best = edges
+        .join(labels.select(col("id").as("__nid"), col("label")),
+          col("src") === col("__nid"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .select(col("id"),
+          ((lit(Shift) - col("__c")) * Shift + col("label")).as("__enc"))
+        .groupBy(col("id"))
+        .agg(min(col("__enc")).as("__enc"))
+        .select(col("id"), col("__enc").bitwiseAND(lit(Shift - 1)).as("__new"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def clusterSummary(nodesWithTags: DataFrame, components: DataFrame): DataFrame = {
     val joined = nodesWithTags.select(col("id"), col("tags"))
       .join(components, "id")

@@ -118,6 +118,21 @@ object GraphPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // ---- synchronous label propagation (min-label tie-break) over
+    //      the LSH similarity graph: community detection that splits
+    //      the weak bridges CC merges ----
+    "q122_label_propagation" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      Components.labelPropagation(emb.select(col("vec_id").as("id")),
+          sym.toDF("src", "dst"), iters = 2)
+        .orderBy(col("id"))
+    },
+
     // ---- weighted PageRank: edge weight = cosine sim in 1e6 units
     //      (6-dp sims quantize exactly), same fixed-point machinery ----
     "q103_pagerank_weighted" -> { (s, d) =>
@@ -228,6 +243,30 @@ object GraphPack extends QueryPack {
 
     "q74_lsh_components" ->
       (ccSql(lshEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
+
+    "q122_label_propagation" ->
+      s"""WITH p AS ($lshEdgesSql),
+         |sym AS (SELECT ia AS src, ib AS dst FROM p
+         |        UNION ALL SELECT ib, ia FROM p),
+         |l0 AS (SELECT vec_id AS id, CAST(vec_id AS BIGINT) AS label
+         |       FROM embeddings),
+         |n1 AS (SELECT s.dst AS id, l.label, COUNT(*) AS c
+         |       FROM sym s JOIN l0 l ON s.src = l.id GROUP BY s.dst, l.label),
+         |b1 AS (SELECT id, label FROM (
+         |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+         |           ORDER BY c DESC, label ASC) AS rn FROM n1) t
+         |       WHERE rn = 1),
+         |l1 AS (SELECT l0.id, COALESCE(b1.label, l0.label) AS label
+         |       FROM l0 LEFT JOIN b1 USING (id)),
+         |n2 AS (SELECT s.dst AS id, l.label, COUNT(*) AS c
+         |       FROM sym s JOIN l1 l ON s.src = l.id GROUP BY s.dst, l.label),
+         |b2 AS (SELECT id, label FROM (
+         |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+         |           ORDER BY c DESC, label ASC) AS rn FROM n2) t
+         |       WHERE rn = 1),
+         |l2 AS (SELECT l1.id, COALESCE(b2.label, l1.label) AS label
+         |       FROM l1 LEFT JOIN b2 USING (id))
+         |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
 
     "q111_lsh_degree" ->
       s"""WITH p AS (${lshEdgesSqlAt(0.3)}),

@@ -213,4 +213,26 @@ class TagAndGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L)))
   }
+
+  test("labelPropagation: synchronous min-label rounds on bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; 7 isolated
+    val vertices = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val out = Components.labelPropagation(vertices, sym, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // hand-computed synchronous rounds (ties -> min label):
+    // r1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4, 7->7
+    // r2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3, 7->7
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 3L), (6L, 3L), (7L, 7L)))
+    // repartition-invariant (packed argmax, no window)
+    val again = Components.labelPropagation(vertices.repartition(5),
+        sym.repartition(3), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
 }
