@@ -87,4 +87,38 @@ object Sampling {
     }
     df.filter(hashBucket(key) < rate)
   }
+
+  /** Importance-resampling gate — the EXECUTION half of DSIR data
+    * selection (`Corpus.dsirWeights` computes per-document log-ratio
+    * weights; this keeps documents with probability ∝ exp(weight),
+    * targeting `targetPermille`‰ of the corpus overall). The paper
+    * samples by Gumbel top-k; the reproducible engine form is the
+    * hash gate with a per-row acceptance rate:
+    * permille = min(1000, targetPermille · e / ē) where
+    * e = round(exp(clamp(w, ±5)) · 10⁶) and ē = exact integer mean.
+    *
+    * Determinism: exp quantizes to integer micro-units per row, the
+    * normalizer is an integer `div` of an exact integer sum (no
+    * double accumulation anywhere), and the gate is the standard md5
+    * bucket — partition- and engine-invariant. The ±5 clamp bounds
+    * both the tail influence of extreme ratios (standard practice)
+    * and the integer arithmetic (max term 1000·e⁵·10⁶ ≈ 1.5×10¹¹).
+    *
+    * Scale: the stats row broadcasts; the gate is a map-side filter
+    * over the weights table — one scan at any corpus size.
+    */
+  def importanceResample(df: DataFrame, key: Column, weightCol: String,
+                         targetPermille: Int): DataFrame = {
+    require(targetPermille >= 0 && targetPermille <= 1000,
+      "targetPermille is a permille rate")
+    val e = round(exp(least(greatest(col(weightCol), lit(-5.0)), lit(5.0)))
+      * lit(1e6)).cast("long")
+    val withE = df.withColumn("__e", e)
+    val stats = withE.agg(sum(col("__e")).as("__se"), count(lit(1)).as("__n"))
+    withE.crossJoin(broadcast(stats))
+      .withColumn("keep_permille",
+        least(lit(1000L), expr(s"($targetPermille * __e) div (__se div __n)")))
+      .filter(hashBucket(key) < col("keep_permille"))
+      .select(df.columns.map(col) :+ col("keep_permille"): _*)
+  }
 }

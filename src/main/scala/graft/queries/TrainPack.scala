@@ -41,6 +41,35 @@ object TrainPack extends QueryPack {
   private def md5LongSql(e: String): String =
     s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 2147483647)"
 
+  /** Shared CTE chain replaying `Corpus.dsirWeights` (hashed 1+2-gram
+    * buckets, add-one-smoothed target/raw log-ratio in nano-nat units)
+    * ending in `ad` = per-document weights — the base of both q117
+    * (the weights) and q123 (the resampling gate over them).
+    */
+  private lazy val dsirAdCtes: String =
+    s"""t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt, $toksSql AS tk
+       |  FROM documents),
+       |f AS (SELECT doc_id, tgt,
+       |    unnest(list_concat(${shingleSql("tk", 1)}, ${shingleSql("tk", 2)})) AS fe
+       |  FROM t),
+       |b AS (SELECT doc_id, tgt, ${md5LongSql("fe")} % 1024 AS b FROM f),
+       |c AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+       |    SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS rc
+       |  FROM b GROUP BY b),
+       |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS tr FROM c),
+       |u AS (SELECT b, ROUND((LN((tc + 1)::DOUBLE / (tt + 1024)::DOUBLE)
+       |    - LN((rc + 1)::DOUBLE / (tr + 1024)::DOUBLE)) * 1e9)::BIGINT AS u
+       |  FROM c, tot),
+       |p AS (SELECT b.doc_id, COUNT(*) AS n_features, SUM(u.u) AS weight_units
+       |  FROM b JOIN u USING (b) GROUP BY b.doc_id),
+       |ad AS (SELECT t.doc_id, t.tgt AS is_target,
+       |    COALESCE(n_features, 0) AS n_features,
+       |    COALESCE(weight_units, 0) AS weight_units,
+       |    ROUND(CASE WHEN COALESCE(n_features, 0) = 0 THEN 0.0
+       |      ELSE (weight_units::DOUBLE / 1e9) / n_features::DOUBLE END, 6)
+       |      AS avg_log_ratio
+       |  FROM t LEFT JOIN p ON t.doc_id = p.doc_id)""".stripMargin
+
   // Regex literals pass through verbatim: DuckDB standard single-quoted
   // strings don't process backslash escapes, so the Java pattern string
   // is byte-identical on both sides.
@@ -89,6 +118,17 @@ object TrainPack extends QueryPack {
     "q117_dsir_weights" -> { (s, d) =>
       Corpus.dsirWeights(Tables.documents(s, d), "doc_id", "text",
           targetPred = col("doc_id") % 10 === 0, n = 2, buckets = 1024)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the execution half of DSIR: importance-resampling hash gate
+    //      with acceptance ∝ exp(weight), integer-exact normalizer ----
+    "q123_dsir_resample" -> { (s, d) =>
+      val w = Corpus.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          targetPred = col("doc_id") % 10 === 0, n = 2, buckets = 1024)
+        .select(col("doc_id"), col("avg_log_ratio"))
+      Sampling.importanceResample(w, col("doc_id"), "avg_log_ratio",
+          targetPermille = 300)
         .orderBy(col("doc_id"))
     },
 
@@ -430,29 +470,25 @@ object TrainPack extends QueryPack {
          |ORDER BY doc.doc_id""".stripMargin,
 
     "q117_dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt, $toksSql AS tk
-         |  FROM documents),
-         |f AS (SELECT doc_id, tgt,
-         |    unnest(list_concat(${shingleSql("tk", 1)}, ${shingleSql("tk", 2)})) AS fe
-         |  FROM t),
-         |b AS (SELECT doc_id, tgt, ${md5LongSql("fe")} % 1024 AS b FROM f),
-         |c AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
-         |    SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS rc
-         |  FROM b GROUP BY b),
-         |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS tr FROM c),
-         |u AS (SELECT b, ROUND((LN((tc + 1)::DOUBLE / (tt + 1024)::DOUBLE)
-         |    - LN((rc + 1)::DOUBLE / (tr + 1024)::DOUBLE)) * 1e9)::BIGINT AS u
-         |  FROM c, tot),
-         |p AS (SELECT b.doc_id, COUNT(*) AS n_features, SUM(u.u) AS weight_units
-         |  FROM b JOIN u USING (b) GROUP BY b.doc_id)
-         |SELECT t.doc_id, t.tgt AS is_target,
-         |  COALESCE(n_features, 0) AS n_features,
-         |  COALESCE(weight_units, 0) AS weight_units,
-         |  ROUND(CASE WHEN COALESCE(n_features, 0) = 0 THEN 0.0
-         |    ELSE (weight_units::DOUBLE / 1e9) / n_features::DOUBLE END, 6)
-         |    AS avg_log_ratio
-         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+      s"""WITH $dsirAdCtes
+         |SELECT doc_id, is_target, n_features, weight_units, avg_log_ratio
+         |FROM ad ORDER BY doc_id""".stripMargin,
+
+    "q123_dsir_resample" -> {
+      val bucket =
+        s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000)"
+      s"""WITH $dsirAdCtes,
+         |e AS (SELECT doc_id, avg_log_ratio,
+         |    CAST(ROUND(EXP(LEAST(GREATEST(avg_log_ratio, -5.0), 5.0)) * 1e6)
+         |      AS BIGINT) AS ev
+         |  FROM ad),
+         |st AS (SELECT CAST(SUM(ev) AS BIGINT) AS se, COUNT(*) AS n FROM e)
+         |SELECT doc_id, avg_log_ratio,
+         |  LEAST(1000, (300 * ev) // (se // n)) AS keep_permille
+         |FROM e, st
+         |WHERE $bucket < LEAST(1000, (300 * ev) // (se // n))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q116_span_removal" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -186,7 +186,7 @@ class PlanSpec extends SparkSpec {
       "q84_tfidf_topterms", "q93_bm25", "q95_hist_quantiles",
       "q99_unigram_surprisal", "q100_key_skew", "q109_grouped_quantiles",
       "q114_bloom_decontaminate", "q117_dsir_weights",
-      "q119_rrf_fusion", "q120_bigram_surprisal",
+      "q119_rrf_fusion", "q120_bigram_surprisal", "q123_dsir_resample",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit")

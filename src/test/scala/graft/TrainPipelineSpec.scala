@@ -633,6 +633,31 @@ class TrainPipelineSpec extends SparkSpec {
       "huge group keeps its 1-permille floor, not zero")
   }
 
+  test("importanceResample: exp-weight permilles, clamp, exact gate replay") {
+    val df = Seq((1L, 0.0), (2L, 10.0), (3L, -10.0), (4L, 1.0))
+      .toDF("id", "w")
+    // integer replay: e = round(exp(clamp(w, ±5))·1e6), avg = sum div n,
+    // permille = min(1000, (300·e) div avg)
+    val es = Seq(0.0, 5.0, -5.0, 1.0).map(w => math.round(math.exp(w) * 1e6))
+    val avg = es.sum / 4
+    val perm = es.map(e => math.min(1000L, 300L * e / avg))
+    assert(perm(1) == 1000L, "clamped +5 weight saturates the gate")
+    assert(perm(2) == 0L, "clamped -5 weight rounds to a zero rate")
+    val buckets = df.select(col("id"),
+        Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Seq(1L, 2L, 3L, 4L)
+      .filter(id => buckets(id) < perm(id.toInt - 1))
+    val out = Sampling.importanceResample(df, col("id"), "w", 300)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == expected)
+    out.foreach { case (id, p) => assert(p == perm(id.toInt - 1)) }
+    // deterministic under repartition
+    val again = Sampling.importanceResample(df.repartition(3), col("id"), "w", 300)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("columnProfile: one-scan count/ndv/min/max with nulls") {
     val df = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
       .toDF("id", "s")
