@@ -247,6 +247,27 @@ object RelationalPack extends QueryPack {
     // ---- skew-salted join: orders x customer on a deterministic
     //      8-way salt; results identical to the plain join, so the
     //      oracle is the unsalted SQL ----
+    // ---- MERGE INTO / CDC apply: updates, deletes, and inserts folded
+    //      into the target in one deterministic batch ----
+    "q124_cdc_merge" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      val upd = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      val del = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(2L))
+      val ins = o.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      graft.operators.CdcMerge.applyChanges(o,
+          upd.unionByName(del).unionByName(ins),
+          keyCols = Seq("o_orderkey"), opCol = "__op", seqCol = "__seq")
+        .orderBy(col("o_orderkey"))
+    },
+
     "q22_salted_join" -> { (s, d) =>
       import s.implicits._
       val o = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
@@ -335,6 +356,32 @@ object RelationalPack extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q124_cdc_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority FROM orders),
+        |upd AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    ROUND(o_totalprice * 1.1, 2) AS o_totalprice, o_orderpriority,
+        |    'U' AS op, 1 AS seq FROM o WHERE o_orderkey % 97 = 0),
+        |del AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority, 'D' AS op, 2 AS seq FROM o
+        |  WHERE o_orderkey % 101 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderpriority,
+        |    'U' AS op, 1 AS seq FROM o WHERE o_orderkey % 103 = 0),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |       UNION ALL SELECT * FROM ins),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op ASC) AS rn FROM ch) t WHERE rn = 1),
+        |surv AS (SELECT * FROM o WHERE o_orderkey NOT IN
+        |  (SELECT o_orderkey FROM latest))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority FROM surv
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q22_salted_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_orders,

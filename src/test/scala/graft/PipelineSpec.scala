@@ -299,4 +299,22 @@ class PipelineSpec extends SparkSpec {
       .filter(col("doc_id") === 5).collect()(0)
     assert(f.getLong(1) == 0L)
   }
+
+  test("cdcMerge: upsert/delete/insert, highest seq wins, D beats U on ties") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),          // update key 2
+      (3L, "c", "D", 2L),           // delete key 3
+      (4L, "d", "U", 1L),           // insert key 4
+      (5L, "e1", "U", 1L),          // superseded by seq 2...
+      (5L, "e2", "U", 2L),          // ...which wins
+      (6L, "f", "U", 3L),           // tied seq with a delete...
+      (6L, "f", "D", 3L))           // ...delete wins (op asc: D < U)
+      .toDF("id", "v", "op", "seq")
+    val out = graft.operators.CdcMerge
+      .applyChanges(target, changes, Seq("id"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
+  }
 }

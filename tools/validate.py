@@ -49,8 +49,7 @@ for name in sorted(oracle):
         print(f"FAIL {name}: no spark output"); fail += 1; continue
     st = pq.read_table(files[0])
     scols = st.column_names
-    srows = [tuple(col[i] for col in (st.column(j).to_pylist() for j in range(st.num_columns))) for i in range(st.num_rows)] if st.num_rows else []
-    # rebuild rows properly (column-major -> row-major)
+    # column-major -> row-major
     cols_data = [st.column(j).to_pylist() for j in range(st.num_columns)]
     srows = list(zip(*cols_data)) if cols_data and st.num_rows else []
     try:
