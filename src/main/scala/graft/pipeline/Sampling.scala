@@ -113,7 +113,11 @@ object Sampling {
       "targetPermille is a permille rate")
     val e = round(exp(least(greatest(col(weightCol), lit(-5.0)), lit(5.0)))
       * lit(1e6)).cast("long")
-    val withE = df.withColumn("__e", e)
+    // materialize the (narrow) weights projection ONCE: both the
+    // normalizer aggregate and the gate read it, and the upstream
+    // weight computation (e.g. the whole DSIR pipeline) must not run
+    // twice (the r4-verdict recompute pattern)
+    val withE = df.withColumn("__e", e).localCheckpoint()
     val stats = withE.agg(sum(col("__e")).as("__se"), count(lit(1)).as("__n"))
     withE.crossJoin(broadcast(stats))
       .withColumn("keep_permille",
