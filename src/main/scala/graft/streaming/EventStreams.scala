@@ -296,6 +296,36 @@ object EventStreams {
     * files (one batch per file) into an in-memory table; returns the
     * final result. Used by tests to pin stream==batch semantics.
     */
+  /** Streaming CDC apply: fold each micro-batch of keyed changes into
+    * the running target with `CdcMerge.applyChanges` — the Structured
+    * Streaming form of MERGE INTO (exactly what a lakehouse sink runs
+    * inside foreachBatch). Sequential per-batch application equals one
+    * big-batch merge whenever sequence numbers respect batch order
+    * (true of any CDC log: later batches carry later seqs) — the
+    * stream==batch property StreamingSpec pins. The target is
+    * localCheckpoint-ed between batches, so each merge reads
+    * materialized state, not a growing plan. Returns the final target
+    * after the stream drains (AvailableNow).
+    */
+  def applyChangesStream(target: DataFrame, changes: DataFrame,
+                         keyCols: Seq[String], opCol: String,
+                         seqCol: String): DataFrame = {
+    @volatile var state = target.localCheckpoint()
+    val fold: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        state = graft.operators.CdcMerge
+          .applyChanges(state, batch.toDF(), keyCols, opCol, seqCol)
+          .localCheckpoint()
+      }
+    val q = changes.writeStream
+      .foreachBatch(fold)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
+
   def runToMemory(df: DataFrame, queryName: String,
                   outputMode: OutputMode = OutputMode.Update()): DataFrame = {
     val q = df.writeStream

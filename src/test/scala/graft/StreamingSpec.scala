@@ -213,4 +213,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("exact_dup")).count() >= 1,
       "overlap rows [20,30) are exact corpus duplicates — non-vacuous")
   }
+
+  test("streaming CDC apply == one-batch merge (seq respects batch order)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // batch 0: update 2, insert 4; batch 1 (later seqs): delete 2, update 4
+    val b0 = Seq((2L, "b2", "U", 1L), (4L, "d", "U", 1L))
+    val b1 = Seq((2L, "b2", "D", 2L), (4L, "d2", "U", 2L))
+    val dir = Files.createTempDirectory("cdcstream").toString
+    Seq((b0, "b0"), (b1, "b1")).foreach { case (rows, name) =>
+      val tmp = Files.createTempDirectory(s"cdc$name").toString
+      rows.toDF("id", "v", "op", "seq")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$dir/batch_$name.parquet")
+      Files.copy(part.toPath, dst)
+    }
+    // force source order = batch order (file-source processes by mtime)
+    new java.io.File(s"$dir/batch_b0.parquet").setLastModified(1000000L)
+    new java.io.File(s"$dir/batch_b1.parquet").setLastModified(2000000L)
+    val chSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("op", StringType), StructField("seq", LongType)))
+    val stream = spark.readStream.schema(chSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStreams.applyChangesStream(target, stream,
+        Seq("id"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batch = graft.operators.CdcMerge.applyChanges(target,
+        (b0 ++ b1).toDF("id", "v", "op", "seq"), Seq("id"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(streamed.toSeq == Seq((1L, "a"), (3L, "c"), (4L, "d2")),
+      "delete of 2 and the later update of 4 win")
+    assert(streamed.toSeq == batch.toSeq,
+      "incremental micro-batch merges equal the one-batch merge")
+  }
 }
