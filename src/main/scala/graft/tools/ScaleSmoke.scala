@@ -4,12 +4,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Opt-in scale smoke (not part of the driver contract): runs the five
+/** Opt-in scale smoke (not part of the driver contract): runs the seven
   * pipelines the 100 TB claim rests on — q74's LSH candidate graph →
-  * connected components, q98's integer PageRank, q92/q101's incremental
-  * batch-vs-corpus dedup, q113's PQ ADC search (code-only scan +
-  * broadcast LUT), and q114's Bloom decontamination (constant-size
-  * broadcast filter) — on GENERATED tables `copies`× the sf0.1 data,
+  * connected components, q98's integer PageRank, q118's 2-round Lloyd
+  * k-means fit, q122's 2-round label propagation, q92/q101's
+  * incremental batch-vs-corpus dedup, q113's PQ ADC search (code-only
+  * scan + broadcast LUT), and q114's Bloom decontamination
+  * (constant-size broadcast filter) — on GENERATED tables `copies`× the sf0.1 data,
   * recording wall time, per-stage shuffle bytes, and peak task memory.
   * Evidence that the loops scale as designed rather than just
   * asserting it.
@@ -137,6 +138,30 @@ object ScaleSmoke {
         iters = 3, scale = 1000000L).count()
     }
 
+    // --- q118 shape: 2-round Lloyd k-means fit. Each round is one
+    // scan × broadcast-k E-step + a (centroid, pos)-keyed partial-sum
+    // shuffle of k×d rows — cost linear in n, model size constant ---
+    val (kmRows, kmSec, kmShuf) = timed {
+      graft.similarity.SimilarityOps.kmeansFit(
+        embN, "vec_id", "embedding", k = 256, iters = 2).count()
+    }
+
+    // --- q122 shape: 2-round synchronous label propagation over the
+    // LSH graph — per round one neighbor-label equi-join + the
+    // packed-argmax HashAggregate; the loop shuffle carries only
+    // (id, label) pairs ---
+    val (lpRows, lpSec, lpShuf) = timed {
+      val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
+        embN, "vec_id", "embedding", threshold = 0.4,
+        bands = 3, bitsPerBand = bitsPerBand)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      graft.graph.Components.labelPropagation(
+        embN.select(col("vec_id").as("id")), sym.toDF("src", "dst"),
+        iters = 2).count()
+    }
+
     // --- q92/q101 shape: incremental batch-vs-corpus dedup. Corpus =
     // copies× documents replicated VERBATIM under shifted ids (the crawl
     // duplication pattern: every batch doc has `copies` exact twins);
@@ -184,6 +209,8 @@ object ScaleSmoke {
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
         s""""cc_rows":$ccRows,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf,""" +
         s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf,""" +
+        s""""kmeans_rows":$kmRows,"kmeans_sec":${f"$kmSec%.2f"},"kmeans_shuffle_bytes":$kmShuf,""" +
+        s""""lpa_rows":$lpRows,"lpa_sec":${f"$lpSec%.2f"},"lpa_shuffle_bytes":$lpShuf,""" +
         s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf,""" +
         s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf,""" +
         s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf,""" +
