@@ -192,6 +192,41 @@ object TextAnalysis {
             col("n_tokens").cast("double")), 6).as("avg_surprisal"))
   }
 
+  /** Per-document character-level Shannon entropy in nats — the
+    * compressibility quality signal (low entropy = repetitive
+    * boilerplate/junk, the cheap first gate web-corpus pipelines run
+    * before any LM scoring). entropy = ln(n) − (Σ cᵢ·ln cᵢ)/n over
+    * per-character counts cᵢ.
+    *
+    * Determinism: the Σ cᵢ·ln cᵢ term quantizes ln cᵢ to integer
+    * nano-nats per DISTINCT count value and sums exact integers; the
+    * final abs() absorbs the ±1e-9 quantization residue of
+    * single-character documents (true entropy 0) and normalizes the
+    * −0.0 it would otherwise round to. Pure map-side explode + two
+    * hash aggregates — no joins, no windows.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val perDoc = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__c") *
+          round(log(col("__c").cast("double")) * lit(1e9)).cast("long"))
+          .as("__s"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        round(when(coalesce(col("n_chars"), lit(0L)) === 0, lit(0.0))
+          .otherwise(abs(log(col("n_chars").cast("double"))
+            - (col("__s").cast("double") / lit(1e9))
+              / col("n_chars").cast("double"))), 6).as("entropy"))
+  }
+
   /** Interpolated bigram LM surprisal — the CCNet-shape perplexity
     * filter (Wenzek et al., LREC 2020) one order up from
     * `unigramSurprisal`: each token after the first scores

@@ -118,6 +118,12 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- character-entropy compressibility gate (nano-nat exact) ----
+    "q125_char_entropy" -> { (s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- language-ID heuristic ----
     "q50_language_id" -> { (s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -269,6 +275,24 @@ object TextPack extends QueryPack {
            |FROM sh a, sh b
            |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q125_char_entropy" ->
+        s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           |  FROM documents WHERE text <> ''),
+           |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch
+           |  WHERE ch <> '' GROUP BY doc_id, ch),
+           |p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           |    COUNT(*) AS n_distinct_chars,
+           |    CAST(SUM(c * ROUND(LN(c::DOUBLE) * 1e9)::BIGINT) AS BIGINT) AS s
+           |  FROM c GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(p.n_chars, 0) AS n_chars,
+           |  COALESCE(p.n_distinct_chars, 0) AS n_distinct_chars,
+           |  ROUND(CASE WHEN COALESCE(p.n_chars, 0) = 0 THEN 0.0
+           |    ELSE ABS(LN(p.n_chars::DOUBLE) - (p.s::DOUBLE / 1e9)
+           |      / p.n_chars::DOUBLE) END, 6) AS entropy
+           |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q49_quality_score" ->
         s"""SELECT doc_id,

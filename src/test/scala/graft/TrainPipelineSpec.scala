@@ -718,6 +718,17 @@ class TrainPipelineSpec extends SparkSpec {
       "rrf ordering: fused doc first, then lexical-only, then dense-only")
   }
 
+  test("charEntropy: ln2 for balanced pairs, zero for uniform and empty") {
+    val df = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 2L, 0.693147)), "two balanced symbols = ln 2")
+    assert(out(1) == ((2L, 4L, 1L, 0.0)),
+      "single-symbol doc: quantization residue absorbed to exactly 0")
+    assert(out(2) == ((3L, 0L, 0L, 0.0)), "empty doc scores zero")
+  }
+
   test("bigramSurprisal: exact nano-nat units from the interpolated LM") {
     val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
