@@ -216,6 +216,21 @@ object EventsPack extends QueryPack {
         .select(col("click_id"), col("error_id"), col("user_id"))
         .orderBy(col("click_id"), col("error_id"))
     },
+
+    // ---- ordered conversion funnel: first view -> first click at or
+    //      after it -> first purchase at or after that ----
+    "q126_funnel" -> { (s, d) =>
+      graft.operators.EventAnalytics.funnelTimes(Tables.events(s, d),
+          "user_id", "ts_ns", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- cohort retention by first-seen day (86400e9 ns periods) ----
+    "q127_cohort_retention" -> { (s, d) =>
+      graft.operators.EventAnalytics.cohortRetention(Tables.events(s, d),
+          "user_id", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("cohort"), col("period"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,6 +241,37 @@ object EventsPack extends QueryPack {
         |FROM events WHERE user_id < 30
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q126_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "q127_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(epoch_ns(ts)) // 86400000000000 AS cohort
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY cohort),
+        |a AS (SELECT f.cohort,
+        |    (epoch_ns(e.ts) // 86400000000000) - f.cohort AS period,
+        |    COUNT(DISTINCT e.user_id) AS n_active
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  GROUP BY f.cohort, period)
+        |SELECT a.cohort, a.period, a.n_active, sz.cohort_size,
+        |  ROUND(a.n_active::DOUBLE / sz.cohort_size::DOUBLE, 6) AS retention
+        |FROM a JOIN sz ON a.cohort = sz.cohort
+        |ORDER BY a.cohort, a.period""".stripMargin,
 
     "q71_session_window" ->
       """WITH g AS (

@@ -300,6 +300,43 @@ class PipelineSpec extends SparkSpec {
     assert(f.getLong(1) == 0L)
   }
 
+  test("funnelTimes: ordered semantics — earlier out-of-order steps don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 5L, "click"), (1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 30L, "purchase"),
+      (2L, 5L, "purchase"), (2L, 10L, "view"),
+      (3L, 7L, "click"))
+      .toDF("user_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics
+      .funnelTimes(ev, "user_id", "ts_ns", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 10L, 20L, 30L),  // click@5 precedes the view — ignored
+      (2L, 10L, -1L, -1L)), // purchase@5 precedes the view — no conversion
+      "user 3 never enters the funnel (no view)")
+  }
+
+  test("cohortRetention: cohort by first period, distinct-active shares") {
+    import spark.implicits._
+    val ev = Seq((1L, 5L), (1L, 25L), (2L, 12L), (2L, 15L), (3L, 3L), (3L, 14L))
+      .toDF("user_id", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .cohortRetention(ev, "user_id", "ts_ns", periodLength = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0),  // users 1,3 in cohort 0, both active at start
+      (0L, 1L, 1L, 2L, 0.5),  // user 3 returns in period 1
+      (0L, 2L, 1L, 2L, 0.5),  // user 1 returns in period 2
+      (1L, 0L, 1L, 1L, 1.0))) // user 2 alone in cohort 1
+  }
+
   test("cdcMerge: upsert/delete/insert, highest seq wins, D beats U on ties") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
