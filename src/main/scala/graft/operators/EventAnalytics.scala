@@ -40,6 +40,32 @@ object EventAnalytics {
     acc
   }
 
+  /** DAU/WAU stickiness: per period, the distinct-active count and the
+    * trailing-`window`-period distinct-active count, plus their ratio
+    * (the classic engagement metric). The trailing window is computed
+    * WITHOUT a range join: each (period, user) activity row explodes
+    * into the `window` future periods it is visible to, then one hash
+    * aggregate per side — pure equi-join shapes that scale with
+    * activity × window, never days × activity.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 periodLength: Long, window: Int = 7): DataFrame = {
+    require(periodLength > 0 && window >= 1, "positive period and window")
+    val du = events
+      .select(expr(s"$tsCol div $periodLength").as("day"),
+        col(userCol).as("__u"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"),
+        col("day") + lit(window - 1))).as("day"), col("__u"))
+      .groupBy(col("day")).agg(countDistinct(col("__u")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** Cohort retention: users cohort by the period (integer
     * `tsCol div periodLength`) of their FIRST event; for every
     * (cohort, periods-since-cohort) cell, the number of distinct

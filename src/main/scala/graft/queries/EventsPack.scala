@@ -231,6 +231,14 @@ object EventsPack extends QueryPack {
           "user_id", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000)
         .orderBy(col("cohort"), col("period"))
     },
+
+    // ---- DAU/WAU stickiness via explode-to-window equi-joins ----
+    "q128_dau_wau" -> { (s, d) =>
+      graft.operators.EventAnalytics.stickiness(Tables.events(s, d),
+          "user_id", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000,
+          window = 7)
+        .orderBy(col("day"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,6 +249,17 @@ object EventsPack extends QueryPack {
         |FROM events WHERE user_id < 30
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q128_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+        |    user_id FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        |w AS (SELECT unnest(range(day, day + 7)) AS day, user_id FROM du),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  ROUND(dau.dau::DOUBLE / wau.wau::DOUBLE, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "q126_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events

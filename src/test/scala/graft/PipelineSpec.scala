@@ -337,6 +337,22 @@ class PipelineSpec extends SparkSpec {
       (1L, 0L, 1L, 1L, 1.0))) // user 2 alone in cohort 1
   }
 
+  test("stickiness: trailing-window distinct actives via explode, no range join") {
+    import spark.implicits._
+    val ev = Seq((1L, 5L), (1L, 15L), (2L, 15L), (2L, 25L))
+      .toDF("user_id", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .stickiness(ev, "user_id", "ts_ns", periodLength = 10L, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 1.0),
+      (1L, 2L, 2L, 1.0),
+      (2L, 1L, 2L, 0.5)),  // day 2: only u2 active, window saw u1+u2
+      "window rows beyond the last active day drop with the inner join")
+  }
+
   test("cdcMerge: upsert/delete/insert, highest seq wins, D beats U on ties") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
