@@ -83,6 +83,37 @@ object Traversals {
     * it) and the result is lazy, so the caller owns eviction after the
     * query runs (see Dedup's cache-lifecycle note).
     */
+  /** Local clustering coefficient per vertex: the share of a vertex's
+    * neighbor pairs that are themselves connected —
+    * coef = 2·triangles / (deg·(deg−1)), 0 for deg < 2. The standard
+    * "how clique-like is this node's neighborhood" signal; over a
+    * similarity graph it separates tight duplicate clusters (coef → 1)
+    * from hub-and-spoke template families (coef → 0) at equal degree.
+    *
+    * Input is the same canonical (id_a < id_b) distinct pair list as
+    * `triangleCounts`; degree is counted over the symmetrized list.
+    * One triangle pass + one degree aggregate + an equi-join — no new
+    * join shapes beyond the q105 path. `coef` is one double division
+    * of exact integers, rounded 6 dp.
+    */
+  def clusteringCoefficient(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("id_a", "id_b")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct()
+    val deg = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    triangleCounts(vertices, p)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        col("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          round(lit(2.0) * col("n_triangles").cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("coef"))
+  }
+
   def triangleCounts(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     // non-canonical pairs would silently undercount (the a<b<c join
     // never matches them); duplicates would multi-count — guard + dedup

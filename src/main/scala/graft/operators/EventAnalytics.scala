@@ -66,6 +66,74 @@ object EventAnalytics {
           .as("stickiness"))
   }
 
+  /** Markov transition matrix over the event stream: for every ordered
+    * pair of consecutive events of the same user (ordered by `tsCol`,
+    * tie-broken by `idCol`), count the (prev_type → next_type)
+    * transition and its probability among all transitions leaving
+    * prev_type. The behavioral-modeling staple: "after a click, what
+    * happens next?".
+    *
+    * Scale notes: the lag window partitions BY USER — state is one
+    * user's history, never the stream; the transition aggregate is at
+    * most |types|² rows, and the per-prev normalizer joins back on that
+    * tiny table (broadcast). `p` is one double division of exact
+    * integer counts, rounded 6 dp.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("__tot"))
+    trans.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+  }
+
+  /** Trailing-window anomaly score for the per-(period, key) activity
+    * series: each (key, period) count is z-scored against the trailing
+    * `window` OBSERVED periods of the same key (rows-based window over
+    * the aggregated series — periods with zero events carry no row and
+    * are skipped, the "present-day basis" documented semantics).
+    *
+    * All window sums are exact BIGINT (Σx, Σx², w); the population
+    * z-score — z = (x − μ)/σ with μ = Σx/w, σ² = (w·Σx² − (Σx)²)/w²,
+    * which simplifies to z = (w·x − Σx) / √(w·Σx² − (Σx)²) — touches
+    * doubles only in the final sqrt/division, rounded 6 dp, and is
+    * NULL for a zero-variance window (including w = 1).
+    *
+    * Scale notes: the window runs over the AGGREGATED series — periods
+    * × keys rows, not raw events — so partitions are per-key series,
+    * tiny at any raw-data scale; the raw scan is one hash aggregate.
+    */
+  def rollingAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                     periodLength: Long, window: Int = 7): DataFrame = {
+    require(periodLength > 0 && window >= 2, "positive period, window >= 2")
+    val daily = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("period"))
+      .rowsBetween(-(window - 1), 0)
+    val scored = daily
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+    // var·w² = w·Σx² − (Σx)² — exact integers; z's numerator w·x − Σx too
+    val varw2 = col("w_n") * col("w_sumsq") - col("w_sum") * col("w_sum")
+    scored.select(col(keyCol), col("period"), col("n"), col("w_n"), col("w_sum"),
+      when(varw2 > 0,
+        round((col("w_n") * col("n") - col("w_sum")).cast("double") /
+          sqrt(varw2.cast("double")), 6))
+        .as("z"))
+  }
+
   /** Cohort retention: users cohort by the period (integer
     * `tsCol div periodLength`) of their FIRST event; for every
     * (cohort, periods-since-cohort) cell, the number of distinct

@@ -290,6 +290,54 @@ object Dedup {
         (!col("exact_dup") && coalesce(col("n_near"), lit(0L)) === 0)
           .as("is_new"))
 
+  /** Edit-distance-1 near-dup pairs via DELETION-NEIGHBORHOOD blocking
+    * (FastSS, Bocek et al. 2007): two strings are within Levenshtein
+    * distance 1 iff the sets {s} ∪ D1(s) and {t} ∪ D1(t) intersect,
+    * where D1 is every single-character deletion — equality (shared
+    * identity), insertion/deletion (one side's deletion equals the
+    * other's identity) and substitution (deletions at the edit
+    * position coincide) are all covered, so the block is EXACT for
+    * d ≤ 1: candidate generation is a pure equi-join on the variant
+    * string, never pairwise. A final `levenshtein(a, b) ≤ 1` verify
+    * discards the false positives deletions introduce (two deletions
+    * from different positions can collide at distance 2).
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, distinct.
+    *
+    * Scale notes: variant rows = Σ(len+1) — linear in total string
+    * length; the join shuffles on the variant string (a short key),
+    * group sizes are the blocking quality of the data, and the
+    * verify is a per-pair O(len²/64) scalar. The same neighborhood
+    * generalizes to d ≤ k with k-deletion variants (|D_k| = C(len,k));
+    * k = 1 is the production sweet spot for title/name dedup.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      col(textCol).cast("string").as("__s"))
+    // i = 0 is the identity variant; i in 1..len deletes character i
+    val variants = base
+      .select(col("__id"), col("__s"),
+        explode(sequence(lit(0), length(col("__s")))).as("__i"))
+      .select(col("__id"), col("__s"),
+        when(col("__i") === 0, col("__s"))
+          .otherwise(concat(
+            col("__s").substr(lit(1), col("__i") - 1),
+            col("__s").substr(col("__i") + 1, length(col("__s")))))
+          .as("__v"))
+      .distinct()
+    val a = variants.select(col("__id").as("id_a"), col("__s").as("__sa"),
+      col("__v"))
+    val b = variants.select(col("__id").as("id_b"), col("__s").as("__sb"),
+      col("__v"))
+    a.join(b, Seq("__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+  }
+
   def crossCorpusDedup(corpus: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {

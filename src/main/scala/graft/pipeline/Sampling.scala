@@ -107,6 +107,41 @@ object Sampling {
     * Scale: the stats row broadcasts; the gate is a map-side filter
     * over the weights table — one scan at any corpus size.
     */
+  /** Deterministic weighted sampling WITHOUT replacement: priority
+    * sampling (Duffield, Lund & Thorup, JACM 2007). Each row draws a
+    * reproducible uniform u ∈ (0, 2⁶⁰] from md5(key) and gets priority
+    * w/u; the sample is the k highest-priority rows — heavier rows
+    * win systematically, every row keeps a nonzero chance, and the
+    * estimator properties of priority sampling carry over.
+    *
+    * Engine-portable total order: maximizing w/u = minimizing u/w, so
+    * rows rank by the exact BIGINT `prio = u div w_micro` ascending
+    * (w in round-half-up micro-units), tie-broken by (u, key). No
+    * doubles anywhere — the order, and therefore the selected set, is
+    * partition-, run- and engine-invariant. Rows with w ≤ 0 are
+    * excluded (a zero-weight row must never be sampled; a negative
+    * weight is meaningless here).
+    *
+    * Scale notes: the gate is one map-side expression; the top-k is
+    * `orderBy().limit(k)` = TakeOrderedAndProject — per-partition heaps
+    * of k rows + a k-row driver merge, no global sort at any scale.
+    */
+  def prioritySample(df: DataFrame, key: Column, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    // 60-bit uniform from the md5 fold (same arithmetic family as
+    // hashBucket, full width instead of mod 1000); +1 keeps u > 0
+    val u = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") + lit(1L)
+    val wMicro = round(col(weightCol) * lit(1e6)).cast("long")
+    df.withColumn("__u", u).withColumn("__w", wMicro)
+      .filter(col("__w") > 0)
+      .withColumn("prio", expr("__u div __w"))
+      .orderBy(col("prio").asc, col("__u").asc, key.asc)
+      .limit(k)
+      .select(df.columns.map(col) :+ col("prio"): _*)
+  }
+
   def importanceResample(df: DataFrame, key: Column, weightCol: String,
                          targetPermille: Int): DataFrame = {
     require(targetPermille >= 0 && targetPermille <= 1000,

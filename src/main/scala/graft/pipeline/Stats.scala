@@ -114,6 +114,32 @@ object Stats {
           .as("est"))
   }
 
+  /** Quantile discretizer (fit + transform): bucket every row of
+    * `valueCol` into `q` quantile bins. Fit = `histogramQuantiles` at
+    * the q-1 interior quantiles (deterministic, cross-engine — unlike
+    * `QuantileDiscretizer`'s approxQuantile); the q-1 edges (a model
+    * of constant size, like `kmeansFit`'s centroids) collect to the
+    * driver and fold into ONE codegen'd map-side expression:
+    * bin = count of edges e with value > e, in [0, q-1]. Values exactly on a
+    * (6-dp-rounded) edge fall in the LOWER bin on every engine.
+    *
+    * Scale notes: two scans to fit (min/max + binned counts, both
+    * map-side-combined), one scan to transform — no join, no shuffle
+    * in the transform path; NULL values get a NULL bin.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, histBins: Int,
+                   q: Int): DataFrame = {
+    require(q >= 2, "need at least 2 quantile bins")
+    val qs = (1 until q).map(i => i.toDouble / q)
+    val edges = histogramQuantiles(df, valueCol, histBins, qs)
+      .select(col("est")).collect().map(_.getDouble(0)).sorted
+    val v = col(valueCol).cast("double")
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(v > lit(e), 1).otherwise(0)
+    }
+    df.withColumn("bin", when(v.isNotNull, bin))
+  }
+
   /** Join-key skew profile: the diagnostic you run BEFORE deciding
     * whether a join needs salting (`operators.SaltedJoin`) or AQE skew
     * handling. One hash-aggregate to per-key counts, then a tiny

@@ -239,9 +239,60 @@ object EventsPack extends QueryPack {
           window = 7)
         .orderBy(col("day"))
     },
+
+    // ---- Markov transition matrix: prev-type -> next-type counts
+    //      and probabilities over per-user event sequences ----
+    "q129_transition_matrix" -> { (s, d) =>
+      graft.operators.EventAnalytics.transitionMatrix(Tables.events(s, d),
+          "user_id", "ts_ns", "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+
+    // ---- trailing-window anomaly z-scores on the daily per-type
+    //      activity series (exact integer window sums) ----
+    "q130_daily_anomaly" -> { (s, d) =>
+      graft.operators.EventAnalytics.rollingAnomaly(Tables.events(s, d),
+          "event_type", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000,
+          window = 7)
+        .orderBy(col("event_type"), col("period"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q129_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM t
+        |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+        |tot AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  ROUND(c.n::DOUBLE / tot.tot::DOUBLE, 6) AS p
+        |FROM c JOIN tot ON c.prev_type = tot.prev_type
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
+
+    "q130_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS period,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type, period),
+        |w AS (
+        |  SELECT event_type, period, n,
+        |    COUNT(*) OVER tw AS w_n,
+        |    SUM(n) OVER tw AS w_sum,
+        |    SUM(n * n) OVER tw AS w_sumsq
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY period
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, period, n, w_n, w_sum,
+        |  CASE WHEN w_n * w_sumsq - w_sum * w_sum > 0 THEN
+        |    ROUND((w_n * n - w_sum)::DOUBLE /
+        |      sqrt((w_n * w_sumsq - w_sum * w_sum)::DOUBLE), 6)
+        |  END AS z
+        |FROM w ORDER BY event_type, period""".stripMargin,
+
     // round-tripping pivot -> unpivot with zero-drop equals the plain
     // long-form aggregation
     "q72_unpivot" ->

@@ -193,6 +193,22 @@ object GraphPack extends QueryPack {
         .select(col("id").as("vec_id"), col("n_triangles"))
         .orderBy(col("vec_id"))
     },
+
+    // ---- local clustering coefficient: triangles vs degree — tight
+    //      clusters vs hub-and-spoke neighborhoods ----
+    "q134_clustering_coef" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // materialized once: both the triangle pass and the degree
+      // aggregate read the pair list — see q98
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.2, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      Traversals.clusteringCoefficient(emb.select("vec_id"), pairs)
+        .select(col("id").as("vec_id"), col("deg"), col("n_triangles"),
+          col("coef"))
+        .orderBy(col("vec_id"))
+    },
   )
 
   private def simEdgesSql: String =
@@ -472,6 +488,27 @@ object GraphPack extends QueryPack {
          |  UNION ALL SELECT c FROM tri) x GROUP BY id)
          |SELECT v.vec_id, COALESCE(m.n_triangles, 0) AS n_triangles
          |FROM embeddings v LEFT JOIN m ON v.vec_id = m.id
+         |ORDER BY v.vec_id""".stripMargin,
+
+    "q134_clustering_coef" ->
+      s"""WITH e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
+         |tri AS (SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
+         |  FROM e0 ab JOIN e0 bc ON ab.ib = bc.ia
+         |  JOIN e0 ac ON ac.ia = ab.ia AND ac.ib = bc.ib),
+         |m AS (SELECT id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) x GROUP BY id),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT ia AS id FROM e0 UNION ALL SELECT ib FROM e0) y GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(deg.deg, 0)::BIGINT AS deg,
+         |  COALESCE(m.n_triangles, 0)::BIGINT AS n_triangles,
+         |  CASE WHEN COALESCE(deg.deg, 0) >= 2 THEN
+         |    ROUND(2.0 * COALESCE(m.n_triangles, 0)::DOUBLE
+         |      / (deg.deg * (deg.deg - 1))::DOUBLE, 6)
+         |  ELSE 0.0 END AS coef
+         |FROM embeddings v LEFT JOIN m ON v.vec_id = m.id
+         |  LEFT JOIN deg ON v.vec_id = deg.id
          |ORDER BY v.vec_id""".stripMargin,
   )
 }

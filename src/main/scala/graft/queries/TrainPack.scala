@@ -326,9 +326,84 @@ object TrainPack extends QueryPack {
           "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
         .orderBy(col("doc_id"))
     },
+
+    // ---- weighted sampling without replacement (priority sampling):
+    //      50 documents drawn proportional to length ----
+    "q131_weighted_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("double").as("w"))
+      Sampling.prioritySample(docs, col("doc_id"), "w", k = 50)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quantile discretizer: quartile-bucket every order total ----
+    "q132_quantile_bins" -> { (s, d) =>
+      Stats.quantileBins(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", histBins = 128, q = 4)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- edit-distance-1 near-dup pairs via deletion-neighborhood
+    //      blocking (FastSS) over customer names ----
+    "q133_editdist_pairs" -> { (s, d) =>
+      Dedup.editDistancePairs(Tables.customer(s, d), "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    // full-width 60-bit md5 fold (hashBucket's arithmetic without the
+    // mod), +1 so u > 0 — replays Sampling.prioritySample exactly
+    "q131_weighted_sample" -> {
+      val u60 = "(list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        "string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), " +
+        "c -> strpos('0123456789abcdef', c)::BIGINT - 1)), " +
+        "(a, b) -> a * 16 + b) + 1)"
+      s"""WITH c AS (SELECT doc_id, length(text)::DOUBLE AS w,
+         |    $u60 AS u, length(text)::BIGINT * 1000000 AS wm
+         |  FROM documents),
+         |s AS (SELECT doc_id, w, u, u // wm AS prio FROM c WHERE wm > 0
+         |  ORDER BY prio ASC, u ASC, doc_id ASC LIMIT 50)
+         |SELECT doc_id, w, prio FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q132_quantile_bins" ->
+      s"""WITH stats AS (SELECT MIN(o_totalprice)::DOUBLE AS mn,
+         |  MAX(o_totalprice)::DOUBLE AS mx, COUNT(o_totalprice) AS n
+         |  FROM orders),
+         |b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+         |  ELSE LEAST(127, FLOOR((o.o_totalprice::DOUBLE - s.mn) * 128.0
+         |    / (s.mx - s.mn))::INT) END AS bin FROM orders o, stats s),
+         |c AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+         |cc AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM c),
+         |q AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q),
+         |edges AS (SELECT ROUND(CASE WHEN s.mx = s.mn THEN s.mn
+         |    ELSE s.mn + (s.mx - s.mn) / 128.0
+         |      * (cc.bin + (q.q * s.n - (cc.cum - cc.c)) / cc.c) END, 6) AS est
+         |  FROM cc, q, stats s
+         |  WHERE cc.cum >= q.q * s.n AND (cc.cum - cc.c) < q.q * s.n)
+         |SELECT o.o_orderkey, o.o_totalprice,
+         |  (SELECT COUNT(*) FROM edges e
+         |   WHERE o.o_totalprice::DOUBLE > e.est)::INT AS bin
+         |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
+
+    "q133_editdist_pairs" ->
+      """WITH v0 AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |    unnest(list_prepend(c_name,
+        |      list_transform(range(1, length(c_name) + 1),
+        |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS v
+        |  FROM customer),
+        |d AS (SELECT DISTINCT id, s, v FROM v0)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.s, b.s)::INT AS dist
+        |FROM d a JOIN d b ON a.v = b.v AND a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q80_chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start

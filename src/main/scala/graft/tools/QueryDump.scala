@@ -21,6 +21,32 @@ object QueryDump {
     Graft.install(spark)
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // merge this query's oracle into outDir/oracle_sql.json so
+    // tools/validate.py can compare without a full Verify pass
+    SparkEntry.oracleSql.get(name).foreach { sql =>
+      val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
+      val existing: Map[String, String] =
+        if (java.nio.file.Files.exists(p)) {
+          val txt = java.nio.file.Files.readString(p)
+          // minimal parse: reuse Spark's JSON reader on the one-line file
+          import scala.jdk.CollectionConverters._
+          import com.fasterxml.jackson.databind.ObjectMapper
+          val m = new ObjectMapper().readValue(txt, classOf[java.util.Map[String, String]])
+          m.asScala.toMap
+        } else Map.empty
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = (existing + (name -> sql))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(p, json)
+    }
     spark.stop()
   }
 }

@@ -353,6 +353,39 @@ class PipelineSpec extends SparkSpec {
       "window rows beyond the last active day drop with the inner join")
   }
 
+  test("transitionMatrix: per-user lag pairs, per-prev normalized") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "a"))
+      .toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics
+      .transitionMatrix(ev, "user_id", "ts_ns", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("rollingAnomaly: exact integer window sums, null z on zero variance") {
+    import spark.implicits._
+    // periods (len 10): p0 1 event, p1 3 events, p2 2 events
+    val ev = Seq(5L, 11L, 12L, 13L, 21L, 22L).map(("x", _))
+      .toDF("k", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .rollingAnomaly(ev, "k", "ts_ns", periodLength = 10L, window = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+      .sortBy(_._1)
+    // p0: w=[1] var 0 -> null; p1: w=[1,3] z=(2*3-4)/sqrt(2*10-16)=1.0;
+    // p2: w=[1,3,2] z=(3*2-6)/sqrt(3*14-36)=0.0
+    assert((out(0)._1, out(0)._2, out(0)._3, out(0)._4) == ((0L, 1L, 1L, 1L))
+      && out(0)._5.isNaN)
+    assert(out(1) == ((1L, 3L, 2L, 4L, 1.0)))
+    assert(out(2) == ((2L, 2L, 3L, 6L, 0.0)))
+  }
+
   test("cdcMerge: upsert/delete/insert, highest seq wins, D beats U on ties") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")

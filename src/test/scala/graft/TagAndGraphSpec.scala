@@ -214,6 +214,20 @@ class TagAndGraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L)))
   }
 
+  test("clusteringCoefficient: 2*tri/(deg*(deg-1)); deg<2 and isolated -> 0") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // triangle {1,2,3} + spoke 3-4; vertex 5 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.graph.Traversals.clusteringCoefficient(vertices, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333),  // 2*1/(3*2), rounded 6 dp
+      (4L, 1L, 0L, 0.0), (5L, 0L, 0L, 0.0)))
+  }
+
   test("labelPropagation: synchronous min-label rounds on bridged triangles") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} bridged by 3-4; 7 isolated

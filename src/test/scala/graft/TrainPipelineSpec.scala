@@ -752,4 +752,61 @@ class TrainPipelineSpec extends SparkSpec {
       .sortBy(_._1)
     assert(out.toSeq == again.toSeq)
   }
+
+  test("prioritySample: exact integer-priority replay, partition-invariant, " +
+    "zero/negative weights excluded") {
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)) ++
+      Seq((201L, 0.0), (202L, -3.0)) // must never be sampled
+    val df = rows.toDF("id", "w")
+    val out = Sampling.prioritySample(df, col("id"), "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    // independent replay: md5 via MessageDigest, same fold + ordering
+    def u60(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    val expect = rows.filter(_._2 > 0).map { case (id, w) =>
+      val u = u60(id.toString); val wm = math.round(w * 1e6)
+      (u / wm, u, id, w)
+    }.sortBy(t => (t._1, t._2, t._3)).take(20)
+      .map(t => (t._3, t._4, t._1)).sortBy(_._1)
+    assert(out.toSeq == expect)
+    assert(!out.exists(t => t._1 == 201L || t._1 == 202L))
+    val again = Sampling.prioritySample(df.repartition(7), col("id"), "w", 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("quantileBins: hand-computed quartile edges on 1..100, " +
+    "boundary values fall in the lower bin, null value -> null bin") {
+    val df = ((1 to 100).map(v => (v.toLong, Some(v.toDouble))) :+
+      (101L, Option.empty[Double])).toDF("id", "v")
+    val out = Stats.quantileBins(df, "v", histBins = 99, q = 4)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).sortBy(_._1).toMap
+    // 99 equi-width bins over [1,100]: edges interpolate to exactly
+    // 26 / 51 / 76 -> v<=26 bin0, 27..51 bin1, 52..76 bin2, 77.. bin3
+    assert(out(1L) == 0 && out(26L) == 0, "edge value stays in lower bin")
+    assert(out(27L) == 1 && out(51L) == 1)
+    assert(out(52L) == 2 && out(76L) == 2)
+    assert(out(77L) == 3 && out(100L) == 3)
+    assert(out(101L) == -1, "null value gets a null bin")
+  }
+
+  test("editDistancePairs: FastSS deletion blocking is exact for d<=1 — " +
+    "substitution, insertion, equality found; d=2 rejected") {
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abcd"), (4L, "xyz"),
+      (5L, "abc")).toDF("id", "s")
+    val out = Dedup.editDistancePairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 5L, 0),
+      (2L, 3L, 1), (2L, 5L, 1), (3L, 5L, 1)),
+      "xyz pairs with nothing; abc==abc at distance 0")
+  }
 }
