@@ -83,6 +83,55 @@ object Traversals {
     * it) and the result is lazy, so the caller owns eviction after the
     * query runs (see Dedup's cache-lifecycle note).
     */
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * vertex whose degree within the surviving set is < k". The k-core
+    * is the fixpoint; a FIXED round count keeps the operator
+    * deterministic and oracle-replayable (the q118/q122 pattern — at
+    * the densities that matter the peel converges in a few rounds, and
+    * callers needing the true fixpoint loop until the alive count
+    * stops shrinking). Classic graph-cleaning gate: the k-core is the
+    * part of a near-dup graph dense enough to be template/boilerplate
+    * structure rather than chance collisions.
+    *
+    * Output: (id, in_core 0/1, deg) where deg is the vertex's degree
+    * WITHIN the surviving set after the last round (0 for peeled
+    * vertices).
+    *
+    * Scale notes: each round is two semi-joins (edge endpoints against
+    * the alive set) + one degree aggregate — all equi-joins on vertex
+    * ids; alive shrinks monotonically and is localCheckpoint-ed per
+    * round (the iterative-loop lineage rule).
+    */
+  def kcorePeel(vertices: DataFrame, pairs: DataFrame, k: Int,
+                rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val p = pairs.toDF("id_a", "id_b")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct().localCheckpoint()
+    val verts = vertices
+      .select(col(vertices.columns(0)).cast("long").as("id")).distinct()
+    def degreesWithin(alive: DataFrame): DataFrame = {
+      val e = p
+        .join(alive.select(col("id").as("id_a")), Seq("id_a"))
+        .join(alive.select(col("id").as("id_b")), Seq("id_b"))
+      e.select(col("id_a").as("id")).union(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    }
+    var alive = verts.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = alive.join(degreesWithin(alive), Seq("id"))
+        .filter(col("deg") >= k).select(col("id"))
+        .localCheckpoint()
+    }
+    val finalDeg = degreesWithin(alive)
+    verts
+      .join(alive.withColumn("in_core", lit(1)), Seq("id"), "left")
+      .join(finalDeg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("in_core"), lit(0)).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
   /** Local clustering coefficient per vertex: the share of a vertex's
     * neighbor pairs that are themselves connected —
     * coef = 2·triangles / (deg·(deg−1)), 0 for deg < 2. The standard

@@ -256,9 +256,42 @@ object EventsPack extends QueryPack {
           window = 7)
         .orderBy(col("event_type"), col("period"))
     },
+
+    // ---- interval coalescing: every error opens a 30-min alert
+    //      window; overlapping windows merge per user ----
+    "q136_merge_intervals" -> { (s, d) =>
+      val iv = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ns").as("s0"),
+          (col("ts_ns") + lit(1800L * 1000 * 1000 * 1000)).as("e0"))
+      graft.operators.Intervals.coalesceIntervals(iv, "user_id", "s0", "e0")
+        .select(col("user_id"), col("island"),
+          col("start").as("span_start"), col("end").as("span_end"),
+          col("n_merged"))
+        .orderBy(col("user_id"), col("island"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q136_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s0,
+        |    epoch_ns(ts) + 1800000000000 AS e0
+        |  FROM events WHERE event_type = 'error'),
+        |f AS (SELECT user_id, s0, e0,
+        |    CASE WHEN MAX(e0) OVER pw IS NULL OR s0 > MAX(e0) OVER pw
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY s0, e0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, s0, e0,
+        |    CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f)
+        |SELECT user_id, island, MIN(s0) AS span_start, MAX(e0) AS span_end,
+        |  COUNT(*) AS n_merged
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
     "q129_transition_matrix" ->
       """WITH t AS (
         |  SELECT LAG(event_type) OVER (PARTITION BY user_id

@@ -209,6 +209,18 @@ object GraphPack extends QueryPack {
           col("coef"))
         .orderBy(col("vec_id"))
     },
+
+    // ---- bounded 2-core peel: the dense template/boilerplate part of
+    //      the near-dup graph (3 synchronous rounds, q122 pattern) ----
+    "q135_kcore" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.2, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      Traversals.kcorePeel(emb.select("vec_id"), pairs, k = 2, rounds = 3)
+        .select(col("id").as("vec_id"), col("in_core"), col("deg"))
+        .orderBy(col("vec_id"))
+    },
   )
 
   private def simEdgesSql: String =
@@ -509,6 +521,32 @@ object GraphPack extends QueryPack {
          |  ELSE 0.0 END AS coef
          |FROM embeddings v LEFT JOIN m ON v.vec_id = m.id
          |  LEFT JOIN deg ON v.vec_id = deg.id
+         |ORDER BY v.vec_id""".stripMargin,
+
+    "q135_kcore" ->
+      s"""WITH e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
+         |d1 AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT ia AS id FROM e0 UNION ALL SELECT ib FROM e0) x GROUP BY id),
+         |a1 AS (SELECT id FROM d1 WHERE deg >= 2),
+         |e1 AS (SELECT e0.ia, e0.ib FROM e0
+         |  JOIN a1 x ON e0.ia = x.id JOIN a1 y ON e0.ib = y.id),
+         |d2 AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT ia AS id FROM e1 UNION ALL SELECT ib FROM e1) x GROUP BY id),
+         |a2 AS (SELECT id FROM d2 WHERE deg >= 2),
+         |e2 AS (SELECT e1.ia, e1.ib FROM e1
+         |  JOIN a2 x ON e1.ia = x.id JOIN a2 y ON e1.ib = y.id),
+         |d3 AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT ia AS id FROM e2 UNION ALL SELECT ib FROM e2) x GROUP BY id),
+         |a3 AS (SELECT id FROM d3 WHERE deg >= 2),
+         |e3 AS (SELECT e2.ia, e2.ib FROM e2
+         |  JOIN a3 x ON e2.ia = x.id JOIN a3 y ON e2.ib = y.id),
+         |df AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT ia AS id FROM e3 UNION ALL SELECT ib FROM e3) x GROUP BY id)
+         |SELECT v.vec_id,
+         |  (CASE WHEN a3.id IS NOT NULL THEN 1 ELSE 0 END)::INT AS in_core,
+         |  COALESCE(df.deg, 0)::BIGINT AS deg
+         |FROM embeddings v LEFT JOIN a3 ON v.vec_id = a3.id
+         |  LEFT JOIN df ON v.vec_id = df.id
          |ORDER BY v.vec_id""".stripMargin,
   )
 }

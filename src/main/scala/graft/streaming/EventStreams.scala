@@ -326,6 +326,41 @@ object EventStreams {
     state
   }
 
+  case class LastEvent(tsNs: Long, eventId: Long, eventType: String)
+  case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming Markov transitions — the stream form of
+    * `EventAnalytics.transitionMatrix`: per user, every consecutive
+    * event pair emits one (prev_type → next_type) row; aggregating the
+    * emitted rows gives exactly the batch transition matrix whenever
+    * per-user event-time order is respected across micro-batches (true
+    * of an ordered log replay; the standard stateful-stream caveat).
+    * State per user is ONE last-event tuple — constant, never the
+    * history. Within a batch rows sort by (ts, id), the same total
+    * order the batch lag window uses.
+    */
+  def transitionStream(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = sorted.flatMap { case (_, tsNs, id, tpe) =>
+            val t = last.map(l => Transition(userId, l.eventType, tpe))
+            last = Some(LastEvent(tsNs, id, tpe))
+            t
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def runToMemory(df: DataFrame, queryName: String,
                   outputMode: OutputMode = OutputMode.Update()): DataFrame = {
     val q = df.writeStream

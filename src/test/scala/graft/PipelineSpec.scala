@@ -386,6 +386,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((2L, 2L, 3L, 6L, 0.0)))
   }
 
+  test("coalesceIntervals: overlap merges, touch merges, gap splits, " +
+    "keys independent") {
+    import spark.implicits._
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap -> one island
+      ("a", 20L, 30L),                  // touching (start == prev end) merges
+      ("a", 40L, 50L),                  // gap -> new island
+      ("b", 0L, 5L))                    // other key unaffected
+      .toDF("k", "s0", "e0")
+    val out = graft.operators.Intervals.coalesceIntervals(iv, "k", "s0", "e0")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 0L, 30L, 3L), ("a", 2L, 40L, 50L, 1L),
+      ("b", 1L, 0L, 5L, 1L)))
+  }
+
   test("cdcMerge: upsert/delete/insert, highest seq wins, D beats U on ties") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")

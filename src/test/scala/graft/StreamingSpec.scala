@@ -214,6 +214,27 @@ class StreamingSpec extends SparkSpec {
       "overlap rows [20,30) are exact corpus duplicates — non-vacuous")
   }
 
+  test("streaming transitions aggregate to the batch transition matrix") {
+    val dir = Files.createTempDirectory("evstream_tr").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.transitionStream(EventStreams.readEventStream(spark, dir))
+        .toDF(),
+      "transition_test", OutputMode.Append())
+    val s = streamed.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val b = graft.operators.EventAnalytics
+      .transitionMatrix(graft.Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts_ns", "event_id", "event_type")
+      .orderBy("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(s == b,
+      "per-user emitted transitions must aggregate to the batch lag matrix")
+  }
+
   test("streaming CDC apply == one-batch merge (seq respects batch order)") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -228,6 +228,22 @@ class TagAndGraphSpec extends SparkSpec {
       (4L, 1L, 0L, 0.0), (5L, 0L, 0L, 0.0)))
   }
 
+  test("kcorePeel: cascading peel removes the tail; core keeps k-degree") {
+    import spark.implicits._
+    val vertices = (1L to 6L).toDF("id")
+    // triangle {1,2,3} with a path 3-4-5 hanging off; 6 isolated.
+    // 2-core peel: r1 drops 5 (deg 1) and 6; r2 drops 4 (deg fell to 1);
+    // r3 stable -> core {1,2,3}, degrees within core = 2 each
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = graft.graph.Traversals.kcorePeel(vertices, pairs, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1, 2L), (2L, 1, 2L), (3L, 1, 2L),
+      (4L, 0, 0L), (5L, 0, 0L), (6L, 0, 0L)))
+  }
+
   test("labelPropagation: synchronous min-label rounds on bridged triangles") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} bridged by 3-4; 7 isolated
