@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel and cohort-retention analysis — the two classic
@@ -132,6 +133,51 @@ object EventAnalytics {
         round((col("w_n") * col("n") - col("w_sum")).cast("double") /
           sqrt(varw2.cast("double")), 6))
         .as("z"))
+  }
+
+  /** Top-k most common length-`pathLen` event-type sequences within
+    * sessions (30-min-gap sessionization, the q61 machinery): the
+    * "what do users actually do" path-analysis staple. Sessions bound
+    * the sequences — a path never crosses a session gap.
+    *
+    * Plan shape: one per-user window pass assigns session ids (lag +
+    * running sum), the SAME partition-by-user window computes the
+    * leads (no second shuffle — Spark reuses the user exchange), a
+    * session-equality filter keeps in-session windows, then one hash
+    * aggregate + TakeOrderedAndProject top-k; rank attaches after
+    * `.limit(topK)` so the global window orders k rows, not the
+    * distinct-path table (the q100 pattern).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, gapNs: Long,
+               pathLen: Int = 3, topK: Int = 20): DataFrame = {
+    require(pathLen >= 2 && topK >= 1, "pathLen >= 2 and topK >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+    val withLeads = (1 until pathLen).foldLeft(
+      sessioned.withColumn("__t0", col(typeCol))
+        .withColumn("__sid_end", col("__sid"))) { (df, i) =>
+      df.withColumn(s"__t$i", lead(col(typeCol), i).over(w))
+        .withColumn("__sid_end", lead(col("__sid"), i).over(w))
+    }
+    val path = concat_ws(">", (0 until pathLen).map(i => col(s"__t$i")): _*)
+    withLeads
+      .filter(col(s"__t${pathLen - 1}").isNotNull &&
+        col("__sid_end") === col("__sid"))
+      .groupBy(path.as("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("path").asc)))
+      .select(col("rank"), col("path"), col("n"))
   }
 
   /** Cohort retention: users cohort by the period (integer

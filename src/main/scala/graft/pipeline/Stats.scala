@@ -114,6 +114,63 @@ object Stats {
           .as("est"))
   }
 
+  /** Data-quality expectations audit (the Deequ/dbt-test shape): each
+    * rule is a boolean predicate that every row MUST satisfy; the
+    * report has one row per rule with its violation count and pass
+    * flag. A predicate evaluating to NULL counts as a violation — an
+    * expectation that cannot be established is not met (the SQL
+    * three-valued-logic trap every hand-rolled check falls into).
+    *
+    * Scale notes: ALL rules fold into ONE aggregate scan (a conditional
+    * sum per rule), map-side combined; the explode to long form runs
+    * over a single row of |rules| counters.
+    */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(s"__v_$i")
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule_name"), col("__n").as("n_rows"),
+          col(s"__v_$i").as("n_violations"),
+          (col(s"__v_$i") === 0).as("pass"))
+      }: _*)).as("r"))
+      .select(col("r.rule_name"), col("r.n_rows"), col("r.n_violations"),
+        col("r.pass"))
+  }
+
+  /** Exact-arithmetic z-score standardization: z = (x − μ)/σ over the
+    * whole column, computed as (n·xᵢ − Σx)/√(n·Σx² − (Σx)²) on integer
+    * units (xᵢ = round(value·scale), e.g. scale=100 for cents) with
+    * DECIMAL(38,0) sums — no double accumulation, so the statistics
+    * are partition- and engine-exact; doubles appear only in the final
+    * division, rounded 6 dp. NULL values keep a NULL z. The feature-
+    * scaling staple in a form an oracle can replay bit-for-bit.
+    *
+    * Scale notes: one aggregate scan to a single broadcast stats row +
+    * one map-side transform scan — the same two-scan shape as
+    * `quantileBins`, no shuffle in the transform.
+    */
+  def zscore(df: DataFrame, valueCol: String, scale: Int = 100): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val xi = round(col(valueCol) * scale).cast("long")
+    val withX = df.withColumn("__x", xi)
+    val xd = col("__x").cast("decimal(38,0)")
+    val stats = withX.agg(
+      sum(xd).as("__s"),
+      sum(xd * xd).as("__s2"),
+      count(col("__x")).as("__n"))
+    val varNum = col("__n") * col("__s2") - col("__s") * col("__s")
+    withX.crossJoin(broadcast(stats))
+      .withColumn("z",
+        when(col("__x").isNotNull && varNum > 0,
+          round((col("__n") * col("__x").cast("decimal(38,0)") - col("__s"))
+            .cast("double") / sqrt(varNum.cast("double")), 6)))
+      .select(df.columns.map(col) :+ col("z"): _*)
+  }
+
   /** Quantile discretizer (fit + transform): bucket every row of
     * `valueCol` into `q` quantile bins. Fit = `histogramQuantiles` at
     * the q-1 interior quantiles (deterministic, cross-engine — unlike

@@ -257,6 +257,15 @@ object EventsPack extends QueryPack {
         .orderBy(col("event_type"), col("period"))
     },
 
+    // ---- top session paths: most common 3-step event sequences
+    //      inside 30-min-gap sessions ----
+    "q137_top_paths" -> { (s, d) =>
+      graft.operators.EventAnalytics.topPaths(Tables.events(s, d),
+          "user_id", "ts_ns", "event_id", "event_type",
+          gapNs = 1800L * 1000 * 1000 * 1000, pathLen = 3, topK = 20)
+        .orderBy(col("rank"))
+    },
+
     // ---- interval coalescing: every error opens a 30-min alert
     //      window; overlapping windows merge per user ----
     "q136_merge_intervals" -> { (s, d) =>
@@ -272,6 +281,33 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q137_top_paths" ->
+      s"""WITH s AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+         |      OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > $SessionGapNs
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+         |g AS (
+         |  SELECT user_id, event_id, event_type, tns,
+         |    SUM(nw) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s),
+         |p AS (
+         |  SELECT event_type AS t0,
+         |    LEAD(event_type, 1) OVER w2 AS t1,
+         |    LEAD(event_type, 2) OVER w2 AS t2,
+         |    sid, LEAD(sid, 2) OVER w2 AS sid2
+         |  FROM g
+         |  WINDOW w2 AS (PARTITION BY user_id ORDER BY tns, event_id)),
+         |c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+         |  FROM p WHERE t2 IS NOT NULL AND sid2 = sid GROUP BY path
+         |  ORDER BY n DESC, path ASC LIMIT 20)
+         |SELECT ROW_NUMBER() OVER (ORDER BY n DESC, path ASC)::INT AS rank,
+         |  path, n
+         |FROM c ORDER BY rank""".stripMargin,
+
     "q136_merge_intervals" ->
       """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s0,
         |    epoch_ns(ts) + 1800000000000 AS e0

@@ -350,9 +350,65 @@ object TrainPack extends QueryPack {
       Dedup.editDistancePairs(Tables.customer(s, d), "c_custkey", "c_name")
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // ---- data-quality expectations audit (one aggregate scan) ----
+    "q138_expectations" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      Stats.expectations(li, Seq(
+          "discount_range" ->
+            (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+          "orderkey_nonnull" -> col("l_orderkey").isNotNull,
+          "price_positive" -> (col("l_extendedprice") > 0.0),
+          "qty_range" -> (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+          "shipdate_nonnull" -> col("l_shipdate").isNotNull,
+          "tax_range" -> (col("l_tax") >= 0.0 && col("l_tax") <= 0.08)))
+        .orderBy(col("rule_name"))
+    },
+
+    // ---- exact-arithmetic z-score standardization of order totals ----
+    "q139_zscore_price" -> { (s, d) =>
+      Stats.zscore(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", scale = 100)
+        .orderBy(col("o_orderkey"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q138_expectations" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (NOT(l_discount >= 0.0 AND l_discount <= 0.1)
+        |    OR l_discount IS NULL) AS v_discount,
+        |  COUNT(*) FILTER (l_orderkey IS NULL) AS v_orderkey,
+        |  COUNT(*) FILTER (NOT(l_extendedprice > 0.0)
+        |    OR l_extendedprice IS NULL) AS v_price,
+        |  COUNT(*) FILTER (NOT(l_quantity >= 1.0 AND l_quantity <= 50.0)
+        |    OR l_quantity IS NULL) AS v_qty,
+        |  COUNT(*) FILTER (l_shipdate IS NULL) AS v_ship,
+        |  COUNT(*) FILTER (NOT(l_tax >= 0.0 AND l_tax <= 0.08)
+        |    OR l_tax IS NULL) AS v_tax
+        |  FROM lineitem)
+        |SELECT rule_name, n_rows, n_violations, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'discount_range' AS rule_name, n_rows, v_discount AS n_violations FROM a
+        |  UNION ALL SELECT 'orderkey_nonnull', n_rows, v_orderkey FROM a
+        |  UNION ALL SELECT 'price_positive', n_rows, v_price FROM a
+        |  UNION ALL SELECT 'qty_range', n_rows, v_qty FROM a
+        |  UNION ALL SELECT 'shipdate_nonnull', n_rows, v_ship FROM a
+        |  UNION ALL SELECT 'tax_range', n_rows, v_tax FROM a)
+        |ORDER BY rule_name""".stripMargin,
+
+    "q139_zscore_price" ->
+      """WITH x AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xi FROM orders),
+        |st AS (SELECT SUM(xi::HUGEINT) AS s,
+        |    SUM(xi::HUGEINT * xi::HUGEINT) AS s2, COUNT(xi) AS n FROM x)
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN xi IS NOT NULL AND n * s2 - s * s > 0 THEN
+        |    ROUND((n * xi - s)::DOUBLE / sqrt((n * s2 - s * s)::DOUBLE), 6)
+        |  END AS z
+        |FROM x, st ORDER BY o_orderkey""".stripMargin,
+
     // full-width 60-bit md5 fold (hashBucket's arithmetic without the
     // mod), +1 so u > 0 — replays Sampling.prioritySample exactly
     "q131_weighted_sample" -> {

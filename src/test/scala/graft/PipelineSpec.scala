@@ -386,6 +386,55 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((2L, 2L, 3L, 6L, 0.0)))
   }
 
+  test("topPaths: sessions bound sequences; short sessions emit none") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "d"),
+      (2L, 5L, 1L, "a"), (2L, 6L, 2L, "b"),           // session of 2: no path
+      (2L, 7L, 100L, "c"), (2L, 8L, 101L, "d"), (2L, 9L, 102L, "e"))
+      .toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics
+      .topPaths(ev, "user_id", "ts_ns", "event_id", "event_type",
+        gapNs = 10L, pathLen = 3, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a>b>c", 1L), (2, "b>c>d", 1L), (3, "c>d>e", 1L)),
+      "user 2's first session is too short; the gap splits its paths")
+  }
+
+  test("expectations: one-scan audit; NULL predicate counts as violation") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), Some(2.0), None).toDF("x")
+    val out = graft.pipeline.Stats.expectations(df, Seq(
+        "pos" -> (col("x") > 0.0),
+        "nonnull" -> col("x").isNotNull,
+        "bounded" -> (col("x") < 10.0),
+        "count_is_free" -> lit(true)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("bounded", 3L, 1L, false),       // NULL x fails the bound
+      ("count_is_free", 3L, 0L, true),
+      ("nonnull", 3L, 1L, false),
+      ("pos", 3L, 1L, false)))
+  }
+
+  test("zscore: exact integer stats, null passthrough, partition-invariant") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Option.empty[Double])).toDF("id", "v")
+    val out = graft.pipeline.Stats.zscore(df, "v", scale = 100)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    assert(out(0) == ((1L, -1.224745)) && out(1) == ((2L, 0.0)) &&
+      out(2) == ((3L, 1.224745)))
+    assert(out(3)._2.isNaN, "null value keeps a null z")
+    val again = graft.pipeline.Stats.zscore(df.repartition(5), "v", 100)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq.toString == again.toSeq.toString)
+  }
+
   test("coalesceIntervals: overlap merges, touch merges, gap splits, " +
     "keys independent") {
     import spark.implicits._
