@@ -67,6 +67,87 @@ object EventAnalytics {
           .as("stickiness"))
   }
 
+  /** SCD Type-2 history from an ordered change log: per key, collapse
+    * consecutive repeats of `stateCol` and assign each surviving state
+    * its validity interval — valid_from = its first timestamp,
+    * valid_to = the next state's valid_from (NULL while current, the
+    * open interval every dimension-table reader joins with
+    * `valid_to IS NULL OR ts < valid_to`). The warehouse-history
+    * staple that complements `CdcMerge` (which keeps only the latest
+    * image).
+    *
+    * Scale notes: two window passes over the SAME per-key partition —
+    * one lag to drop no-change rows, one lead on the (smaller)
+    * collapsed set — Spark plans a single Exchange on the key; state
+    * per partition is one previous row.
+    */
+  def scd2History(log: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val collapsed = log
+      .withColumn("__prev_state", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev_state").isNull ||
+        col("__prev_state") =!= col(stateCol))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    collapsed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(stateCol).as("state"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** Dense period spine (gap filling): re-grid the per-(key, period)
+    * aggregate onto EVERY period between each key's first and last
+    * activity, zero-filling the holes — the densification step that
+    * makes trailing-window statistics (q130) and chart series
+    * well-defined on calendar basis rather than observed basis.
+    *
+    * Scale notes: the spine explodes one row per (key, active-span
+    * period) — proportional to the OUTPUT, not to raw events; the fill
+    * is one left equi-join on (key, period). The raw scan is the same
+    * single hash aggregate as the sparse series.
+    */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val sparse = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("n"))
+    val spine = sparse.groupBy(col(keyCol))
+      .agg(min(col("period")).as("__lo"), max(col("period")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("period"))
+    spine.join(sparse, Seq(keyCol, "period"), "left")
+      .select(col(keyCol), col("period"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Growth accounting: per period, distinct actives (dau), first-time
+    * users (new), returning = dau − new, and the cumulative user base.
+    * The running sum is a window over the per-period aggregate — days,
+    * not events — so the single-partition tail is bounded by the
+    * calendar, never the data.
+    */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String,
+                       periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val du = events
+      .select(expr(s"$tsCol div $periodLength").as("period"),
+        col(userCol).as("__u"))
+      .distinct()
+    val dau = du.groupBy(col("period")).agg(count(lit(1)).as("dau"))
+    val firsts = du.groupBy(col("__u")).agg(min(col("period")).as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("new_users"))
+    val cum = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firsts, Seq("period"), "left")
+      .select(col("period"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(cum))
+  }
+
   /** Markov transition matrix over the event stream: for every ordered
     * pair of consecutive events of the same user (ordered by `tsCol`,
     * tie-broken by `idCol`), count the (prev_type → next_type)

@@ -257,6 +257,31 @@ object EventsPack extends QueryPack {
         .orderBy(col("event_type"), col("period"))
     },
 
+    // ---- SCD Type-2 history: collapse repeat states, validity
+    //      intervals with an open current row ----
+    "q140_scd2" -> { (s, d) =>
+      graft.operators.EventAnalytics.scd2History(
+          Tables.events(s, d).filter(col("user_id") < 30),
+          "user_id", "ts_ns", "event_id", "event_type")
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
+    // ---- dense period spine: per-user hourly series zero-filled
+    //      between first and last activity ----
+    "q141_gap_fill" -> { (s, d) =>
+      graft.operators.EventAnalytics.gapFill(
+          Tables.events(s, d).filter(col("user_id") < 20),
+          "user_id", "ts_ns", periodLength = 3600L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("period"))
+    },
+
+    // ---- growth accounting: dau, new vs returning, cumulative base ----
+    "q142_growth" -> { (s, d) =>
+      graft.operators.EventAnalytics.growthAccounting(Tables.events(s, d),
+          "user_id", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("period"))
+    },
+
     // ---- top session paths: most common 3-step event sequences
     //      inside 30-min-gap sessions ----
     "q137_top_paths" -> { (s, d) =>
@@ -281,6 +306,47 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q140_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS pv
+        |  FROM events WHERE user_id < 30),
+        |k AS (SELECT user_id, event_type, tns, event_id FROM c
+        |  WHERE pv IS NULL OR pv <> event_type),
+        |f AS (SELECT user_id, event_type AS state, tns AS valid_from,
+        |    LEAD(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |      AS valid_to
+        |  FROM k)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
+
+    "q141_gap_fill" ->
+      """WITH sp AS (SELECT user_id,
+        |    epoch_ns(ts) // 3600000000000 AS period, COUNT(*) AS n
+        |  FROM events WHERE user_id < 20 GROUP BY user_id, period),
+        |b AS (SELECT user_id, MIN(period) AS lo, MAX(period) AS hi
+        |  FROM sp GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS period FROM b)
+        |SELECT g.user_id, g.period, COALESCE(sp.n, 0) AS n
+        |FROM g LEFT JOIN sp
+        |  ON g.user_id = sp.user_id AND g.period = sp.period
+        |ORDER BY g.user_id, g.period""".stripMargin,
+
+    "q142_growth" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS period,
+        |    user_id FROM events),
+        |dau AS (SELECT period, COUNT(*) AS dau FROM du GROUP BY period),
+        |fu AS (SELECT user_id, MIN(period) AS period FROM du GROUP BY user_id),
+        |nu AS (SELECT period, COUNT(*) AS new_users FROM fu GROUP BY period)
+        |SELECT dau.period, dau.dau, COALESCE(nu.new_users, 0) AS new_users,
+        |  dau.dau - COALESCE(nu.new_users, 0) AS returning,
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY dau.period
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM dau LEFT JOIN nu ON dau.period = nu.period
+        |ORDER BY dau.period""".stripMargin,
+
     "q137_top_paths" ->
       s"""WITH s AS (
          |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,

@@ -386,6 +386,48 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((2L, 2L, 3L, 6L, 0.0)))
   }
 
+  test("scd2History: repeats collapse; intervals chain; last row open") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "a"),  // repeat collapses
+      (1L, 3L, 3L, "b"), (1L, 4L, 4L, "a"),
+      (2L, 5L, 9L, "x"))
+      .toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics
+      .scd2History(log, "user_id", "ts_ns", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, "a", 1L, 3L, false), (1L, "b", 3L, 4L, false),
+      (1L, "a", 4L, -1L, true), (2L, "x", 9L, -1L, true)))
+  }
+
+  test("gapFill: holes zero-fill inside each key's span, not outside") {
+    import spark.implicits._
+    val ev = Seq(("x", 1L), ("x", 5L), ("x", 25L), ("y", 12L))
+      .toDF("k", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .gapFill(ev, "k", "ts_ns", periodLength = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("x", 0L, 2L), ("x", 1L, 0L), ("x", 2L, 1L), ("y", 1L, 1L)))
+  }
+
+  test("growthAccounting: new vs returning split; cumulative base") {
+    import spark.implicits._
+    val ev = Seq((1L, 5L), (1L, 15L), (2L, 15L), (2L, 16L))
+      .toDF("user_id", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .growthAccounting(ev, "user_id", "ts_ns", periodLength = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 0L, 1L),   // u1 appears
+      (1L, 2L, 1L, 1L, 2L)))  // u2 new, u1 returns
+  }
+
   test("topPaths: sessions bound sequences; short sessions emit none") {
     import spark.implicits._
     val ev = Seq(
