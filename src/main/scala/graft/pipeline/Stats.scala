@@ -171,6 +171,36 @@ object Stats {
       .select(df.columns.map(col) :+ col("z"): _*)
   }
 
+  /** Approximate-FD profiling (the discovery half of an expectations
+    * suite): for each candidate functional dependency det → dep,
+    * report ndv(det) vs ndv(det, dep) — the FD holds exactly when they
+    * are equal, and the gap counts determinant values with more than
+    * one dependent image. The profiling step schema-inference and
+    * join-planning tools run before trusting a key.
+    *
+    * All candidates fold into ONE aggregate scan (Spark compiles the
+    * multiple exact COUNT(DISTINCT)s to the Expand strategy — exact
+    * but ×|pairs| pre-shuffle rows; at 100 TB swap in the KMV sketch,
+    * same trade as `columnProfile`). Columns are assumed non-null for
+    * the ndv comparison (Spark's multi-arg countDistinct drops rows
+    * with any NULL) — profile nullability first via `columnProfile`.
+    */
+  def fdProfile(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "need at least one candidate dependency")
+    val aggs = deps.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(countDistinct(col(a)).as(s"__da_$i"),
+        countDistinct(col(a), col(b)).as(s"__dab_$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(deps.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("determinant"), lit(b).as("dependent"),
+          col(s"__da_$i").as("ndv_det"), col(s"__dab_$i").as("ndv_pair"),
+          (col(s"__da_$i") === col(s"__dab_$i")).as("fd_holds"))
+      }: _*)).as("r"))
+      .select(col("r.determinant"), col("r.dependent"), col("r.ndv_det"),
+        col("r.ndv_pair"), col("r.fd_holds"))
+  }
+
   /** Quantile discretizer (fit + transform): bucket every row of
     * `valueCol` into `q` quantile bins. Fit = `histogramQuantiles` at
     * the q-1 interior quantiles (deterministic, cross-engine — unlike

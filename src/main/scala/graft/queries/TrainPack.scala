@@ -372,6 +372,28 @@ object TrainPack extends QueryPack {
           "o_totalprice", scale = 100)
         .orderBy(col("o_orderkey"))
     },
+
+    // ---- functional-dependency discovery over candidate key pairs ----
+    "q143_fd_profile" -> { (s, d) =>
+      Stats.fdProfile(Tables.orders(s, d), Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority",
+          "o_orderpriority" -> "o_orderstatus"))
+        .orderBy(col("determinant"), col("dependent"))
+    },
+
+    // ---- entity resolution composite: edit-distance-1 pairs ->
+    //      connected components -> entity clusters ----
+    "q144_entity_resolution" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val pairs = Dedup.editDistancePairs(cust, "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      graft.graph.Components
+        .connectedComponentsFast(cust.select("c_custkey"), pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("component"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -408,6 +430,49 @@ object TrainPack extends QueryPack {
         |    ROUND((n * xi - s)::DOUBLE / sqrt((n * s2 - s * s)::DOUBLE), 6)
         |  END AS z
         |FROM x, st ORDER BY o_orderkey""".stripMargin,
+
+    "q143_fd_profile" ->
+      """WITH
+        |p1 AS (SELECT COUNT(DISTINCT o_orderkey) AS da,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+        |     FROM orders)) AS dab FROM orders),
+        |p2 AS (SELECT COUNT(DISTINCT o_custkey) AS da,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority
+        |     FROM orders)) AS dab FROM orders),
+        |p3 AS (SELECT COUNT(DISTINCT o_orderpriority) AS da,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority, o_orderstatus
+        |     FROM orders)) AS dab FROM orders)
+        |SELECT determinant, dependent, ndv_det, ndv_pair,
+        |  ndv_det = ndv_pair AS fd_holds
+        |FROM (
+        |  SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+        |    da AS ndv_det, dab AS ndv_pair FROM p1
+        |  UNION ALL SELECT 'o_custkey', 'o_orderpriority', da, dab FROM p2
+        |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus', da, dab FROM p3)
+        |ORDER BY determinant, dependent""".stripMargin,
+
+    "q144_entity_resolution" ->
+      """WITH RECURSIVE v0 AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |    unnest(list_prepend(c_name,
+        |      list_transform(range(1, length(c_name) + 1),
+        |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS v
+        |  FROM customer),
+        |d AS (SELECT DISTINCT id, s, v FROM v0),
+        |e AS MATERIALIZED (SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM d a JOIN d b ON a.v = b.v AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |sym AS (SELECT ia AS src, ib AS dst FROM e
+        |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+        |r(id, comp) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+        |  WHERE r.comp < sym.dst),
+        |comp AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id)
+        |SELECT component, COUNT(*) AS n_members
+        |FROM comp GROUP BY component HAVING COUNT(*) >= 2
+        |ORDER BY component""".stripMargin,
 
     // full-width 60-bit md5 fold (hashBucket's arithmetic without the
     // mod), +1 so u > 0 — replays Sampling.prioritySample exactly

@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Opt-in scale smoke (not part of the driver contract): runs the seven
+/** Opt-in scale smoke (not part of the driver contract): runs the eight
   * pipelines the 100 TB claim rests on — q74's LSH candidate graph →
   * connected components, q98's integer PageRank, q118's 2-round Lloyd
   * k-means fit, q122's 2-round label propagation, q92/q101's
@@ -204,6 +204,25 @@ object ScaleSmoke {
         evalPred = col("doc_id") < d0, bits = 1 << 22).count()
     }
 
+    // --- q133 shape: FastSS edit-distance-1 join over replicated
+    // customer names. Each copy prefixes its names with a fixed-width
+    // copy index ("007-Customer#..."), so within-copy pairs replicate
+    // the base workload and cross-copy pairs exist only between copy
+    // indexes one digit apart — candidate degree stays ~CONSTANT as
+    // copies grow (the engine-scaling mode), and the variant equi-join
+    // is the thing being measured ---
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    val c0 = cust.count()
+    val custN = (0 until copies).map { c =>
+      cust.select((col("c_custkey") + lit(c.toLong * c0)).as("c_custkey"),
+        concat(lit(f"$c%03d-"), col("c_name")).as("c_name"))
+    }.reduce(_ unionAll _)
+    val (edRows, edSec, edShuf) = timed {
+      graft.pipeline.Dedup.editDistancePairs(custN, "c_custkey", "c_name")
+        .count()
+    }
+
     val json =
       s"""{"metric":"scale_smoke","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
@@ -214,6 +233,7 @@ object ScaleSmoke {
         s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf,""" +
         s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf,""" +
         s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf,""" +
+        s""""editdist_rows":$edRows,"editdist_sec":${f"$edSec%.2f"},"editdist_shuffle_bytes":$edShuf,""" +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     val outFile =

@@ -797,6 +797,18 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(101L) == -1, "null value gets a null bin")
   }
 
+  test("fdProfile: holds iff ndv(det) == ndv(det, dep); one-scan report") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (3L, "y"), (3L, "z"))
+      .toDF("a", "b").withColumn("c", col("a") * 2)
+    val out = Stats.fdProfile(df, Seq("a" -> "b", "a" -> "c", "b" -> "a"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 4L, false),  // a=3 maps to both y and z
+      ("a", "c", 3L, 3L, true),   // c is a function of a
+      ("b", "a", 3L, 4L, false))) // b=y maps to both 2 and 3
+  }
+
   test("editDistancePairs: FastSS deletion blocking is exact for d<=1 — " +
     "substitution, insertion, equality found; d=2 rejected") {
     val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abcd"), (4L, "xyz"),
