@@ -163,6 +163,104 @@ object Traversals {
           .otherwise(lit(0.0)).as("coef"))
   }
 
+  /** Bounded single-source shortest paths (Bellman–Ford, `rounds`
+    * synchronous relaxation rounds) over directed weighted edges
+    * (src, dst, w) with non-negative INTEGER weights; unreached
+    * vertices get NULL. After r rounds every shortest path of ≤ r
+    * edges is exact — the same fixed-round determinism contract as
+    * `bfsHops`/`kcorePeel` (an unbounded loop is not oracle-replayable
+    * and rarely wanted: "cost to reach within k steps" is the product
+    * question). Integer weights ⇒ exact min arithmetic, no FP-sum
+    * ordering anywhere.
+    *
+    * Each round relaxes only vertices with a finite distance through
+    * ONE edge equi-join + a min aggregate on the destination key, then
+    * folds into the running distance table with a left join — O(rounds)
+    * shuffles, all hash-partitioned on vertex ids; distances
+    * localCheckpoint per round (iterative-lineage rule). The edge list
+    * materializes once and is read by every round.
+    */
+  def ssspBounded(vertices: DataFrame, edges: DataFrame, source: Long,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.toDF("src", "dst", "w")
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .localCheckpoint()
+    val verts = vertices
+      .select(col(vertices.columns(0)).cast("long").as("id")).distinct()
+    var dist = verts
+      .select(col("id"),
+        when(col("id") === source, lit(0L)).cast("long").as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = dist.filter(col("dist").isNotNull)
+        .join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      dist = dist.join(relax, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("nd"))).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Deterministic random walks (the DeepWalk/node2vec corpus
+    * generator, made reproducible): one walk starts at every vertex and
+    * takes `steps` steps; at each step the walker moves to the neighbor
+    * minimizing md5(walk_id | step | neighbor) — a reproducible
+    * "uniform" choice that every engine, run, and partitioning replays
+    * exactly (the hash-gate idea from `Sampling`, applied to neighbor
+    * choice). A walk at a vertex with no out-edge terminates.
+    *
+    * Output: (walk_id, step, node) — step 0 is the start vertex.
+    *
+    * Each step is ONE edge equi-join + a packed-long min aggregate per
+    * walk (hash = high 40 bits, neighbor id = low `idBits`, so
+    * arg-min rides an integer `min` — the q34 packed-argmin pattern;
+    * hash ties, ~2⁻⁴⁰ within a neighborhood, break toward the smaller
+    * neighbor id deterministically). O(steps) shuffles on walk ids;
+    * state per walk is one row. Requires ids < 2^idBits
+    * (idBits ≤ 23 keeps hash·2^idBits inside int64) — guarded with a
+    * row-level raise, like `triangleCounts`' canonical-pair guard; at
+    * larger id spaces the id would pack by dense-rank instead.
+    */
+  def deterministicWalks(vertices: DataFrame, edges: DataFrame,
+                         steps: Int, idBits: Int = 20): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(idBits >= 1 && idBits <= 23, "idBits must be in [1, 23]")
+    val lim = 1L << idBits
+    val e = edges.toDF("src", "dst")
+      .select(col("src").cast("long"),
+        when(col("dst").cast("long") >= lim || col("dst").cast("long") < 0,
+          raise_error(lit(s"deterministicWalks requires 0 <= id < 2^$idBits"))
+            .cast("long"))
+          .otherwise(col("dst").cast("long")).as("dst"))
+      .localCheckpoint()
+    val verts = vertices
+      .select(col(vertices.columns(0)).cast("long").as("id")).distinct()
+    var cur = verts.select(col("id").as("walk_id"), col("id").as("node"))
+    var out = cur.select(col("walk_id"), lit(0).as("step"), col("node"))
+      .localCheckpoint()
+    for (i <- 1 to steps) {
+      // 40-bit md5 fold of (walk, step, candidate) packed above the id
+      val h = conv(substring(md5(
+          concat_ws("|", col("walk_id"), lit(i), col("dst"))), 1, 10), 16, 10)
+        .cast("long")
+      cur = cur.join(e, cur("node") === e("src"))
+        .select(col("walk_id"), (h * lim + col("dst")).as("pack"))
+        .groupBy(col("walk_id")).agg(min(col("pack")).as("pack"))
+        .select(col("walk_id"), pmod(col("pack"), lit(lim)).as("node"))
+        .localCheckpoint()
+      out = out.unionAll(
+        cur.select(col("walk_id"), lit(i).as("step"), col("node")))
+    }
+    out
+  }
+
   def triangleCounts(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     // non-canonical pairs would silently undercount (the a<b<c join
     // never matches them); duplicates would multi-count — guard + dedup

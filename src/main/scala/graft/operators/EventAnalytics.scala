@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -286,5 +286,48 @@ object EventAnalytics {
       .select(col("cohort"), col("period"), col("n_active"), col("cohort_size"),
         round(col("n_active").cast("double") /
           col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** First-touch / last-touch conversion attribution: for every
+    * `convType` event, the earliest and the latest preceding (or
+    * simultaneous) event whose type is in `touchTypes`, per user — the
+    * marketing-attribution primitive ("which channel opened the path,
+    * which channel closed it").
+    *
+    * One window partition per user ordered by (`tsCol`, `idCol`) with
+    * an explicit ROWS frame carries the running first/last touch as
+    * `first/last(..., ignoreNulls)` over touch-conditional columns —
+    * the three first_* (and three last_*) projections read the SAME
+    * ordered frame, so they always describe the same touch row
+    * ((ts, id) is a total order: no peers, no ambiguity). Single
+    * Exchange on the user key; per-user state inside the window is one
+    * running row. NULL touch columns = a conversion with no prior
+    * touch (organic).
+    *
+    * Output: (userCol, conv_id, conv_ns, first_id, first_ns,
+    * first_type, last_id, last_ns, last_type).
+    */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String,
+                       touchTypes: Seq[String], convType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "convType in touchTypes would make every conversion self-attributed")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col(typeCol).isInCollection(touchTypes)
+    def touch(c: Column): Column = when(isTouch, c)
+    events
+      .withColumn("first_id", first(touch(col(idCol)), ignoreNulls = true).over(w))
+      .withColumn("first_ns", first(touch(col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("first_type", first(touch(col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("last_id", last(touch(col(idCol)), ignoreNulls = true).over(w))
+      .withColumn("last_ns", last(touch(col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("last_type", last(touch(col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"), col(tsCol).as("conv_ns"),
+        col("first_id"), col("first_ns"), col("first_type"),
+        col("last_id"), col("last_ns"), col("last_type"))
   }
 }

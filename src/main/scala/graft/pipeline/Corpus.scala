@@ -458,4 +458,69 @@ object Corpus {
           col("n_docs"),
           round(shareCol, 6).as("share"),
           round((lit(1.0) / col("__n_groups")) / shareCol, 6).as("weight")): _*)
+
+  /** Sparse TF-IDF cosine all-pairs over word n-gram shingle vectors —
+    * the lexical twin of the embedding-cosine near-dup join (q31/q53):
+    * documents are sparse vectors in shingle space, candidate pairs come
+    * from the INVERTED INDEX (an equi-join on the shingle value — two
+    * docs sharing no shingle have cosine 0 and are never compared), and
+    * the dot product accumulates per-term partial products in one hash
+    * aggregate. The classic all-pairs similarity-search shape (Bayardo
+    * et al., WWW 2007), without the n² anywhere.
+    *
+    * Determinism (hash-match across engines and partitionings): idf
+    * quantizes to integer micro-nats, the un-normalized weight
+    * w = tf · idf_micro is an exact BIGINT, ‖w‖² sums exactly in
+    * DECIMAL(38,0), each NORMALIZED coordinate quantizes to 1e6 integer
+    * units (one IEEE divide + round per coordinate), and the dot product
+    * is an exact integer sum of products — so the reported
+    * cos = round(dot / 1e12, 6) and the threshold comparison are
+    * bit-reproducible.
+    *
+    * Scale notes: join fan-out is Σ_t df_t² over the shingle vocabulary;
+    * n-gram shingles keep df near 1 on natural text (unlike raw words,
+    * whose Zipf head would dominate — same reasoning as the q42 shingle
+    * join). `maxDf` drops super-frequent shingles from the VOCABULARY
+    * (norms and dots consistently — boilerplate removal, the sparse
+    * analogue of a stop-word list), bounding the worst-case fan-out at
+    * Σ df ≤ maxDf · |vocab|. The weighted vectors materialize once
+    * (localCheckpoint) — norm aggregate and index join both read them.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(shingles(tokens(col(textCol)), n)).as("term"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") <= maxDf)
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    // w = tf · round(ln((N+1)/(df+1))·1e6): exact BIGINT per coordinate
+    val weighted = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("w", col("tf") *
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * lit(1e6))
+          .cast("long"))
+      .select("id", "term", "w")
+      .localCheckpoint()
+    val norms = weighted.groupBy(col("id"))
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("norm2"))
+    // normalized coordinate in 1e6 integer units
+    val q = weighted.join(norms, "id")
+      .select(col("id"), col("term"),
+        round(col("w").cast("double") / sqrt(col("norm2").cast("double"))
+          * lit(1e6)).cast("long").as("q"))
+    val dots = q.select(col("id").as("id_a"), col("term"), col("q").as("qa"))
+      .join(q.select(col("id").as("id_b"), col("term"), col("q").as("qb")),
+        "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("dot"))
+    dots
+      .withColumn("cos", round(col("dot").cast("double") / lit(1e12), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

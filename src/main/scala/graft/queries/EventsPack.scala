@@ -303,9 +303,65 @@ object EventsPack extends QueryPack {
           col("n_merged"))
         .orderBy(col("user_id"), col("island"))
     },
+
+    // ---- first/last-touch conversion attribution: per purchase, the
+    //      earliest and latest preceding click/view (organic = NULLs) ----
+    "q148_attribution" -> { (s, d) =>
+      graft.operators.EventAnalytics.touchAttribution(Tables.events(s, d),
+          "user_id", "ts_ns", "event_id", "event_type",
+          touchTypes = Seq("click", "view"), convType = "purchase")
+        .orderBy(col("user_id"), col("conv_ns"), col("conv_id"))
+    },
+
+    // ---- incremental materialized-view maintenance: fold the delta
+    //      batch's partial aggregate into the stored base aggregate;
+    //      the oracle recomputes from scratch — merge must be exact ----
+    "q149_incremental_agg" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def agg(part: DataFrame): DataFrame = part.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("__sv"))
+      val base = agg(ev.filter(col("event_id") % 10 < 8))
+      val delta = agg(ev.filter(col("event_id") % 10 >= 8))
+      graft.operators.IncrementalAgg.mergeAggs(base, delta,
+          keyCols = Seq("user_id"), sumCols = Seq("n", "__sv"))
+        .select(col("user_id"), col("n"),
+          col("__sv").cast("double").as("total_value"))
+        .orderBy(col("user_id"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q148_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS ts_ns FROM events),
+        |wv AS (SELECT user_id, event_id, event_type, ts_ns,
+        |  first_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN event_id END IGNORE NULLS) OVER w AS first_id,
+        |  first_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN ts_ns END IGNORE NULLS) OVER w AS first_ns,
+        |  first_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN event_type END IGNORE NULLS) OVER w AS first_type,
+        |  last_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN event_id END IGNORE NULLS) OVER w AS last_id,
+        |  last_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN ts_ns END IGNORE NULLS) OVER w AS last_ns,
+        |  last_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN event_type END IGNORE NULLS) OVER w AS last_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS conv_id, ts_ns AS conv_ns,
+        |  first_id, first_ns, first_type, last_id, last_ns, last_type
+        |FROM wv WHERE event_type = 'purchase'
+        |ORDER BY user_id, conv_ns, conv_id""".stripMargin,
+
+    // full recompute over base ∪ delta — asserts the merge is exact
+    "q149_incremental_agg" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q140_scd2" ->
       """WITH c AS (
         |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,

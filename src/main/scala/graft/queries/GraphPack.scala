@@ -221,6 +221,39 @@ object GraphPack extends QueryPack {
         .select(col("id").as("vec_id"), col("in_core"), col("deg"))
         .orderBy(col("vec_id"))
     },
+
+    // ---- bounded weighted SSSP (4 Bellman-Ford rounds): distance =
+    //      Σ (1e6 − sim_micro) along the cheapest ≤4-edge path — the
+    //      "semantic distance from this document" retrieval signal;
+    //      exact integer min-plus arithmetic ----
+    "q147_sssp" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // materialized once — see q98
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+        threshold = 0.2, bands = 3, bitsPerBand = 4).localCheckpoint()
+      val w = (lit(1000000L) - round(col("sim") * 1e6).cast("long")).as("w")
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w)
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w))
+      Traversals.ssspBounded(emb.select("vec_id"), sym, source = 150L,
+          rounds = 4)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- deterministic random walks (DeepWalk corpus, reproducible):
+    //      3 steps from every vertex, md5-argmin neighbor choice ----
+    "q150_walks" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // materialized once — see q98
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.2, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      Traversals.deterministicWalks(emb.select("vec_id"),
+          sym.toDF("src", "dst"), steps = 3)
+        .orderBy(col("walk_id"), col("step"))
+    },
   )
 
   private def simEdgesSql: String =
@@ -265,7 +298,67 @@ object GraphPack extends QueryPack {
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold""".stripMargin
   }
 
+  /** Full 40-bit md5 fold (first 10 hex chars, no modulus) — the
+    * DuckDB replay of `Traversals.deterministicWalks`' neighbor hash.
+    */
+  private def md5Fold40Sql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 10), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b)"
+
   def oracleSql: Map[String, String] = Map(
+    "q147_sssp" -> {
+      def iter(k: Int): String = {
+        val prev = s"d${k - 1}"
+        s"""d$k AS (SELECT d.id,
+           |  CASE WHEN d.dist IS NULL THEN r.nd
+           |       WHEN r.nd IS NULL THEN d.dist
+           |       WHEN r.nd < d.dist THEN r.nd ELSE d.dist END AS dist
+           |  FROM $prev d LEFT JOIN (
+           |    SELECT sym.dst AS id, MIN(p.dist + sym.w) AS nd
+           |    FROM $prev p JOIN sym ON p.id = sym.src
+           |    WHERE p.dist IS NOT NULL GROUP BY sym.dst) r ON d.id = r.id)"""
+          .stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
+         |ew AS (SELECT e0.ia, e0.ib,
+         |  1000000 - ROUND(${cosSql("a.embedding", "b.embedding")} * 1000000.0)::BIGINT
+         |    AS w
+         |  FROM e0 JOIN embeddings a ON e0.ia = a.vec_id
+         |  JOIN embeddings b ON e0.ib = b.vec_id),
+         |sym AS (SELECT ia AS src, ib AS dst, w FROM ew
+         |        UNION ALL SELECT ib AS src, ia AS dst, w FROM ew),
+         |d0 AS (SELECT vec_id AS id,
+         |  CAST(CASE WHEN vec_id = 150 THEN 0 END AS BIGINT) AS dist
+         |  FROM embeddings),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |${iter(4)}
+         |SELECT id AS vec_id, dist FROM d4 ORDER BY vec_id""".stripMargin
+    },
+
+    "q150_walks" -> {
+      def step(k: Int): String = {
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        val h = md5Fold40Sql(s"c.walk_id::VARCHAR || '|$k|' || sym.dst::VARCHAR")
+        s"""s$k AS (SELECT walk_id, pack % 1048576 AS node FROM (
+           |  SELECT c.walk_id, MIN($h * 1048576 + sym.dst) AS pack
+           |  FROM $prev c JOIN sym ON c.node = sym.src
+           |  GROUP BY c.walk_id) x)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (${lshEdgesSqlAt(0.2)}),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e0
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e0),
+         |s0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT walk_id, 0 AS step, node FROM s0
+         |UNION ALL SELECT walk_id, 1 AS step, node FROM s1
+         |UNION ALL SELECT walk_id, 2 AS step, node FROM s2
+         |UNION ALL SELECT walk_id, 3 AS step, node FROM s3
+         |ORDER BY walk_id, step""".stripMargin
+    },
+
     "q37_connected_components" ->
       (ccSql(simEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
 

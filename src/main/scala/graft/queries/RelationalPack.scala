@@ -335,9 +335,33 @@ object RelationalPack extends QueryPack {
           count(lit(1)).as("n_items"))
         .orderBy($"r_name", $"y")
     },
+
+    // ---- market-basket affinity: parts frequently co-ordered, with
+    //      lift; Apriori item prefilter bounds the basket self-join ----
+    "q145_copurchase" -> { (s, d) =>
+      graft.pipeline.Affinity.copurchasePairs(Tables.lineitem(s, d),
+          basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 3L)
+        .orderBy(col("item_a"), col("item_b"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q145_copurchase" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |it AS (SELECT i, COUNT(*) AS n_i FROM bi GROUP BY i
+        |  HAVING COUNT(*) >= 3),
+        |pr AS (SELECT bi.b, bi.i FROM bi JOIN it USING (i)),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS pair_n
+        |  FROM pr a JOIN pr c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |t AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi)
+        |SELECT item_a, item_b, pair_n, x.n_i AS n_a, y.n_i AS n_b,
+        |  ROUND((pair_n * t.n_baskets)::DOUBLE / (x.n_i * y.n_i)::DOUBLE, 6)
+        |    AS lift
+        |FROM p JOIN it x ON p.item_a = x.i JOIN it y ON p.item_b = y.i
+        |CROSS JOIN t
+        |ORDER BY item_a, item_b""".stripMargin,
     "q25_group_concat" ->
       """SELECT n_regionkey,
         |  array_to_string(list_sort(list(n_name)), ',') AS nations,

@@ -394,9 +394,40 @@ object TrainPack extends QueryPack {
         .filter(col("n_members") >= 2)
         .orderBy(col("component"))
     },
+
+    // ---- sparse TF-IDF cosine all-pairs over 3-gram shingle vectors:
+    //      lexical near-dup scoring via the inverted index — candidate
+    //      generation is a shingle equi-join, never pairwise ----
+    "q146_tfidf_cosine" -> { (s, d) =>
+      Corpus.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 1000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q146_tfidf_cosine" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shingleSql("tk", 3)}) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM sh
+         |  GROUP BY term HAVING COUNT(DISTINCT doc_id) <= 1000),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |wt AS (SELECT doc_id, tf.term,
+         |  tf.tf * ROUND(LN((nd + 1)::DOUBLE / (df + 1)::DOUBLE) * 1000000)::BIGINT
+         |    AS w
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |nm AS (SELECT doc_id, SUM(w * w) AS norm2 FROM wt GROUP BY doc_id),
+         |qv AS (SELECT wt.doc_id, term,
+         |  ROUND(w::DOUBLE / SQRT(norm2::DOUBLE) * 1000000)::BIGINT AS q
+         |  FROM wt JOIN nm USING (doc_id)),
+         |dd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  SUM(a.q * b.q) AS dot
+         |  FROM qv a JOIN qv b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, ROUND(dot::DOUBLE / 1e12, 6) AS cos
+         |FROM dd WHERE ROUND(dot::DOUBLE / 1e12, 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "q138_expectations" ->
       """WITH a AS (SELECT COUNT(*) AS n_rows,
         |  COUNT(*) FILTER (NOT(l_discount >= 0.0 AND l_discount <= 0.1)

@@ -512,4 +512,92 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
   }
+
+  test("copurchasePairs: hand-computed supports and lift; Apriori " +
+    "prefilter never changes the frequent-pair set") {
+    import spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3,4}, {4} + a dup line (1,b1)
+    val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L),
+      (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L), (13L, 3L), (13L, 4L),
+      (14L, 4L)).toDF("b", "i")
+    val out = graft.pipeline.Affinity.copurchasePairs(bi, "b", "i", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only (1,2): 3 shared baskets of 5 total; n_1 = 3, n_2 = 3
+    // lift = 3*5/(3*3) = 1.666667
+    assert(out.toSeq == Seq((1L, 2L, 3L, 3L, 3L, 1.666667)))
+    // minSupport above every pair count -> empty, not an error
+    assert(graft.pipeline.Affinity.copurchasePairs(bi, "b", "i", 4L).isEmpty)
+  }
+
+  test("tfidfCosinePairs: identical docs score 1.0, disjoint docs never " +
+    "pair, and the threshold is inclusive on the rounded value") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // identical to 1
+      (3L, "alpha beta gamma delta zeta"),      // shares 2 3-shingles
+      (4L, "one two three four five"))          // disjoint
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus
+      .tfidfCosinePairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    // identical vectors: cosine 1.0 up to the 1e6 coordinate
+    // quantization (each coordinate rounds within ±0.5 unit, so the
+    // self-dot lands within ±2e-6 of 1e12)
+    assert(out.exists(t => t._1 == 1L && t._2 == 2L &&
+      math.abs(t._3 - 1.0) <= 2e-6))
+    // 4 shares no shingle with anyone: never a candidate
+    assert(!out.exists(t => t._1 == 4L || t._2 == 4L))
+    // (1,3) and (2,3) present with the same partial score
+    val s13 = out.find(t => t._1 == 1L && t._2 == 3L).map(_._3)
+    val s23 = out.find(t => t._1 == 2L && t._2 == 3L).map(_._3)
+    assert(s13.isDefined && s13 == s23 && s13.get > 0.0 && s13.get < 1.0)
+  }
+
+  test("touchAttribution: first/last touch track the ordered history; " +
+    "organic conversions keep NULLs") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click(1) view(2) purchase(3) view(4) purchase(5)
+      (1L, 1L, 10L, "click"), (1L, 2L, 20L, "view"), (1L, 3L, 30L, "purchase"),
+      (1L, 4L, 40L, "view"), (1L, 5L, 50L, "purchase"),
+      // user 2: organic purchase, then a click that must NOT attach
+      (2L, 6L, 10L, "purchase"), (2L, 7L, 20L, "click"))
+      .toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics.touchAttribution(ev,
+        "user_id", "ts_ns", "event_id", "event_type",
+        Seq("click", "view"), "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2))
+    // (user, conv, first_id, last_id)
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some(1L), Some(2L)),
+      (1L, 5L, Some(1L), Some(4L)),
+      (2L, 6L, None, None)))
+  }
+
+  test("mergeAggs: base+delta merge is exactly the full recompute, " +
+    "including one-sided keys and min/max measures") {
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (1L, 7L), (2L, 3L), (3L, 9L), (3L, 1L), (4L, 2L))
+      .toDF("k", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+    // split so keys 2 (base-only) and 4 (delta-only) are one-sided
+    val merged = graft.operators.IncrementalAgg.mergeAggs(
+        agg(rows.filter($"v" >= 3)), agg(rows.filter($"v" < 3)),
+        Seq("k"), sumCols = Seq("n", "sv"),
+        minCols = Seq("mn"), maxCols = Seq("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val full = agg(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(merged.toSeq == full.toSeq)
+  }
 }

@@ -265,4 +265,64 @@ class TagAndGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(out.toSeq == again.toSeq)
   }
+
+  test("ssspBounded: exact bounded Bellman-Ford on a hand-computed graph") {
+    import spark.implicits._
+    val vertices = (1L to 5L).toDF("id")
+    // 1->2 (10), 1->3 (2), 3->2 (3), 2->4 (1); 5 unreachable.
+    // shortest: d(2)=5 via 1-3-2 (needs 2 rounds), d(4)=6 (3 rounds)
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val out = graft.graph.Traversals
+      .ssspBounded(vertices, edges, source = 1L, rounds = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(0L)), (2L, Some(5L)), (3L, Some(2L)),
+      (4L, Some(6L)), (5L, None)))
+    // a 1-round bound sees only direct edges: d(2)=10, d(4) unreached
+    val r1 = graft.graph.Traversals
+      .ssspBounded(vertices, edges, source = 1L, rounds = 1)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    assert(r1.toSeq == Seq((1L, Some(0L)), (2L, Some(10L)), (3L, Some(2L)),
+      (4L, None), (5L, None)))
+  }
+
+  test("deterministicWalks: every step follows a real edge, walks are " +
+    "repartition-invariant, dead ends terminate") {
+    import spark.implicits._
+    val vertices = (1L to 5L).toDF("id")
+    // 4 is a sink (no out-edge); 5 isolated
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = graft.graph.Traversals
+      .deterministicWalks(vertices, edges, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 4L))
+    val byWalk = out.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.sortBy(_._2).map(_._3).toSeq
+    }
+    // step 0 is the start; every transition is a real edge
+    for ((w, path) <- byWalk) {
+      assert(path.head == w)
+      for (Seq(a, b) <- path.sliding(2)) assert(edgeSet.contains((a, b)),
+        s"walk $w took non-edge $a->$b")
+    }
+    // 5 has no out-edge: its walk is just step 0; 4's likewise
+    assert(byWalk(5L) == Seq(5L) && byWalk(4L) == Seq(4L))
+    // walks from 3 must go to the only neighbor 4 and stop
+    assert(byWalk(3L) == Seq(3L, 4L))
+    val again = graft.graph.Traversals
+      .deterministicWalks(vertices.repartition(4), edges.repartition(3),
+        steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // id-space guard: an id >= 2^idBits must raise, not silently corrupt
+    val bad = Seq((1L, 1L << 21)).toDF("src", "dst")
+    intercept[Exception] {
+      graft.graph.Traversals
+        .deterministicWalks(Seq(1L).toDF("id"), bad, steps = 1, idBits = 20)
+        .collect()
+    }
+  }
 }
