@@ -292,4 +292,53 @@ object Stats {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"),
         col("p.ndv"), col("p.min_value"), col("p.max_value"))
   }
+
+  /** Winsorize: clamp `valueCol` to its [pLow, pHigh] quantile band —
+    * the standard outlier-trimming transform before scaling/training.
+    * Bounds come from the deterministic histogram-quantile estimator
+    * (`histogramQuantiles`, 6-dp rounded — engine-exact), so the
+    * clamped values are bit-reproducible; inside the band the raw value
+    * passes through untouched.
+    *
+    * Cost: the estimator's two scans + ONE map-side clamp scan with the
+    * two bounds broadcast as a single stat row (the q95/q139 pattern) —
+    * three scans total at any scale, no extra shuffle.
+    */
+  def winsorize(df: DataFrame, valueCol: String, bins: Int,
+                pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow > 0.0 && pLow < pHigh && pHigh <= 1.0,
+      "need 0 < pLow < pHigh <= 1")
+    val lims = histogramQuantiles(df, valueCol, bins, Seq(pLow, pHigh))
+      .agg(min(when(col("q") === pLow, col("est"))).as("__lo"),
+        max(when(col("q") === pHigh, col("est"))).as("__hi"))
+    df.crossJoin(broadcast(lims))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Inclusion-dependency (candidate foreign key) profile: what share
+    * of `child.childCol`'s distinct non-NULL values appear in
+    * `parent.parentCol` — containment 1.0 means the FK would validate.
+    * The schema-discovery companion of `fdProfile` (functional
+    * dependencies within a table; this is references ACROSS tables).
+    *
+    * One distinct per side + one left equi-join + one aggregate —
+    * key-cardinality work, not row-cardinality; `containment` is one
+    * IEEE division of exact integers rounded 6 dp.
+    */
+  def inclusionDep(name: String, child: DataFrame, childCol: String,
+                   parent: DataFrame, parentCol: String): DataFrame = {
+    val c = child.select(col(childCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val p = parent.select(col(parentCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .withColumn("__hit", lit(1))
+    c.join(p, Seq("v"), "left")
+      .agg(count(lit(1)).as("n_distinct"),
+        count(when(col("__hit").isNull, 1)).as("n_missing"))
+      .select(lit(name).as("dep"), col("n_distinct"), col("n_missing"),
+        round(lit(1.0) - col("n_missing").cast("double") /
+          col("n_distinct").cast("double"), 6).as("containment"))
+  }
 }

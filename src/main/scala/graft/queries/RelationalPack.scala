@@ -343,9 +343,52 @@ object RelationalPack extends QueryPack {
           basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 3L)
         .orderBy(col("item_a"), col("item_b"))
     },
+
+    // ---- snapshot diff: added/removed/changed rows between two keyed
+    //      table versions — one full-outer equi-join on (key, hash) ----
+    "q152_snapshot_diff" -> { (s, d) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("cents"))
+      // deterministic synthetic v2: %13 keys deleted, %7 prices bumped
+      // 10% (exact integer cents), %17 keys re-inserted under new ids
+      val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, expr("cents * 110 div 100"))
+            .otherwise(col("cents")).as("cents"))
+        .unionAll(v1.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("cents")))
+      graft.operators.SnapshotDiff.diff(v1, v2, Seq("o_orderkey"),
+          concat_ws("|", col("o_orderstatus"), col("cents")))
+        .orderBy(col("o_orderkey"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q152_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus,
+        |    ROUND(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |v2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents * 110 // 100
+        |      ELSE cents END AS cents
+        |  FROM v1 WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, cents
+        |  FROM v1 WHERE o_orderkey % 17 = 0),
+        |o AS (SELECT o_orderkey,
+        |  o_orderstatus || '|' || cents::VARCHAR AS fp_old FROM v1),
+        |n AS (SELECT o_orderkey,
+        |  o_orderstatus || '|' || cents::VARCHAR AS fp_new FROM v2),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    fp_old, fp_new,
+        |    CASE WHEN fp_old IS NULL THEN 'added'
+        |         WHEN fp_new IS NULL THEN 'removed'
+        |         WHEN fp_old <> fp_new THEN 'changed' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change, fp_old, fp_new
+        |FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
     "q145_copurchase" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

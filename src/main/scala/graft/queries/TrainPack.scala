@@ -403,9 +403,87 @@ object TrainPack extends QueryPack {
           n = 3, threshold = 0.5, maxDf = 1000L)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // ---- inclusion-dependency (candidate FK) profile across the
+    //      schema: key-cardinality distinct + left-join work, the
+    //      cross-table companion of q143's FD discovery ----
+    "q153_inclusion_deps" -> { (s, d) =>
+      Stats.inclusionDep("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionAll(Stats.inclusionDep("lineitem.l_partkey->part.p_partkey",
+          Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(Stats.inclusionDep("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionAll(Stats.inclusionDep("events.user_id->customer.c_custkey",
+          Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("dep"))
+    },
+
+    // ---- winsorized price: clamp to the [p01, p99] histogram-quantile
+    //      band — outlier trimming before feature scaling ----
+    "q154_winsorize" -> { (s, d) =>
+      Stats.winsorize(Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_extendedprice", bins = 128, pLow = 0.01, pHigh = 0.99)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q153_inclusion_deps" -> {
+      def dep(name: String, childSql: String, parentSql: String): String =
+        s"""SELECT '$name' AS dep, COUNT(*) AS n_distinct,
+           |  COUNT(CASE WHEN p.hit IS NULL THEN 1 END) AS n_missing,
+           |  ROUND(1.0 - COUNT(CASE WHEN p.hit IS NULL THEN 1 END)::DOUBLE
+           |    / COUNT(*)::DOUBLE, 6) AS containment
+           |FROM ($childSql) c LEFT JOIN ($parentSql) p ON c.v = p.v"""
+          .stripMargin
+      Seq(
+        dep("lineitem.l_orderkey->orders.o_orderkey",
+          "SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_orderkey IS NOT NULL",
+          "SELECT DISTINCT o_orderkey AS v, 1 AS hit FROM orders WHERE o_orderkey IS NOT NULL"),
+        dep("lineitem.l_partkey->part.p_partkey",
+          "SELECT DISTINCT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL",
+          "SELECT DISTINCT p_partkey AS v, 1 AS hit FROM part WHERE p_partkey IS NOT NULL"),
+        dep("orders.o_custkey->customer.c_custkey",
+          "SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL",
+          "SELECT DISTINCT c_custkey AS v, 1 AS hit FROM customer WHERE c_custkey IS NOT NULL"),
+        dep("events.user_id->customer.c_custkey",
+          "SELECT DISTINCT user_id AS v FROM events WHERE user_id IS NOT NULL",
+          "SELECT DISTINCT c_custkey AS v, 1 AS hit FROM customer WHERE c_custkey IS NOT NULL"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY dep")
+    },
+
+    "q154_winsorize" ->
+      s"""WITH stats AS (SELECT MIN(l_extendedprice)::DOUBLE AS mn,
+         |  MAX(l_extendedprice)::DOUBLE AS mx, COUNT(l_extendedprice) AS n
+         |  FROM lineitem),
+         |b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+         |  ELSE LEAST(127, FLOOR((l.l_extendedprice::DOUBLE - s.mn) * 128.0
+         |    / (s.mx - s.mn))::INT) END AS bin FROM lineitem l, stats s),
+         |c AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+         |cc AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM c),
+         |q AS (SELECT unnest([0.01, 0.99]::DOUBLE[]) AS q),
+         |est AS (SELECT q.q,
+         |  ROUND(CASE WHEN s.mx = s.mn THEN s.mn
+         |    ELSE s.mn + (s.mx - s.mn) / 128.0
+         |      * (cc.bin + (q.q * s.n - (cc.cum - cc.c)) / cc.c) END, 6) AS est
+         |  FROM cc, q, stats s
+         |  WHERE cc.cum >= q.q * s.n AND (cc.cum - cc.c) < q.q * s.n),
+         |lims AS (SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS lo,
+         |  MAX(CASE WHEN q = 0.99 THEN est END) AS hi FROM est)
+         |SELECT l_orderkey, l_linenumber, l_extendedprice,
+         |  LEAST(GREATEST(l_extendedprice::DOUBLE, lims.lo), lims.hi)
+         |    AS l_extendedprice_w
+         |FROM lineitem, lims
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q146_tfidf_cosine" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest(${shingleSql("tk", 3)}) AS term FROM t),

@@ -361,6 +361,59 @@ object EventStreams {
       }
   }
 
+  case class TouchState(firstId: Long, firstNs: Long, firstType: String,
+                        lastId: Long, lastNs: Long, lastType: String)
+  case class Attribution(user_id: Long, conv_id: Long, conv_ns: Long,
+                         first_id: Option[Long], first_ns: Option[Long],
+                         first_type: Option[String], last_id: Option[Long],
+                         last_ns: Option[Long], last_type: Option[String])
+
+  /** Streaming first/last-touch attribution — the stream form of
+    * `EventAnalytics.touchAttribution`: per user, touch events fold
+    * into ONE constant-size (first, last) state tuple; every
+    * conversion event emits one attribution row against the state at
+    * that point. Aggregation-free append output; emitted rows equal
+    * the batch operator's exactly whenever per-user event-time order
+    * is respected across micro-batches (ordered log replay — the same
+    * caveat as `transitionStream`). Within a batch rows sort by
+    * (ts, id), the batch window's total order.
+    */
+  def attributionStream(events: DataFrame, touchTypes: Seq[String],
+                        convType: String): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    events.select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[TouchState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+          val out = sorted.flatMap { case (_, tsNs, id, tpe) =>
+            if (touches.contains(tpe)) {
+              st = Some(st match {
+                case Some(s) => s.copy(lastId = id, lastNs = tsNs, lastType = tpe)
+                case None    => TouchState(id, tsNs, tpe, id, tsNs, tpe)
+              })
+              None
+            } else if (tpe == convType) {
+              Some(st match {
+                case Some(s) => Attribution(userId, id, tsNs,
+                  Some(s.firstId), Some(s.firstNs), Some(s.firstType),
+                  Some(s.lastId), Some(s.lastNs), Some(s.lastType))
+                case None => Attribution(userId, id, tsNs,
+                  None, None, None, None, None, None)
+              })
+            } else None
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def runToMemory(df: DataFrame, queryName: String,
                   outputMode: OutputMode = OutputMode.Update()): DataFrame = {
     val q = df.writeStream

@@ -580,6 +580,44 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("snapshotDiff: added/removed/changed classification; unchanged " +
+    "rows dropped") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val out = graft.operators.SnapshotDiff.diff(v1, v2, Seq("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("inclusionDep: containment counts distinct non-NULL child values") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(5L), None).toDF("c")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val out = graft.pipeline.Stats.inclusionDep("t", child, "c", parent, "p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // distinct non-null child = {1,2,5}; 5 missing -> 2/3 contained
+    assert(out.toSeq == Seq(("t", 3L, 1L, 0.666667)))
+  }
+
+  test("winsorize: in-band values pass through raw; tails clamp to the " +
+    "quantile estimates") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = graft.pipeline.Stats.winsorize(df, "v", bins = 100,
+        pLow = 0.05, pHigh = 0.95)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val lo = out.map(_._2).min
+    val hi = out.map(_._2).max
+    assert(lo > 1.0 && hi < 100.0, "tails must clamp strictly inside")
+    // every in-band value is untouched
+    assert(out.filter(t => t._1 > lo && t._1 < hi).forall(t => t._1 == t._2))
+    // clamped set is monotone: below-lo all map to lo, above-hi to hi
+    assert(out.filter(_._1 < lo).forall(_._2 == lo))
+    assert(out.filter(_._1 > hi).forall(_._2 == hi))
+  }
+
   test("mergeAggs: base+delta merge is exactly the full recompute, " +
     "including one-sided keys and min/max measures") {
     import spark.implicits._

@@ -180,7 +180,9 @@ class PlanSpec extends SparkSpec {
     //    itself is a constant-size broadcast equi-join, not a BNLJ),
     //    q139 (the single Σx/Σx²/n stats row of the z-score transform),
     //    q145 (the single n_baskets total row feeding the lift
-    //    denominator; the pair join itself is a basket-key equi-join)
+    //    denominator; the pair join itself is a basket-key equi-join),
+    //    q154 (the single [lo, hi] clamp-bounds row of the winsorize
+    //    transform — the q95 estimator's stat row reused as a clamp)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each)
@@ -190,7 +192,7 @@ class PlanSpec extends SparkSpec {
       "q99_unigram_surprisal", "q100_key_skew", "q109_grouped_quantiles",
       "q114_bloom_decontaminate", "q117_dsir_weights",
       "q119_rrf_fusion", "q120_bigram_surprisal", "q123_dsir_resample",
-      "q139_zscore_price", "q145_copurchase",
+      "q139_zscore_price", "q145_copurchase", "q154_winsorize",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit")

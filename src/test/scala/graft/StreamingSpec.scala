@@ -235,6 +235,33 @@ class StreamingSpec extends SparkSpec {
       "per-user emitted transitions must aggregate to the batch lag matrix")
   }
 
+  test("streaming attribution rows equal the batch touchAttribution output") {
+    val dir = Files.createTempDirectory("evstream_attr").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.attributionStream(
+          EventStreams.readEventStream(spark, dir),
+          touchTypes = Seq("click", "view"), convType = "purchase")
+        .toDF(),
+      "attribution_test", OutputMode.Append())
+    val cols = Seq("user_id", "conv_id", "conv_ns", "first_id", "first_ns",
+      "first_type", "last_id", "last_ns", "last_type")
+    val s = streamed.orderBy("user_id", "conv_ns", "conv_id")
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    val b = graft.operators.EventAnalytics
+      .touchAttribution(graft.Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts_ns", "event_id", "event_type",
+        Seq("click", "view"), "purchase")
+      .orderBy("user_id", "conv_ns", "conv_id")
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "per-user streamed attributions must equal the batch window operator")
+    // non-vacuous: both organic (NULL) and attributed conversions occur
+    assert(streamed.filter(col("first_id").isNull).count() >= 1)
+    assert(streamed.filter(col("first_id").isNotNull).count() >= 1)
+  }
+
   test("streaming CDC apply == one-batch merge (seq respects batch order)") {
     import org.apache.spark.sql.types._
     import spark.implicits._
