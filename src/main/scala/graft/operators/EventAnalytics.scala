@@ -307,6 +307,42 @@ object EventAnalytics {
     * Output: (userCol, conv_id, conv_ns, first_id, first_ns,
     * first_type, last_id, last_ns, last_type).
     */
+  /** Two-proportion A/B conversion test: users split by `variantExpr`
+    * (0/1), converted = at least one event satisfying `convPred`. One
+    * row out:
+    * per-variant user and converter counts, rates, absolute lift, and
+    * the pooled two-proportion z statistic — the experimentation-
+    * analytics primitive over the events stream.
+    *
+    * Shape: one per-user aggregate (conversion flag), one global
+    * conditional-sum aggregate — two shuffles, single-row output.
+    * Counts are exact integers; rates/lift/z are single double
+    * expressions over them, rounded 6 dp (engine-exact).
+    */
+  def abTest(events: DataFrame, userCol: String, convPred: Column,
+             variantExpr: Column): DataFrame = {
+    val users = events.groupBy(col(userCol))
+      .agg(max(variantExpr.cast("int")).as("__variant"),
+        max(when(convPred, 1).otherwise(0)).as("__conv"))
+    val agg = users.agg(
+      sum(when(col("__variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__variant") === 0, col("__conv").cast("long"))
+        .otherwise(0L)).as("conv_a"),
+      sum(when(col("__variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__variant") === 1, col("__conv").cast("long"))
+        .otherwise(0L)).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
+      round(rb - ra, 6).as("lift"),
+      round((rb - ra) / sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+  }
+
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
                        idCol: String, typeCol: String,
                        touchTypes: Seq[String], convType: String): DataFrame = {

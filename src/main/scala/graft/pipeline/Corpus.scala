@@ -486,11 +486,59 @@ object Corpus {
     * Σ df ≤ maxDf · |vocab|. The weighted vectors materialize once
     * (localCheckpoint) — norm aggregate and index join both read them.
     */
+  /** Unigram distribution drift between two corpus slices — the
+    * train/serve-skew and corpus-version monitor: per term, the
+    * add-one-smoothed KL-divergence contribution
+    * p_A(t) · ln(p_A(t) / p_B(t)), ranked by drift (positive = newly
+    * over-represented in slice A). `slicePred` selects slice A; the
+    * complement is B. The top movers are the answer to "what changed
+    * between yesterday's crawl and today's".
+    *
+    * Determinism: term counts and totals are exact integers; each
+    * term's contribution is ONE double expression over those integers
+    * (identical operand order in the oracle), quantized to integer
+    * nano-nats for the ranking — partition- and engine-invariant.
+    * Cost: one explode + one (term)-keyed aggregate + a broadcast
+    * totals row; top-k via orderBy().limit() = TakeOrderedAndProject.
+    */
+  def termDriftTopK(df: DataFrame, textCol: String, slicePred: Column,
+                    topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val terms = df.select(slicePred.as("__a"),
+      explode(tokens(col(textCol))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("drift_nano",
+        round(((col("c_a") + 1).cast("double") /
+            (col("__na") + col("__v")).cast("double")) *
+          log(((col("c_a") + 1) * (col("__nb") + col("__v"))).cast("double") /
+            ((col("c_b") + 1) * (col("__na") + col("__v"))).cast("double")) *
+          lit(1e9)).cast("long"))
+      .orderBy(col("drift_nano").desc, col("term").asc)
+      .limit(topK)
+      .select("term", "c_a", "c_b", "drift_nano")
+  }
+
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxDf: Long = Long.MaxValue): DataFrame = {
+    // every downstream shuffle (tf aggregate, df aggregate, the
+    // inverted-index self-join) is keyed by the term — hashing the
+    // shingle string to its 60-bit md5 fold up front cuts those
+    // shuffles ~3× (8-byte key vs ~30-byte string; measured 561→180 MB
+    // at the 10× smoke). A fold collision merges two shingles
+    // identically in both engines (the oracle replays the same fold),
+    // so results stay hash-exact; at ~10⁹-term vocabularies collisions
+    // are rare enough (birthday ~0.4 events) to be quality-neutral.
     val terms = df.select(col(idCol).as("id"),
-      explode(shingles(tokens(col(textCol)), n)).as("term"))
+        explode(shingles(tokens(col(textCol)), n)).as("__t"))
+      .select(col("id"),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long")
+          .as("term"))
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term"))

@@ -329,6 +329,16 @@ object EventsPack extends QueryPack {
           col("__sv").cast("double").as("total_value"))
         .orderBy(col("user_id"))
     },
+
+    // ---- two-proportion A/B conversion test (variant = user parity,
+    //      conversion = a high-value purchase — plain "any purchase"
+    //      saturates at these event densities and degenerates z) ----
+    "q157_ab_test" -> { (s, d) =>
+      graft.operators.EventAnalytics.abTest(Tables.events(s, d),
+          "user_id",
+          convPred = col("event_type") === "purchase" && col("value") > 99,
+          variantExpr = col("user_id") % 2)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -355,6 +365,28 @@ object EventsPack extends QueryPack {
         |  first_id, first_ns, first_type, last_id, last_ns, last_type
         |FROM wv WHERE event_type = 'purchase'
         |ORDER BY user_id, conv_ns, conv_id""".stripMargin,
+
+    "q157_ab_test" ->
+      """WITH u AS (SELECT user_id, MAX(user_id % 2) AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 99
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |  SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+        |  SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |  SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  ROUND(conv_a::DOUBLE / n_a::DOUBLE, 6) AS rate_a,
+        |  ROUND(conv_b::DOUBLE / n_b::DOUBLE, 6) AS rate_b,
+        |  ROUND(conv_b::DOUBLE / n_b::DOUBLE
+        |    - conv_a::DOUBLE / n_a::DOUBLE, 6) AS lift,
+        |  ROUND((conv_b::DOUBLE / n_b::DOUBLE - conv_a::DOUBLE / n_a::DOUBLE)
+        |    / SQRT(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6) AS z
+        |FROM a""".stripMargin,
 
     // full recompute over base ∪ delta — asserts the merge is exact
     "q149_incremental_agg" ->

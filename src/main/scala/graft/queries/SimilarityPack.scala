@@ -117,6 +117,14 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- reciprocal kNN: pairs where each is in the other's top-k —
+    //      the hub-edge-stripping high-precision link filter ----
+    "q155_mutual_knn" -> { (s, d) =>
+      SimilarityOps.mutualKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCentroids = 8, k = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- product quantization: packed codes + distortion (the 64x
     //      memory compression a 100 TB embedding index ships) ----
     "q112_pq_codes" -> { (s, d) =>
@@ -253,6 +261,34 @@ object SimilarityPack extends QueryPack {
          |FROM assign a JOIN assign b
          |  ON a.centroid = b.centroid AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q155_mutual_knn" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1),
+         |knn AS (SELECT query_id, neighbor_id, sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM assign q JOIN assign c
+         |    ON q.centroid = c.centroid AND q.vec_id <> c.vec_id) t
+         |  WHERE rank <= 3)
+         |SELECT f.id_a, f.id_b, f.sim FROM
+         |  (SELECT query_id AS id_a, neighbor_id AS id_b, sim FROM knn
+         |   WHERE query_id < neighbor_id) f
+         |JOIN
+         |  (SELECT neighbor_id AS id_a, query_id AS id_b FROM knn
+         |   WHERE query_id > neighbor_id) r
+         |USING (id_a, id_b)
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q110_blocked_knn" ->

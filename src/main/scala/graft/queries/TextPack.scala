@@ -195,6 +195,14 @@ object TextPack extends QueryPack {
         .orderBy(col("exact_count").desc, col("tok").asc)
     },
 
+    // ---- unigram drift monitor: top KL contributors between the
+    //      even- and odd-id corpus halves (train/serve skew check) ----
+    "q156_term_drift" -> { (s, d) =>
+      graft.pipeline.Corpus.termDriftTopK(Tables.documents(s, d), "text",
+          slicePred = col("doc_id") % 2 === 0, topK = 20)
+        .orderBy(col("drift_nano").desc, col("term").asc)
+    },
+
     // ---- corpus rollup by lang × source ----
     "q51_corpus_stats" -> { (s, d) =>
       import s.implicits._
@@ -211,6 +219,23 @@ object TextPack extends QueryPack {
   def oracleSql: Map[String, String] = {
     val k = 16; val bands = 4; val rowsPer = 4
     Map(
+      "q156_term_drift" ->
+        s"""WITH t AS (SELECT doc_id % 2 = 0 AS a, unnest($toksSql) AS term
+           |  FROM documents),
+           |c AS (SELECT term,
+           |    SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c_a,
+           |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS c_b
+           |  FROM t GROUP BY term),
+           |tot AS (SELECT SUM(c_a)::BIGINT AS na, SUM(c_b)::BIGINT AS nb,
+           |  COUNT(*)::BIGINT AS v FROM c)
+           |SELECT term, c_a, c_b,
+           |  ROUND(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
+           |    * LN(((c_a + 1) * (nb + v))::DOUBLE
+           |        / ((c_b + 1) * (na + v))::DOUBLE)
+           |    * 1e9)::BIGINT AS drift_nano
+           |FROM c, tot
+           |ORDER BY drift_nano DESC, term ASC LIMIT 20""".stripMargin,
+
       "q40_token_stats" ->
         s"""SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
            |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,

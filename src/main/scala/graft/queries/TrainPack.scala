@@ -486,7 +486,12 @@ object TrainPack extends QueryPack {
 
     "q146_tfidf_cosine" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |sh AS (SELECT doc_id, unnest(${shingleSql("tk", 3)}) AS term FROM t),
+         |sh0 AS (SELECT doc_id, unnest(${shingleSql("tk", 3)}) AS s FROM t),
+         |sh AS (SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(substr(md5(s), 1, 15), ''),
+         |      c -> strpos('0123456789abcdef', c)::BIGINT - 1)),
+         |    (a, b) -> a * 16 + b) AS term FROM sh0),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
          |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM sh
          |  GROUP BY term HAVING COUNT(DISTINCT doc_id) <= 1000),

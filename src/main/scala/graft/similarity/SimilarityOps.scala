@@ -552,4 +552,30 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** Reciprocal (mutual) kNN pairs: (a, b) kept iff b is in a's top-k
+    * AND a is in b's top-k — the high-precision dedup/link filter (a
+    * hub vector appears in thousands of kNN lists, but its OWN list
+    * holds only its true neighborhood; mutuality strips those
+    * asymmetric hub edges, the k-reciprocal re-ranking idea).
+    *
+    * Built on `blockedKnn` (IVF-blocked candidates — the 100 TB kNN
+    * path): the kNN edge list materializes ONCE (localCheckpoint — the
+    * forward and reverse sides both read it), the mutuality test is one
+    * self equi-join on the canonical (id_a, id_b) pair key. `sim` is
+    * the symmetric 6-dp cosine, reported from the forward edge.
+    */
+  def mutualKnn(emb: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int, k: Int): DataFrame = {
+    val knn = blockedKnn(emb, idCol, vecCol, nCentroids, k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint()
+    val fwd = knn.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("sim"))
+    val rev = knn.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "sim")
+  }
 }

@@ -223,6 +223,22 @@ object ScaleSmoke {
         .count()
     }
 
+    // --- q146 shape: sparse TF-IDF cosine all-pairs via the inverted
+    // index. Replicas tag every WORD with the copy index, so every
+    // shingle is copy-local: within-copy pairs replicate the base
+    // workload exactly and cross-copy candidates are zero — shingle
+    // df (and so the Σ df² join fan-out) stays constant as copies
+    // grow. The term equi-join + integer dot aggregate is the thing
+    // being measured ---
+    val corpusTagged = (0 until copies).map { c =>
+      docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"))
+    }.reduce(_ unionAll _)
+    val (tcRows, tcSec, tcShuf) = timed {
+      graft.pipeline.Corpus.tfidfCosinePairs(
+        corpusTagged, "doc_id", "text", n = 3, threshold = 0.5).count()
+    }
+
     val json =
       s"""{"metric":"scale_smoke","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
@@ -234,6 +250,7 @@ object ScaleSmoke {
         s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf,""" +
         s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf,""" +
         s""""editdist_rows":$edRows,"editdist_sec":${f"$edSec%.2f"},"editdist_shuffle_bytes":$edShuf,""" +
+        s""""tfidfcos_rows":$tcRows,"tfidfcos_sec":${f"$tcSec%.2f"},"tfidfcos_shuffle_bytes":$tcShuf,""" +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     val outFile =

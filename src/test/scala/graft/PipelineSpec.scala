@@ -580,6 +580,73 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("termDriftTopK: drift ranks terms over-represented in slice A; " +
+    "balanced terms score near zero") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "aaa aaa aaa common"), (2L, "aaa aaa common"),
+      (1L, "bbb bbb bbb common"), (3L, "bbb bbb common"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus
+      .termDriftTopK(d, "text", col("doc_id") % 2 === 0, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    // aaa only in A -> most positive; bbb only in B -> most negative;
+    // common is balanced (2 vs 2) -> |drift| smallest
+    assert(out.head._1 == "aaa" && out.head._2 > 0)
+    assert(out.last._1 == "bbb" && out.last._2 < 0)
+    assert(out(1)._1 == "common" &&
+      math.abs(out(1)._2) < math.abs(out.head._2))
+  }
+
+  test("abTest: hand-computed two-proportion z on a tiny cohort") {
+    import spark.implicits._
+    // variant 0: users 0,2 (1 of 2 converts); variant 1: users 1,3
+    // (2 of 2 convert)
+    val ev = Seq(
+      (0L, "buy"), (0L, "x"), (2L, "x"),
+      (1L, "buy"), (3L, "buy"), (3L, "x"))
+      .toDF("user_id", "event_type")
+    val r = graft.operators.EventAnalytics.abTest(ev, "user_id",
+        convPred = col("event_type") === "buy",
+        variantExpr = col("user_id") % 2)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 0.5)
+    // z = 0.5 / sqrt(0.75*0.25*(1/2+1/2)) = 1.154701
+    assert(r.getDouble(7) == 1.154701)
+  }
+
+  test("mutualKnn: subset of the kNN edge set, symmetric by " +
+    "construction, hubs with asymmetric edges stripped") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.2f, 0.8f)),
+      (6L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val knn = graft.similarity.SimilarityOps
+      .blockedKnn(emb, "vec_id", "embedding", nCentroids = 1, k = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mut = graft.similarity.SimilarityOps
+      .mutualKnn(emb, "vec_id", "embedding", nCentroids = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mut.nonEmpty)
+    for ((a, b) <- mut) {
+      assert(a < b, "canonical pair order")
+      assert(knn.contains((a, b)) && knn.contains((b, a)),
+        s"($a,$b) must be in BOTH kNN lists")
+    }
+    // non-vacuous: some kNN edge is NOT mutual
+    val mutSet = mut.toSet
+    assert(knn.exists { case (a, b) =>
+      val c = if (a < b) (a, b) else (b, a)
+      !mutSet.contains(c)
+    })
+  }
+
   test("snapshotDiff: added/removed/changed classification; unchanged " +
     "rows dropped") {
     import spark.implicits._
