@@ -526,14 +526,16 @@ object Corpus {
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxDf: Long = Long.MaxValue): DataFrame = {
-    // every downstream shuffle (tf aggregate, df aggregate, the
-    // inverted-index self-join) is keyed by the term — hashing the
-    // shingle string to its 60-bit md5 fold up front cuts those
-    // shuffles ~3× (8-byte key vs ~30-byte string; measured 561→180 MB
-    // at the 10× smoke). A fold collision merges two shingles
-    // identically in both engines (the oracle replays the same fold),
-    // so results stay hash-exact; at ~10⁹-term vocabularies collisions
-    // are rare enough (birthday ~0.4 events) to be quality-neutral.
+    // every downstream shuffle key and comparison (tf aggregate, df
+    // aggregate, the inverted-index self-join) is the term — hashing
+    // the shingle string to its 60-bit md5 fold up front replaces
+    // ~30-byte string keys with 8-byte longs (10× smoke: wall 24.4 s →
+    // 12.9 s; shuffle 561 → 464 MB — the dot-product pair aggregate,
+    // keyed by (id_a, id_b), dominates what remains). A fold collision
+    // merges two shingles identically in both engines (the oracle
+    // replays the same fold), so results stay hash-exact; at ~10⁹-term
+    // vocabularies collisions are rare enough (birthday ~0.4 events)
+    // to be quality-neutral.
     val terms = df.select(col(idCol).as("id"),
         explode(shingles(tokens(col(textCol)), n)).as("__t"))
       .select(col("id"),

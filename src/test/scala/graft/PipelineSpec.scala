@@ -580,6 +580,23 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("bpe learnMerges: hand-computed rounds, greedy overlap handling, " +
+    "early exhaustion") {
+    import spark.implicits._
+    // words: aa x3, ab x2, aaa x1
+    val d = Seq((1L, "aa aa ab aaa"), (2L, "aa ab")).toDF("doc_id", "text")
+    val out = graft.pipeline.Bpe.learnMerges(d, "text", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // r1: (a,a) = 3 (aa) + 2 (aaa, two overlapping pairs) = 5 -> merge
+    //     greedy: aaa -> [aa, a] (left-to-right, no re-merge)
+    // r2: (a,b) = 2 beats (aa,a) = 1
+    // r3: (aa,a) = 1 remains
+    // r4: no pairs left -> exhausted after 3 rules
+    assert(out.toSeq == Seq(
+      (1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "a", 1L)))
+  }
+
   test("termDriftTopK: drift ranks terms over-represented in slice A; " +
     "balanced terms score near zero") {
     import spark.implicits._
