@@ -170,6 +170,26 @@ object Graft {
     }.reduce(_ && _)
   }
 
+  /** CMS inner product: min over depth rows of Σ_buckets a[d][w]·b[d][w]
+    * — the classic equi-join SIZE estimate |A ⋈ B| (Alon-Matias-Szegedy
+    * F₂/join-size line; overestimates by hash-collision mass, never
+    * under). Two constant-size sketches stand in for scanning either
+    * table: the optimizer-statistics primitive for join planning at
+    * 100 TB. Pure column arithmetic over the two counter arrays
+    * (transform + aggregate HOFs) — no UDF, replayable in any engine
+    * that rebuilds the counter matrix.
+    */
+  def cmsInnerProduct(skA: Column, skB: Column,
+                      depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until depth).map { d =>
+      aggregate(
+        transform(sequence(lit(d * width + 1), lit((d + 1) * width)),
+          j => element_at(skA, j.cast("int")) * element_at(skB, j.cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+    }.reduce(least(_, _))
+  }
+
   /** CMS point estimate: min over rows of the addressed counter.
     * `hashed` is the probe key's md5Long; same universal-hash family as
     * the sketch update (a=2i+1, b=i²+98765 mod P mod width).

@@ -363,9 +363,49 @@ object RelationalPack extends QueryPack {
           concat_ws("|", col("o_orderstatus"), col("cents")))
         .orderBy(col("o_orderkey"))
     },
+
+    // ---- join-size estimation from two constant-size CMS sketches
+    //      (self-join of lineitem on l_partkey): the optimizer-
+    //      statistics primitive — exact Σf² vs the sketch inner
+    //      product, which never underestimates ----
+    "q159_join_size" -> { (s, d) =>
+      graft.Graft.install(s)
+      val hashed = Tables.lineitem(s, d).select(
+        graft.functions.TextFunctions
+          .md5Long(col("l_partkey").cast("string")).as("h"))
+      val sk = hashed.agg(graft.Graft.cmsSketch(col("h"), 4, 16384).as("sk"))
+      val exact = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact_size"))
+      exact.crossJoin(broadcast(sk))
+        .select(col("exact_size"),
+          graft.Graft.cmsInnerProduct(col("sk"), col("sk"), 4, 16384)
+            .as("est_size"))
+        .withColumn("err_ratio",
+          round(col("est_size").cast("double") /
+            col("exact_size").cast("double"), 6))
+    },
   )
 
+  private def md5LongSql(e: String): String =
+    s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 2147483647)"
+
   def oracleSql: Map[String, String] = Map(
+    "q159_join_size" ->
+      s"""WITH wh AS (SELECT ${md5LongSql("l_partkey::VARCHAR")} AS h
+         |  FROM lineitem),
+         |counters AS (SELECT r.i,
+         |    ((2*r.i+1)*h + r.i*r.i + 98765) % 2147483647 % 16384 AS b,
+         |    COUNT(*)::BIGINT AS c
+         |  FROM wh CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+         |ip AS (SELECT MIN(s)::BIGINT AS est_size FROM (
+         |  SELECT i, SUM(c * c) AS s FROM counters GROUP BY i) t),
+         |ex AS (SELECT SUM(n * n)::BIGINT AS exact_size FROM (
+         |  SELECT COUNT(*)::BIGINT AS n FROM lineitem GROUP BY l_partkey) u)
+         |SELECT exact_size, est_size,
+         |  ROUND(est_size::DOUBLE / exact_size::DOUBLE, 6) AS err_ratio
+         |FROM ex, ip""".stripMargin,
+
     "q152_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey, o_orderstatus,
         |    ROUND(o_totalprice * 100)::BIGINT AS cents FROM orders),
