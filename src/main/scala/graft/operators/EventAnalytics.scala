@@ -307,6 +307,80 @@ object EventAnalytics {
     * Output: (userCol, conv_id, conv_ns, first_id, first_ns,
     * first_type, last_id, last_ns, last_type).
     */
+  /** Theil–Sen robust trend per key: slope = the (lower) median of all
+    * pairwise slopes between period points of the key's activity
+    * series — the outlier-immune "is this metric drifting" answer (one
+    * anomalous day moves a least-squares fit, not a pairwise median).
+    *
+    * The pair join runs over the AGGREGATED (key, period, n) series —
+    * O(periods²) per key, bounded by the calendar (a year of days is
+    * ~365 rows → ~66k pairs), never by event volume. Slopes are one
+    * IEEE division of exact integers rounded 6 dp; the median picks
+    * row (cnt+1) div 2 under the total order (slope, p_a, p_b) — a
+    * per-key window over pair-cardinality rows.
+    *
+    * Output: (key, n_periods, n_pairs, slope) per key with ≥ 2 periods.
+    */
+  def theilSenTrend(events: DataFrame, keyCol: String, tsCol: String,
+                    periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val series = events
+      .select(col(keyCol).as("k"), expr(s"$tsCol div $periodLength").as("p"))
+      .groupBy(col("k"), col("p")).agg(count(lit(1)).as("n"))
+    val a = series.select(col("k"), col("p").as("p_a"), col("n").as("n_a"))
+    val b = series.select(col("k"), col("p").as("p_b"), col("n").as("n_b"))
+    val pairs = a.join(b, Seq("k")).filter(col("p_a") < col("p_b"))
+      .withColumn("slope",
+        round((col("n_b") - col("n_a")).cast("double") /
+          (col("p_b") - col("p_a")).cast("double"), 6))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("slope").asc, col("p_a").asc, col("p_b").asc)
+    val wc = Window.partitionBy(col("k"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+      .join(series.groupBy(col("k")).agg(count(lit(1)).as("n_periods")), "k")
+      .select(col("k").as(keyCol), col("n_periods"),
+        col("__cnt").as("n_pairs"), col("slope"))
+  }
+
+  /** LOCF (last observation carried forward) fill: re-grid each key's
+    * value series onto its dense period spine (the `gapFill` spine) and
+    * fill empty periods with the latest earlier observation — the
+    * sensor/price-series imputation standard. The per-period
+    * observation is the LAST event in the period under the (ts, id)
+    * total order; leading holes (before the first observation) stay
+    * NULL.
+    *
+    * One per-key window pass over spine-sized data after one period
+    * aggregate and one spine equi-join — the gapFill cost plus a
+    * window; per-key state in the fill window is one value.
+    *
+    * Output: (keyCol, period, value, was_filled).
+    */
+  def locfFill(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, valueCol: String,
+               periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val wp = Window
+      .partitionBy(col(keyCol), expr(s"$tsCol div $periodLength"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val perPeriod = events
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), expr(s"$tsCol div $periodLength").as("period"),
+        col(valueCol).as("__obs"))
+    val spine = gapFill(events, keyCol, tsCol, periodLength)
+      .select(col(keyCol), col("period"))
+    val wf = Window.partitionBy(col(keyCol)).orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perPeriod, Seq(keyCol, "period"), "left")
+      .withColumn("value", last(col("__obs"), ignoreNulls = true).over(wf))
+      .select(col(keyCol), col("period"), col("value"),
+        (col("__obs").isNull && col("value").isNotNull).as("was_filled"))
+  }
+
   /** Two-proportion A/B conversion test: users split by `variantExpr`
     * (0/1), converted = at least one event satisfying `convPred`. One
     * row out:

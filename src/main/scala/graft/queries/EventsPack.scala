@@ -330,6 +330,64 @@ object EventsPack extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // ---- Theil-Sen robust trend: median pairwise slope of each
+    //      type's daily activity series (outlier-immune drift) ----
+    "q160_theil_sen" -> { (s, d) =>
+      graft.operators.EventAnalytics.theilSenTrend(Tables.events(s, d),
+          "event_type", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("event_type"))
+    },
+
+    // ---- KMV sketch set operations: distinct-user union/intersection
+    //      estimates per event-type pair (inclusion-exclusion over
+    //      mergeable sketches) vs the exact intersection ----
+    "q161_kmv_setops" -> { (s, d) =>
+      graft.Graft.install(s)
+      val d0 = Tables.events(s, d).filter(col("value") > 150)
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val h = d0.select(col("t"), col("u"),
+        graft.functions.TextFunctions.md5Long(col("u").cast("string"))
+          .as("hv")).localCheckpoint()
+      val types = h.select("t").distinct()
+      // |types|² pair frame — bounded broadcast, the allowlisted class
+      val prs = types.select(col("t").as("type_a"))
+        .crossJoin(broadcast(types.select(col("t").as("type_b"))))
+        .filter(col("type_a") < col("type_b"))
+      val pr2 = prs.select(col("type_a"), col("type_b"),
+        explode(array(col("type_a"), col("type_b"))).as("t"))
+      val uni = pr2.join(h, "t").groupBy(col("type_a"), col("type_b"))
+        .agg(round(graft.Graft.kmvSketch(col("hv"), 64), 6).as("est_union"))
+      val per = h.groupBy(col("t"))
+        .agg(round(graft.Graft.kmvSketch(col("hv"), 64), 6).as("est"))
+      val ex = d0.select(col("t").as("type_a"), col("u"))
+        .join(d0.select(col("t").as("type_b"), col("u")), "u")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(countDistinct(col("u")).as("exact_intersect"))
+      uni
+        .join(per.select(col("t").as("type_a"), col("est").as("est_a")),
+          "type_a")
+        .join(per.select(col("t").as("type_b"), col("est").as("est_b")),
+          "type_b")
+        .join(ex, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+          col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 6)
+            .as("est_intersect"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---- LOCF fill: per-user hourly value series, holes carry the
+    //      latest earlier observation forward ----
+    "q162_locf" -> { (s, d) =>
+      graft.operators.EventAnalytics.locfFill(
+          Tables.events(s, d).filter(col("user_id") < 20),
+          "user_id", "ts_ns", "event_id", "value",
+          periodLength = 3600L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("period"))
+    },
+
     // ---- two-proportion A/B conversion test (variant = user parity,
     //      conversion = a high-value purchase — plain "any purchase"
     //      saturates at these event densities and degenerates z) ----
@@ -341,7 +399,83 @@ object EventsPack extends QueryPack {
     },
   )
 
+  private def md5LongSql(e: String): String =
+    s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 2147483647)"
+
+  /** KMV estimate replay over a grouped hash list column expr (k=64). */
+  private def kmvEstSql(hs: String): String =
+    s"ROUND(CASE WHEN len($hs) < 64 THEN len($hs)::DOUBLE ELSE 63.0 * 2147483647 / ($hs)[64]::DOUBLE END, 6)"
+
   def oracleSql: Map[String, String] = Map(
+    "q160_theil_sen" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.k, a.p AS p_a, b.p AS p_b,
+        |    ROUND((b.n - a.n)::DOUBLE / (b.p - a.p)::DOUBLE, 6) AS slope
+        |  FROM s a JOIN s b ON a.k = b.k AND a.p < b.p),
+        |r AS (SELECT k, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY slope ASC, p_a ASC, p_b ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY k) AS cnt FROM pr),
+        |np AS (SELECT k, COUNT(*)::BIGINT AS n_periods FROM s GROUP BY k)
+        |SELECT r.k AS event_type, np.n_periods, r.cnt::BIGINT AS n_pairs,
+        |  r.slope
+        |FROM r JOIN np ON r.k = np.k WHERE rn = (cnt + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    "q161_kmv_setops" ->
+      s"""WITH d0 AS (SELECT DISTINCT event_type AS t, user_id AS u
+         |  FROM events WHERE value > 150),
+         |h AS (SELECT t, u, ${md5LongSql("u::VARCHAR")} AS hv FROM d0),
+         |types AS (SELECT DISTINCT t FROM d0),
+         |prs AS (SELECT a.t AS type_a, b.t AS type_b
+         |  FROM types a JOIN types b ON a.t < b.t),
+         |per AS (SELECT t, ${kmvEstSql("hs")} AS est FROM (
+         |  SELECT t, list_sort(list_distinct(list(hv))) AS hs
+         |  FROM h GROUP BY t) g),
+         |uni AS (SELECT type_a, type_b, ${kmvEstSql("hs")} AS est_union
+         |  FROM (SELECT p.type_a, p.type_b,
+         |      list_sort(list_distinct(list(h.hv))) AS hs
+         |    FROM prs p JOIN h ON h.t = p.type_a OR h.t = p.type_b
+         |    GROUP BY p.type_a, p.type_b) g),
+         |ex AS (SELECT x.t AS type_a, y.t AS type_b,
+         |    COUNT(DISTINCT x.u)::BIGINT AS exact_intersect
+         |  FROM d0 x JOIN d0 y ON x.u = y.u AND x.t < y.t
+         |  GROUP BY 1, 2)
+         |SELECT u.type_a, u.type_b, pa.est AS est_a, pb.est AS est_b,
+         |  u.est_union,
+         |  ROUND(pa.est + pb.est - u.est_union, 6) AS est_intersect,
+         |  COALESCE(ex.exact_intersect, 0) AS exact_intersect
+         |FROM uni u
+         |JOIN per pa ON u.type_a = pa.t
+         |JOIN per pb ON u.type_b = pb.t
+         |LEFT JOIN ex ON u.type_a = ex.type_a AND u.type_b = ex.type_b
+         |ORDER BY u.type_a, u.type_b""".stripMargin,
+
+    "q162_locf" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value
+        |  FROM events WHERE user_id < 20),
+        |obs AS (SELECT user_id, period, value AS obs FROM (
+        |  SELECT user_id, ts_ns // 3600000000000 AS period, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns // 3600000000000
+        |      ORDER BY ts_ns DESC, event_id DESC) AS rn FROM e) t
+        |  WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(period) AS lo, MAX(period) AS hi
+        |  FROM obs GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS period FROM b),
+        |j AS (SELECT g.user_id, g.period, obs.obs FROM g
+        |  LEFT JOIN obs ON g.user_id = obs.user_id AND g.period = obs.period)
+        |SELECT user_id, period,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY period ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  obs IS NULL AND last_value(obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY period ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+        |    AS was_filled
+        |FROM j ORDER BY user_id, period""".stripMargin,
+
     "q148_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) AS ts_ns FROM events),

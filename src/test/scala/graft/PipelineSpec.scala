@@ -615,6 +615,48 @@ class PipelineSpec extends SparkSpec {
       math.abs(out(1)._2) < math.abs(out.head._2))
   }
 
+  test("theilSenTrend: median pairwise slope resists a single outlier " +
+    "day") {
+    import spark.implicits._
+    // series 10,12,14,16,300 on days 0..4: least squares would chase
+    // 300; pairwise-slope median stays ~2
+    val rows = for {
+      (day, n) <- Seq((0L, 10), (1L, 12), (2L, 14), (3L, 16), (4L, 300))
+      i <- 1 to n
+    } yield ("a", day * 1000L + i)
+    val ev = rows.toDF("k", "ts")
+    val out = graft.operators.EventAnalytics
+      .theilSenTrend(ev, "k", "ts", periodLength = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // 10 pairs; sorted slopes: 2,2,2,2,3 (d0d3),... median (rank 5) = 2.0
+    assert(out.length == 1)
+    val (_, nPeriods, nPairs, slope) = out(0)
+    assert(nPeriods == 5L && nPairs == 10L)
+    assert(slope >= 2.0 && slope <= 3.0,
+      s"median slope must ignore the outlier day, got $slope")
+  }
+
+  test("locfFill: holes carry the latest earlier observation; leading " +
+    "holes stay NULL") {
+    import spark.implicits._
+    // key a: periods 0 (v=1.0) and 3 (v=9.0); periods 1,2 are holes
+    val ev = Seq(
+      ("a", 5L, 1L, 1.0), ("a", 305L, 2L, 9.0),
+      // two obs inside period 0 of key b: later (ts,id) wins
+      ("b", 10L, 3L, 7.0), ("b", 20L, 4L, 8.0))
+      .toDF("k", "ts", "id", "v")
+    val out = graft.operators.EventAnalytics
+      .locfFill(ev, "k", "ts", "id", "v", periodLength = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", 0L, Some(1.0), false), ("a", 1L, Some(1.0), true),
+      ("a", 2L, Some(1.0), true), ("a", 3L, Some(9.0), false),
+      ("b", 0L, Some(8.0), false)))
+  }
+
   test("abTest: hand-computed two-proportion z on a tiny cohort") {
     import spark.implicits._
     // variant 0: users 0,2 (1 of 2 converts); variant 1: users 1,3

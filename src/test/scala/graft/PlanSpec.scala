@@ -182,7 +182,14 @@ class PlanSpec extends SparkSpec {
     //    q145 (the single n_baskets total row feeding the lift
     //    denominator; the pair join itself is a basket-key equi-join),
     //    q154 (the single [lo, hi] clamp-bounds row of the winsorize
-    //    transform — the q95 estimator's stat row reused as a clamp)
+    //    transform — the q95 estimator's stat row reused as a clamp),
+    //    q159 (two single-row sides: the exact-Σf² stat row × the one
+    //    constant-size CMS sketch row — the POINT is that join-size
+    //    estimation never touches row-cardinality data),
+    //    q161 (the |types|² pair frame: a ≤(distinct event types)²-row
+    //    broadcast; all sketch/exact joins are equi-joins),
+    //    q156 (the single (n_a, n_b, |vocab|) totals row the per-term
+    //    drift expression reads)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each)
@@ -193,6 +200,7 @@ class PlanSpec extends SparkSpec {
       "q114_bloom_decontaminate", "q117_dsir_weights",
       "q119_rrf_fusion", "q120_bigram_surprisal", "q123_dsir_resample",
       "q139_zscore_price", "q145_copurchase", "q154_winsorize",
+      "q159_join_size", "q161_kmv_setops", "q156_term_drift",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit")
