@@ -36,8 +36,35 @@ object Bpe {
     * pair_count) — one row per learned rule, in learning order.
     */
   def learnMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
+    val (rules, _) = train(df, textCol, rounds)
     val spark = df.sparkSession
+    import spark.implicits._
+    rules.toDF("round", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** The ENCODER side: symbol frequencies of the corpus vocabulary
+    * after `rounds` learned merges — the emerging subword vocabulary
+    * (single characters absorb into merged units as rounds proceed).
+    * Output: top `topK` symbols by total occurrence count (desc, then
+    * symbol asc), with the count.
+    */
+  def symbolFrequencies(df: DataFrame, textCol: String, rounds: Int,
+                        topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val (_, encoded) = train(df, textCol, rounds)
+    encoded
+      .select(explode(col("syms")).as("symbol"), col("cnt"))
+      .groupBy(col("symbol")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("symbol").asc)
+      .limit(topK)
+  }
+
+  /** Shared trainer loop: returns (learned rules, the word-count table
+    * re-symbolized by all of them).
+    */
+  private def train(df: DataFrame, textCol: String,
+                    rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, "rounds must be >= 1")
     val chars = (w: Column) => filter(split(w, ""), c => c =!= "")
     var cur = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -81,7 +108,6 @@ object Bpe {
       }
       r += 1
     }
-    import spark.implicits._
-    rules.result().toDF("round", "sym_a", "sym_b", "pair_count")
+    (rules.result(), cur)
   }
 }

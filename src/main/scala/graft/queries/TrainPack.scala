@@ -431,6 +431,14 @@ object TrainPack extends QueryPack {
         .orderBy(col("round"))
     },
 
+    // ---- BPE encoder side: the emerging subword vocabulary after the
+    //      learned merges (top symbols by occurrence) ----
+    "q163_bpe_vocab" -> { (s, d) =>
+      graft.pipeline.Bpe.symbolFrequencies(Tables.documents(s, d), "text",
+          rounds = 4, topK = 15)
+        .orderBy(col("n").desc, col("symbol").asc)
+    },
+
     // ---- winsorized price: clamp to the [p01, p99] histogram-quantile
     //      band — outlier trimming before feature scaling ----
     "q154_winsorize" -> { (s, d) =>
@@ -441,48 +449,59 @@ object TrainPack extends QueryPack {
     },
   )
 
+  /** Shared BPE replay CTE chain (4 rounds, ending in rules r1..r4 and
+    * the re-symbolized word table s4). One round: pair counts over
+    * s{k-1}, arg-max rule r{k} (count desc, chr(1)-joined pair asc —
+    * the Spark tie-break), greedy left-to-right merge via a
+    * string-encoded list_reduce fold (acc = chr(1)-joined symbols;
+    * merged symbols never contain chr(1)).
+    */
+  private lazy val bpeCtes: String = {
+    def round(k: Int): String = {
+      val prev = s"s${k - 1}"
+      val sp = "chr(1)"
+      val accList = s"string_split(acc, $sp)"
+      s"""p$k AS (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |    i -> syms[i] || $sp || syms[i + 1])) AS pe FROM $prev),
+         |r$k AS (SELECT string_split(pe, $sp)[1] AS a,
+         |    string_split(pe, $sp)[2] AS b, n FROM (
+         |  SELECT pe, n, ROW_NUMBER() OVER (ORDER BY n DESC, pe ASC) AS rn
+         |  FROM (SELECT pe, SUM(cnt) AS n FROM p$k GROUP BY pe) y) z
+         |  WHERE rn = 1),
+         |s$k AS (SELECT string_split(list_reduce(
+         |    list_prepend(s.syms[1], s.syms[2:]),
+         |    (acc, x) -> CASE WHEN list_extract($accList, len($accList)) = r.a
+         |        AND x = r.b
+         |      THEN CASE WHEN len($accList) = 1 THEN r.a || r.b
+         |        ELSE array_to_string(list_slice($accList, 1,
+         |          len($accList) - 1), $sp) || $sp || r.a || r.b END
+         |      ELSE acc || $sp || x END), $sp) AS syms, s.cnt
+         |  FROM $prev s CROSS JOIN r$k r)""".stripMargin
+    }
+    s"""w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM
+       |  (SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
+       |s0 AS (SELECT list_filter(string_split(w, ''), c -> c <> '')
+       |  AS syms, cnt FROM w),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "q158_bpe_merges" -> {
-      // one BPE round: pair counts over s{k-1}, arg-max rule r{k}
-      // (count desc, chr(1)-joined pair asc — the Spark tie-break),
-      // greedy left-to-right merge via a string-encoded list_reduce
-      // fold (acc = chr(1)-joined symbols; merged symbols never
-      // contain chr(1))
-      def round(k: Int): String = {
-        val prev = s"s${k - 1}"
-        val sp = "chr(1)"
-        val accList = s"string_split(acc, $sp)"
-        s"""p$k AS (SELECT cnt, unnest(list_transform(range(1, len(syms)),
-           |    i -> syms[i] || $sp || syms[i + 1])) AS pe FROM $prev),
-           |r$k AS (SELECT string_split(pe, $sp)[1] AS a,
-           |    string_split(pe, $sp)[2] AS b, n FROM (
-           |  SELECT pe, n, ROW_NUMBER() OVER (ORDER BY n DESC, pe ASC) AS rn
-           |  FROM (SELECT pe, SUM(cnt) AS n FROM p$k GROUP BY pe) y) z
-           |  WHERE rn = 1),
-           |s$k AS (SELECT string_split(list_reduce(
-           |    list_prepend(s.syms[1], s.syms[2:]),
-           |    (acc, x) -> CASE WHEN list_extract($accList, len($accList)) = r.a
-           |        AND x = r.b
-           |      THEN CASE WHEN len($accList) = 1 THEN r.a || r.b
-           |        ELSE array_to_string(list_slice($accList, 1,
-           |          len($accList) - 1), $sp) || $sp || r.a || r.b END
-           |      ELSE acc || $sp || x END), $sp) AS syms, s.cnt
-           |  FROM $prev s CROSS JOIN r$k r)""".stripMargin
-      }
-      s"""WITH w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM
-         |  (SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
-         |s0 AS (SELECT list_filter(string_split(w, ''), c -> c <> '')
-         |  AS syms, cnt FROM w),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
-         |${round(4)}
+    "q158_bpe_merges" ->
+      s"""WITH $bpeCtes
          |SELECT 1 AS round, a AS sym_a, b AS sym_b, n AS pair_count FROM r1
          |UNION ALL SELECT 2, a, b, n FROM r2
          |UNION ALL SELECT 3, a, b, n FROM r3
          |UNION ALL SELECT 4, a, b, n FROM r4
-         |ORDER BY round""".stripMargin
-    },
+         |ORDER BY round""".stripMargin,
+
+    "q163_bpe_vocab" ->
+      s"""WITH $bpeCtes
+         |SELECT symbol, SUM(cnt)::BIGINT AS n FROM (
+         |  SELECT unnest(syms) AS symbol, cnt FROM s4) t
+         |GROUP BY symbol ORDER BY n DESC, symbol ASC LIMIT 15""".stripMargin,
 
     "q153_inclusion_deps" -> {
       def dep(name: String, childSql: String, parentSql: String): String =
