@@ -378,6 +378,23 @@ object EventsPack extends QueryPack {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // ---- dimension-as-of-event-time: each purchase picks up the
+    //      user's SCD2 state (built over NON-purchase activity) valid
+    //      at its timestamp — scd2History ∘ asofJoin composition ----
+    "q164_asof_state" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+      val hist = graft.operators.EventAnalytics.scd2History(
+        ev.filter(col("event_type") =!= "purchase"),
+        "user_id", "ts_ns", "event_id", "event_type")
+      val changes = hist.select(col("user_id"),
+        col("valid_from").as("ts_ns"), col("state"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      graft.operators.AsofJoin.asofJoin(purchases, changes,
+          "user_id", "ts_ns", payload = Seq("state"))
+        .orderBy(col("user_id"), col("ts_ns"), col("event_id"))
+    },
+
     // ---- LOCF fill: per-user hourly value series, holes carry the
     //      latest earlier observation forward ----
     "q162_locf" -> { (s, d) =>
@@ -452,6 +469,22 @@ object EventsPack extends QueryPack {
          |JOIN per pb ON u.type_b = pb.t
          |LEFT JOIN ex ON u.type_a = ex.type_a AND u.type_b = ex.type_b
          |ORDER BY u.type_a, u.type_b""".stripMargin,
+
+    "q164_asof_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS ts_ns FROM events WHERE user_id < 30),
+        |c AS (SELECT user_id, event_type, ts_ns, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS pv
+        |  FROM e WHERE event_type <> 'purchase'),
+        |k AS (SELECT user_id, event_type AS state, ts_ns FROM c
+        |  WHERE pv IS NULL OR pv <> event_type),
+        |p AS (SELECT user_id, event_id, ts_ns FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_ns, k.state AS asof_state
+        |FROM p ASOF LEFT JOIN k
+        |  ON p.user_id = k.user_id AND p.ts_ns >= k.ts_ns
+        |ORDER BY p.user_id, p.ts_ns, p.event_id""".stripMargin,
 
     "q162_locf" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value
