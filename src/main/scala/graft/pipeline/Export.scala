@@ -46,6 +46,33 @@ object Export {
       .parquet(outDir)
   }
 
+  /** JSONL export — the dominant LLM training-data interchange format
+    * (one JSON object per line, gzip-compressed shards). Same
+    * deterministic md5 sharding and in-shard sequence as the parquet
+    * writer, so a re-run reproduces both shard membership AND line
+    * order; `shard=K/` directory partitioning keeps reader-side
+    * pruning. Columnar parquet stays the internal format — JSONL is
+    * the boundary format for tokenizer/trainer handoff.
+    */
+  def writeJsonlShards(df: DataFrame, idCol: String, outDir: String,
+                       numShards: Int = 8, gzip: Boolean = true): Unit = {
+    val w = shardAssignments(df, idCol, numShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+    (if (gzip) w.option("compression", "gzip") else w).json(outDir)
+  }
+
+  /** Read a JSONL shard directory back with an explicit schema —
+    * schema-on-read inference is nondeterministic under sampling and a
+    * full-scan inference pass at 100 TB is a wasted scan; production
+    * readers always pin the schema.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, dir: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes / targetFileBytes⌉ files. Every incremental pipeline
     * (streaming sinks, per-batch dedup appends, many-shard exports)

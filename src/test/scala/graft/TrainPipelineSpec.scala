@@ -150,6 +150,47 @@ class TrainPipelineSpec extends SparkSpec {
         .filter(col("shard") === 2).count())
   }
 
+  test("writeJsonlShards: gzip JSONL round-trip preserves rows, shard " +
+    "membership, and deterministic in-shard line order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = (1L to 100L).map(i => (i, s"doc-$i")).toDF("id", "text")
+    Export.writeJsonlShards(df, "id", dir, numShards = 4)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // files are gzip JSONL
+    val files = new java.io.File(dir + "/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "gzip-compressed JSONL parts expected")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.IntegerType)))
+    val back = Export.readJsonl(spark, dir, schema)
+    assert(back.count() == 100)
+    assert(back.select("id", "text").collect().map(r =>
+      (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      (1L to 100L).map(i => (i, s"doc-$i")))
+    // shard membership matches the assignment function
+    assert(back.filter(col("shard") === 2).count() ==
+      Export.shardAssignments(df, "id", 4)
+        .filter(col("shard") === 2).count())
+    // in-shard line order IS the seq order (read the raw lines)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(files.head))))
+    val seqs = Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .map(l => "\"seq\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt)
+      .toSeq
+    in.close()
+    assert(seqs == seqs.sorted && seqs.nonEmpty,
+      "lines inside a shard file must appear in seq order")
+  }
+
   test("compact: many small files -> sized file count, data identical") {
     val in = java.nio.file.Files.createTempDirectory("graft-frag").toString
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
