@@ -125,6 +125,14 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- kNN label consistency: share of each vector's neighbors
+    //      sharing its label — the annotation-error detector ----
+    "q165_label_consistency" -> { (s, d) =>
+      SimilarityOps.labelConsistency(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", nCentroids = 8, k = 5)
+        .orderBy(col("query_id"))
+    },
+
     // ---- product quantization: packed codes + distortion (the 64x
     //      memory compression a 100 TB embedding index ships) ----
     "q112_pq_codes" -> { (s, d) =>
@@ -262,6 +270,36 @@ object SimilarityPack extends QueryPack {
          |  ON a.centroid = b.centroid AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q165_label_consistency" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1),
+         |knn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM assign q JOIN assign c
+         |    ON q.centroid = c.centroid AND q.vec_id <> c.vec_id) t
+         |  WHERE rank <= 5)
+         |SELECT k.query_id, o.label,
+         |  COUNT(*)::BIGINT AS n_neighbors,
+         |  SUM(CASE WHEN n.label = o.label THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_same,
+         |  ROUND(SUM(CASE WHEN n.label = o.label THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE, 6) AS agreement
+         |FROM knn k
+         |JOIN embeddings n ON k.neighbor_id = n.vec_id
+         |JOIN embeddings o ON k.query_id = o.vec_id
+         |GROUP BY k.query_id, o.label
+         |ORDER BY k.query_id""".stripMargin,
 
     "q155_mutual_knn" ->
       s"""WITH assign AS (

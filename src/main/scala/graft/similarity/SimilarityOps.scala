@@ -565,6 +565,36 @@ object SimilarityOps {
     * self equi-join on the canonical (id_a, id_b) pair key. `sim` is
     * the symmetric 6-dp cosine, reported from the forward edge.
     */
+  /** kNN label-consistency score — the confident-learning-style
+    * mislabeled-sample detector for curated training sets: for every
+    * vector, the share of its k nearest neighbors (IVF-blocked, the
+    * 100 TB kNN path) that carry the SAME label. A low score on an
+    * otherwise-dense neighborhood is the classic annotation-error
+    * signal; `agreement` is one IEEE division of exact counts,
+    * rounded 6 dp.
+    *
+    * Shape: `blockedKnn` + one label equi-join on the neighbor id +
+    * one per-query aggregate — nothing beyond existing join classes.
+    * Vectors whose block holds no other member emit no row (no
+    * neighbors → no evidence either way).
+    */
+  def labelConsistency(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, nCentroids: Int,
+                       k: Int): DataFrame = {
+    val knn = blockedKnn(emb, idCol, vecCol, nCentroids, k)
+    val labels = emb.select(col(idCol).as("__nid"), col(labelCol).as("__nlbl"))
+    val own = emb.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+    knn.join(labels, knn("neighbor_id") === col("__nid"))
+      .join(own, "query_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nlbl") === col("label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("agreement",
+        round(col("n_same").cast("double") /
+          col("n_neighbors").cast("double"), 6))
+  }
+
   def mutualKnn(emb: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int, k: Int): DataFrame = {
     val knn = blockedKnn(emb, idCol, vecCol, nCentroids, k)
