@@ -192,7 +192,8 @@ class PlanSpec extends SparkSpec {
     //    drift expression reads)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
-    //    q118 (one BNLJ per Lloyd round, k-row build side each)
+    //    q118 (one BNLJ per Lloyd round, k-row build side each),
+    //    q155/q165 (ride blockedKnn's centroid assignment)
     val boundedBroadcast = Set(
       "q30_cosine_topk", "q52_ivf_topk", "q79_cms_heavy_hitters",
       "q84_tfidf_topterms", "q93_bm25", "q95_hist_quantiles",
@@ -203,7 +204,7 @@ class PlanSpec extends SparkSpec {
       "q159_join_size", "q161_kmv_setops", "q156_term_drift",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
-      "q118_kmeans_fit")
+      "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if parity(name) => None
       case (name, fn) =>

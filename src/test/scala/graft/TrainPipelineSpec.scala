@@ -862,4 +862,74 @@ class TrainPipelineSpec extends SparkSpec {
       (2L, 3L, 1), (2L, 5L, 1), (3L, 5L, 1)),
       "xyz pairs with nothing; abc==abc at distance 0")
   }
+
+  test("end-to-end curation pipeline: dedup -> near-dup keepers -> " +
+    "quality -> decontaminate -> sample -> chunk -> pack -> shard, " +
+    "row accounting monotone and fully deterministic") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    def runOnce(): (Seq[Long], Long, Long, Long) = {
+      val n0 = docs.count()
+      // 1. exact dedup: one keeper per content hash
+      val keepers = docs.join(
+        Dedup.exactDedup(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id")), Seq("doc_id"))
+      val n1 = keepers.count()
+      // 2. near-dup clusters: keep the canonical member
+      val pairs = Dedup.ngramJaccardPairs(keepers, "doc_id", "text", 3, 0.5)
+      val cc = graft.graph.Components.connectedComponentsFast(
+        keepers.select("doc_id"), pairs)
+      val nd = keepers.join(
+        cc.filter(col("id") === col("component"))
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+      val n2 = nd.count()
+      // 3. quality gate
+      val q = nd.join(
+        TextAnalysis.filterDecision(nd, "doc_id", "text",
+            minChars = 50, minTokens = 5)
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      val n3 = q.count()
+      // 4. eval-set decontamination (eval = doc_id % 10 == 0)
+      val clean = q.join(
+        Corpus.decontaminate(docs, "doc_id", "text",
+            evalPred = col("doc_id") % 10 === 0, n = 5)
+          .filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+      val n4 = clean.count()
+      // 5. reproducible stratified sample
+      val sampled = Sampling.stratifiedSample(clean, col("doc_id"),
+        col("lang"), Map("en" -> 800), defaultPermille = 500)
+      val n5 = sampled.count()
+      val ids = sampled.select("doc_id").collect().map(_.getLong(0))
+        .sorted.toSeq
+      // 6-7. chunk + pack
+      val chunks = Chunking.tokenChunks(sampled, "doc_id", "text",
+        chunkSize = 32, stride = 32)
+      val packed = Chunking.packSequences(chunks, "doc_id", "chunk_idx",
+        "n_chunk_tokens", budget = 256, numShards = 4)
+      val nChunks = chunks.count()
+      assert(packed.count() == nChunks, "packing never drops a chunk")
+      // 8. JSONL shard export round-trip
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      Export.writeJsonlShards(
+        packed.select(col("doc_id"), col("chunk_idx")),
+        "doc_id", dir, numShards = 4)
+      val back = Export.readJsonl(spark, dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("chunk_idx",
+            org.apache.spark.sql.types.IntegerType)))).count()
+      assert(Seq(n0, n1, n2, n3, n4, n5) ==
+        Seq(n0, n1, n2, n3, n4, n5).sorted.reverse,
+        s"curation stages must be monotone: $n0 >= $n1 >= $n2 >= $n3 >= $n4 >= $n5")
+      assert(n5 > 0 && nChunks >= n5, "surviving docs chunk to >= 1 chunk")
+      (ids, n4, nChunks, back)
+    }
+    val (ids1, n4a, ch1, back1) = runOnce()
+    val (ids2, n4b, ch2, back2) = runOnce()
+    assert(ids1 == ids2 && n4a == n4b && ch1 == ch2,
+      "the pipeline is bit-deterministic across runs")
+    assert(back1 == ch1 && back2 == ch2,
+      "JSONL round-trip preserves the packed-chunk count")
+  }
 }
