@@ -36,6 +36,67 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS plagiarism detector): hash every word n-gram, slide a
+    * window of `w` consecutive positions over each document, keep each
+    * window's minimum hash (rightmost on ties — the paper's rule).
+    * Guarantees: any shared run of ≥ w+n−1 tokens between two documents
+    * yields at least one shared fingerprint, while only ~2/(w+1) of
+    * positions are kept — the local-substring-dedup detector whose
+    * sample size is tunable and whose selection is position-robust.
+    *
+    * Columnar single-pass selection: the rightmost-min rides ONE keyed
+    * window frame via the packed-long trick — pack = h40·2²⁰ +
+    * (2²⁰−1−pos) minimizes hash then MAXIMIZES position; positions are
+    * document-local so the 2²⁰ budget (1M shingles/doc) is a document-
+    * length bound, not a corpus bound. Fingerprint overlap
+    * (`winnowingOverlapPairs`) is then an equi-join on the hash value —
+    * never pairwise over documents.
+    *
+    * Output: (id, pos, h) distinct selected fingerprints.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, w: Int): DataFrame = {
+    require(n >= 1 && w >= 1, "n-gram size and window must be >= 1")
+    val lim = 1L << 20
+    val sh = df.select(col(idCol).as("id"),
+        posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "__s")))
+      .select(col("id"), col("pos"),
+        when(col("pos") >= lim,
+          raise_error(lit("winnowing position budget is 2^20 shingles/doc"))
+            .cast("long"))
+          .otherwise(conv(substring(md5(col("__s")), 1, 10), 16, 10)
+            .cast("long")).as("h"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos").asc)
+      .rowsBetween(-(w - 1), Window.currentRow)
+    sh.withColumn("__minpack",
+        min(col("h") * lim + (lit(lim - 1) - col("pos"))).over(frame))
+      .filter(col("pos") >= w - 1) // only full windows select
+      .select(col("id"),
+        (lit(lim - 1) - pmod(col("__minpack"), lit(lim))).as("pos"),
+        expr(s"__minpack div $lim").as("h"))
+      .distinct()
+  }
+
+  /** Document pairs ranked by shared winnowing fingerprints — the MOSS
+    * overlap report. Equi-join on the fingerprint HASH (position-free:
+    * moved text still matches), one pair aggregate; `minShared` prunes
+    * chance single-collisions.
+    */
+  def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, w: Int,
+                            minShared: Long = 2L): DataFrame = {
+    val fp = winnowingFingerprints(df, idCol, textCol, n, w)
+      .select(col("id"), col("h")).distinct()
+      .localCheckpoint() // both join sides read the selection
+    fp.select(col("id").as("id_a"), col("h"))
+      .join(fp.select(col("id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Tokenized + shingled view: (id, shingle-set) with word n-grams. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),

@@ -195,6 +195,14 @@ object TextPack extends QueryPack {
         .orderBy(col("exact_count").desc, col("tok").asc)
     },
 
+    // ---- winnowing (MOSS) fingerprint overlap: document pairs
+    //      sharing selected window-min shingle hashes ----
+    "q166_winnowing" -> { (s, d) =>
+      Dedup.winnowingOverlapPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, w = 4, minShared = 2L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- unigram drift monitor: top KL contributors between the
     //      even- and odd-id corpus halves (train/serve skew check) ----
     "q156_term_drift" -> { (s, d) =>
@@ -219,6 +227,27 @@ object TextPack extends QueryPack {
   def oracleSql: Map[String, String] = {
     val k = 16; val bands = 4; val rowsPer = 4
     Map(
+      "q166_winnowing" -> {
+        val fold40 = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(s), 1, 10), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(sg) AS s,
+           |    generate_subscripts(sg, 1) - 1 AS pos
+           |  FROM (SELECT doc_id, ${shingleSql("tk")} AS sg FROM t) x),
+           |hh AS (SELECT doc_id, pos, $fold40 AS h FROM sh),
+           |f AS (SELECT doc_id, pos,
+           |    MIN(h * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id
+           |      ORDER BY pos ASC
+           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mp
+           |  FROM hh),
+           |sel AS (SELECT DISTINCT doc_id, mp // 1048576 AS h
+           |  FROM f WHERE pos >= 3)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  COUNT(*)::BIGINT AS n_shared
+           |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
       "q156_term_drift" ->
         s"""WITH t AS (SELECT doc_id % 2 = 0 AS a, unnest($toksSql) AS term
            |  FROM documents),

@@ -580,6 +580,33 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("winnowing: the shared-run guarantee holds, selection is sparse, " +
+    "and disjoint docs never pair") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"x1 x2 x3 x4 $shared y1 y2 y3 y4"),      // same run, moved
+      (3L, "p q r s t u v w p q r s t u v w"))       // disjoint
+      .toDF("doc_id", "text")
+    // n=3, w=4: a shared run of 8 tokens = 6 shared shingles >= w
+    // windows -> at least one common fingerprint MUST be selected
+    val pairs = graft.pipeline.Dedup
+      .winnowingOverlapPairs(d, "doc_id", "text", n = 3, w = 4,
+        minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "the winnowing guarantee: long shared runs always share a fingerprint")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // density: selected fingerprints are a strict subset of positions
+    val fp = graft.pipeline.Dedup
+      .winnowingFingerprints(d, "doc_id", "text", n = 3, w = 4)
+    val nShingles = d.select(explode(graft.functions.TextFunctions
+      .shingles(graft.functions.TextFunctions.tokens(col("text")), 3)))
+      .count()
+    assert(fp.count() < nShingles, "winnowing must sample, not keep all")
+  }
+
   test("bpe learnMerges: hand-computed rounds, greedy overlap handling, " +
     "early exhaustion") {
     import spark.implicits._
