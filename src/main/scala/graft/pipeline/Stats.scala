@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -327,6 +327,27 @@ object Stats {
     * key-cardinality work, not row-cardinality; `containment` is one
     * IEEE division of exact integers rounded 6 dp.
     */
+  /** Order-invariant table checksum — the replication/data-diff
+    * equality primitive (two replicas are row-identical iff (n_rows,
+    * checksum) match, up to the astronomically unlikely md5-sum
+    * collision): each row's caller-supplied canonical fingerprint
+    * hashes to a 60-bit md5 fold, the folds SUM exactly in
+    * DECIMAL(38,0) (commutative — no ordering, no global sort), and
+    * the result reduces mod 2⁶⁰. One scan, map-side partial sums, a
+    * single-row output; the cheap pre-check before a full
+    * `SnapshotDiff`.
+    */
+  def tableChecksum(df: DataFrame, name: String,
+                    fingerprint: Column): DataFrame = {
+    val lim = 1L << 60
+    val h = conv(substring(md5(fingerprint), 1, 15), 16, 10).cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(h.cast("decimal(38,0)")).as("__sum"))
+      .select(lit(name).as("table_name"), col("n_rows"),
+        pmod(col("__sum"), lit(lim).cast("decimal(38,0)")).cast("long")
+          .as("checksum"))
+  }
+
   def inclusionDep(name: String, child: DataFrame, childCol: String,
                    parent: DataFrame, parentCol: String): DataFrame = {
     val c = child.select(col(childCol).cast("long").as("v"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.ZOrder
@@ -439,6 +439,21 @@ object TrainPack extends QueryPack {
         .orderBy(col("n").desc, col("symbol").asc)
     },
 
+    // ---- order-invariant table checksums: the replication-equality
+    //      pre-check (exact commutative md5-fold sums, one scan each) ----
+    "q167_table_checksum" -> { (s, d) =>
+      def fp(cols: Column*): Column = concat_ws("|", cols: _*)
+      Stats.tableChecksum(Tables.nation(s, d), "nation",
+          fp(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .unionAll(Stats.tableChecksum(Tables.customer(s, d), "customer",
+          fp(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))))
+        .unionAll(Stats.tableChecksum(Tables.orders(s, d), "orders",
+          fp(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long"))))
+        .orderBy(col("table_name"))
+    },
+
     // ---- winsorized price: clamp to the [p01, p99] histogram-quantile
     //      band — outlier trimming before feature scaling ----
     "q154_winsorize" -> { (s, d) =>
@@ -502,6 +517,26 @@ object TrainPack extends QueryPack {
          |SELECT symbol, SUM(cnt)::BIGINT AS n FROM (
          |  SELECT unnest(syms) AS symbol, cnt FROM s4) t
          |GROUP BY symbol ORDER BY n DESC, symbol ASC LIMIT 15""".stripMargin,
+
+    "q167_table_checksum" -> {
+      val fold60 = (e: String) =>
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b)"
+      def part(name: String, fpSql: String, table: String): String =
+        s"""SELECT '$name' AS table_name, COUNT(*)::BIGINT AS n_rows,
+           |  (SUM(${fold60("fp")}) % 1152921504606846976)::BIGINT AS checksum
+           |FROM (SELECT $fpSql AS fp FROM $table) t""".stripMargin
+      Seq(
+        part("nation",
+          "n_nationkey::VARCHAR || '|' || n_name || '|' || n_regionkey::VARCHAR",
+          "nation"),
+        part("customer",
+          "c_custkey::VARCHAR || '|' || c_name || '|' || c_nationkey::VARCHAR || '|' || ROUND(c_acctbal * 100)::BIGINT::VARCHAR || '|' || c_mktsegment",
+          "customer"),
+        part("orders",
+          "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' || ROUND(o_totalprice * 100)::BIGINT::VARCHAR",
+          "orders"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     "q153_inclusion_deps" -> {
       def dep(name: String, childSql: String, parentSql: String): String =

@@ -580,6 +580,24 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("tableChecksum: order- and partition-invariant; any single-row " +
+    "change moves it") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    def ck(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = graft.pipeline.Stats
+        .tableChecksum(d, "t", concat_ws("|", col("k"), col("v")))
+        .collect()(0)
+      (r.getLong(1), r.getLong(2))
+    }
+    val base = ck(df)
+    assert(base == ck(df.orderBy(col("v").desc)))
+    assert(base == ck(df.repartition(7)))
+    val changed = ck(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"))
+    assert(changed._1 == base._1 && changed._2 != base._2,
+      "same row count, different content -> different checksum")
+  }
+
   test("winnowing: the shared-run guarantee holds, selection is sparse, " +
     "and disjoint docs never pair") {
     import spark.implicits._
