@@ -361,6 +361,26 @@ object EventStreams {
       }
   }
 
+  /** Streaming incremental table checksum — the stream form of
+    * `Stats.tableChecksum`: the order-invariant md5-fold sum is
+    * commutative and associative, so a running (n_rows, fold-sum)
+    * aggregate maintains the EXACT batch checksum incrementally as
+    * appends arrive (integrity monitoring of a replicated append
+    * stream without rescanning). The mod-2⁶⁰ reduction applies at
+    * read time; internal state is the exact DECIMAL(38,0) sum —
+    * constant size, mergeable across micro-batches.
+    */
+  def checksumStream(rows: DataFrame,
+                     fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    val h = conv(substring(md5(fingerprint), 1, 15), 16, 10).cast("long")
+    rows
+      .agg(count(lit(1)).as("n_rows"),
+        sum(h.cast("decimal(38,0)")).as("__sum"))
+      .select(col("n_rows"),
+        pmod(col("__sum"), lit(1L << 60).cast("decimal(38,0)")).cast("long")
+          .as("checksum"))
+  }
+
   case class TouchState(firstId: Long, firstNs: Long, firstType: String,
                         lastId: Long, lastNs: Long, lastType: String)
   case class Attribution(user_id: Long, conv_id: Long, conv_ns: Long,

@@ -235,6 +235,23 @@ class StreamingSpec extends SparkSpec {
       "per-user emitted transitions must aggregate to the batch lag matrix")
   }
 
+  test("streaming incremental checksum equals the batch table checksum") {
+    val dir = Files.createTempDirectory("evstream_ck").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    val fp = concat_ws("|", col("event_id"), col("user_id"), col("event_type"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.checksumStream(
+        EventStreams.readEventStream(spark, dir), fp),
+      "checksum_test", OutputMode.Complete())
+    val s = streamed.collect()(0)
+    val b = graft.pipeline.Stats.tableChecksum(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"), "events", fp)
+      .collect()(0)
+    assert(s.getLong(0) == b.getLong(1) && s.getLong(1) == b.getLong(2),
+      "incremental fold-sum state must reproduce the batch checksum exactly")
+  }
+
   test("streaming attribution rows equal the batch touchAttribution output") {
     val dir = Files.createTempDirectory("evstream_attr").toString
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
