@@ -284,23 +284,29 @@ object Corpus {
     * stream the first k vocabulary entries explain). Rank order is
     * (tf desc, term asc) — total, deterministic.
     *
-    * The explode + hash-aggregate reduces the corpus to vocabulary
-    * size before the single-partition ranking window, so the window
-    * input is tiny at any corpus scale.
+    * Scale shape: the explode + hash-aggregate reduces the corpus to
+    * vocabulary size; the top-k then comes from `orderBy().limit(k)` —
+    * TakeOrderedAndProject (per-partition heaps + a k-row merge), so
+    * NO vocabulary-sized single-partition window exists anywhere (at
+    * 100 TB the vocabulary is Heaps-law millions of rows — a global
+    * ranking window over it would be the q100-class bottleneck this
+    * avoids; the ranking/cumulative window that remains runs over the
+    * k surviving rows). The stream total is a broadcast single-row
+    * aggregate.
     */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 100): DataFrame = {
     val counts = df
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("__total"))
+    val top = counts.orderBy(col("tf").desc, col("term").asc).limit(k)
     val ord = Window.orderBy(col("tf").desc, col("term").asc)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    counts
+    top
       .withColumn("rank", row_number().over(ord))
       .withColumn("__cum", sum(col("tf")).over(cum))
-      .withColumn("__total", sum(col("tf")).over(all))
-      .filter(col("rank") <= k)
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("term"), col("tf"),
         round(col("__cum").cast("double") / col("__total").cast("double"), 6)
           .as("cum_share"))
