@@ -38,18 +38,24 @@ object ZOrder {
     * pruning reader would use. Tight (x,y) ranges per file ⇒ the layout
     * works.
     *
-    * The global row_number makes the file assignment a deterministic
-    * contract for the oracle; a production writer would
-    * `repartitionByRange($"z")` + `sortWithinPartitions` and let each
-    * task cut files locally — same layout, no global window.
+    * The global row number makes the file assignment a deterministic
+    * contract for the oracle, and comes from the DISTRIBUTED
+    * range-partitioned sort + zipWithIndex helper
+    * (`Components.withGlobalRowNumber`) — NOT a partitionless
+    * row_number window, which would funnel the whole table through one
+    * partition (the q38-class bottleneck; this operator ranks
+    * data-sized input, so the distinction is real at 100 TB). A
+    * production writer would `repartitionByRange($"z")` +
+    * `sortWithinPartitions` and let each task cut files locally — the
+    * same layout this reports.
     */
   def layoutStats(df: DataFrame, xCol: String, yCol: String,
                   bits: Int, rowsPerFile: Int): DataFrame = {
     require(rowsPerFile > 0, "rowsPerFile must be > 0")
-    val w = Window.orderBy(col("z"), col(xCol), col(yCol))
-    df.select(col(xCol), col(yCol),
-        zValue(col(xCol).cast("long"), col(yCol).cast("long"), bits).as("z"))
-      .withColumn("__rn", row_number().over(w))
+    val zed = df.select(col(xCol), col(yCol),
+      zValue(col(xCol).cast("long"), col(yCol).cast("long"), bits).as("z"))
+    graft.graph.Components.withGlobalRowNumber(zed, "__rn",
+        Seq(col("z"), col(xCol), col(yCol)))
       .withColumn("file_id", expr(s"(__rn - 1) div ${rowsPerFile}"))
       .groupBy(col("file_id"))
       .agg(
