@@ -381,6 +381,92 @@ object EventAnalytics {
         (col("__obs").isNull && col("value").isNotNull).as("was_filled"))
   }
 
+  /** Time-weighted average (TWAP): per key, Σ valueᵢ·Δtᵢ / Σ Δtᵢ where
+    * Δtᵢ is the time the i-th observation remained current (until the
+    * next one) — the financial/sensor mean that ignores sampling
+    * cadence (a value held for an hour weighs 60× one held a minute).
+    * Keys with < 2 observations have no span and are excluded.
+    *
+    * Exactness: values quantize to integer cents, each cents·Δns
+    * product and their sum run in DECIMAL(38,0) (nanosecond spans
+    * overflow int64 products), and doubles appear only in the final
+    * division — partition- and engine-invariant. One per-key window
+    * (the lead) + one aggregate.
+    */
+  def twap(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val cents = round(col(valueCol) * 100).cast("long")
+    events
+      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .withColumn("__contrib",
+        (cents.cast("decimal(38,0)") *
+          (col("__next") - col(tsCol)).cast("decimal(38,0)")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__contrib")).as("__sumc"),
+        (max(col(tsCol)) - min(col(tsCol))).as("__span"))
+      .filter(col("__span") > 0)
+      .select(col(keyCol), col("n_obs"),
+        round(col("__sumc").cast("double") /
+          col("__span").cast("double") / lit(100.0), 6).as("twap"))
+  }
+
+  /** Linear-interpolation fill on the dense period spine — `locfFill`'s
+    * smoother sibling (sensor/price series): holes between two
+    * observations take the straight line between them, holes after the
+    * last observation carry it forward (LOCF), holes before the first
+    * stay NULL. Two per-key window passes (backward carry + forward
+    * peek) over spine-sized data.
+    *
+    * Exactness: observations quantize to integer cents and the line is
+    * evaluated in integer MICRO-units with floor division —
+    * cents·10⁴ + ((Δcents·10⁴·k) div n) — because the float form
+    * systematically lands on 6-dp rounding TIES (2-dp values × simple
+    * fractions ⇒ …5 at the 7th digit), where Spark's BigDecimal
+    * HALF_UP and another engine's round disagree by 1 ulp. Integer
+    * division has no ties; the final /1e6 is one correctly-rounded
+    * IEEE division.
+    */
+  def interpFill(events: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, valueCol: String,
+                 periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val wp = Window
+      .partitionBy(col(keyCol), expr(s"$tsCol div $periodLength"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val perPeriod = events
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), expr(s"$tsCol div $periodLength").as("period"),
+        round(col(valueCol) * 100).cast("long").as("__obs"))
+    val spine = gapFill(events, keyCol, tsCol, periodLength)
+      .select(col(keyCol), col("period"))
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(keyCol)).orderBy(col("period").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(perPeriod, Seq(keyCol, "period"), "left")
+      .withColumn("__pv", last(col("__obs"), ignoreNulls = true).over(wb))
+      .withColumn("__pp",
+        last(when(col("__obs").isNotNull, col("period")), ignoreNulls = true)
+          .over(wb))
+      .withColumn("__nv", first(col("__obs"), ignoreNulls = true).over(wf))
+      .withColumn("__np",
+        first(when(col("__obs").isNotNull, col("period")), ignoreNulls = true)
+          .over(wf))
+      .withColumn("__micro",
+        when(col("__obs").isNotNull, col("__obs") * 10000L)
+          .when(col("__pv").isNull, lit(null).cast("long"))
+          .when(col("__nv").isNull, col("__pv") * 10000L)
+          .otherwise(col("__pv") * 10000L +
+            expr("((__nv - __pv) * 10000 * (period - __pp)) div (__np - __pp)")))
+      .select(col(keyCol), col("period"),
+        (col("__micro").cast("double") / lit(1e6)).as("value"),
+        col("__obs").isNull.as("was_filled"))
+  }
+
   /** Two-proportion A/B conversion test: users split by `variantExpr`
     * (0/1), converted = at least one event satisfying `convPred`. One
     * row out:

@@ -348,6 +348,34 @@ object Stats {
           .as("checksum"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * (naturally-occurring multiplicative quantities follow
+    * P(d) = log₁₀(1 + 1/d); fabricated or constrained ones usually
+    * don't). `cents` must be a POSITIVE integer column (quantize
+    * currency first: `round(x*100).cast("long")` — the first
+    * significant digit survives the shift, and the string route avoids
+    * the float-log₁₀ boundary bug at exact powers of ten).
+    *
+    * One hash aggregate on a 9-value key + a broadcast total; share,
+    * expectation and deviation are single double expressions rounded
+    * 6 dp.
+    */
+  def benfordProfile(df: DataFrame, cents: Column): DataFrame = {
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(cents > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford"),
+        round(col("n").cast("double") / col("__total").cast("double") -
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("deviation"))
+  }
+
   def inclusionDep(name: String, child: DataFrame, childCol: String,
                    parent: DataFrame, parentCol: String): DataFrame = {
     val c = child.select(col(childCol).cast("long").as("v"))

@@ -395,6 +395,24 @@ object EventsPack extends QueryPack {
         .orderBy(col("user_id"), col("ts_ns"), col("event_id"))
     },
 
+    // ---- time-weighted average: per-user TWAP of value (exact
+    //      cents·Δns decimal sums, doubles only at the end) ----
+    "q168_twap" -> { (s, d) =>
+      graft.operators.EventAnalytics.twap(Tables.events(s, d),
+          "user_id", "ts_ns", "event_id", "value")
+        .orderBy(col("user_id"))
+    },
+
+    // ---- linear-interpolation fill on the hourly spine (LOCF's
+    //      smoother sibling; trailing holes carry forward) ----
+    "q169_interp" -> { (s, d) =>
+      graft.operators.EventAnalytics.interpFill(
+          Tables.events(s, d).filter(col("user_id") < 20),
+          "user_id", "ts_ns", "event_id", "value",
+          periodLength = 3600L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("period"))
+    },
+
     // ---- LOCF fill: per-user hourly value series, holes carry the
     //      latest earlier observation forward ----
     "q162_locf" -> { (s, d) =>
@@ -469,6 +487,55 @@ object EventsPack extends QueryPack {
          |JOIN per pb ON u.type_b = pb.t
          |LEFT JOIN ex ON u.type_a = ex.type_a AND u.type_b = ex.type_b
          |ORDER BY u.type_a, u.type_b""".stripMargin,
+
+    "q168_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    ROUND(value * 100)::BIGINT AS cents FROM events),
+        |l AS (SELECT user_id, ts_ns, cents,
+        |    LEAD(ts_ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS nxt FROM e),
+        |a AS (SELECT user_id, COUNT(*)::BIGINT AS n_obs,
+        |    SUM(cents::HUGEINT * (nxt - ts_ns)::HUGEINT) AS sumc,
+        |    MAX(ts_ns) - MIN(ts_ns) AS span
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_obs,
+        |  ROUND(sumc::DOUBLE / span::DOUBLE / 100.0, 6) AS twap
+        |FROM a WHERE span > 0 ORDER BY user_id""".stripMargin,
+
+    "q169_interp" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value
+        |  FROM events WHERE user_id < 20),
+        |obs AS (SELECT user_id, period, obs FROM (
+        |  SELECT user_id, ts_ns // 3600000000000 AS period,
+        |    ROUND(value * 100)::BIGINT AS obs,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns // 3600000000000
+        |      ORDER BY ts_ns DESC, event_id DESC) AS rn FROM e) t
+        |  WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(period) AS lo, MAX(period) AS hi
+        |  FROM obs GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS period FROM b),
+        |j AS (SELECT g.user_id, g.period, obs.obs FROM g
+        |  LEFT JOIN obs ON g.user_id = obs.user_id AND g.period = obs.period),
+        |wv AS (SELECT user_id, period, obs,
+        |    last_value(obs IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN period END
+        |      IGNORE NULLS) OVER wb AS pp,
+        |    first_value(obs IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN period END
+        |      IGNORE NULLS) OVER wf AS np
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY period ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY period ASC
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, period,
+        |  (CASE WHEN obs IS NOT NULL THEN obs * 10000
+        |    WHEN pv IS NULL THEN NULL
+        |    WHEN nv IS NULL THEN pv * 10000
+        |    ELSE pv * 10000 + ((nv - pv) * 10000 * (period - pp))
+        |      // (np - pp) END)::DOUBLE / 1e6 AS value,
+        |  obs IS NULL AS was_filled
+        |FROM wv ORDER BY user_id, period""".stripMargin,
 
     "q164_asof_state" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -439,6 +439,14 @@ object TrainPack extends QueryPack {
         .orderBy(col("n").desc, col("symbol").asc)
     },
 
+    // ---- Benford first-digit audit on order totals (fabricated-
+    //      numbers screen; string-route digit avoids float log10) ----
+    "q170_benford" -> { (s, d) =>
+      Stats.benfordProfile(Tables.orders(s, d),
+          round(col("o_totalprice") * 100).cast("long"))
+        .orderBy(col("digit"))
+    },
+
     // ---- order-invariant table checksums: the replication-equality
     //      pre-check (exact commutative md5-fold sums, one scan each) ----
     "q167_table_checksum" -> { (s, d) =>
@@ -517,6 +525,20 @@ object TrainPack extends QueryPack {
          |SELECT symbol, SUM(cnt)::BIGINT AS n FROM (
          |  SELECT unnest(syms) AS symbol, cnt FROM s4) t
          |GROUP BY symbol ORDER BY n DESC, symbol ASC LIMIT 15""".stripMargin,
+
+    "q170_benford" ->
+      """WITH c AS (SELECT ROUND(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |g AS (SELECT substr(cents::VARCHAR, 1, 1)::INT AS digit,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT SUM(n)::BIGINT AS total FROM g)
+        |SELECT digit, n,
+        |  ROUND(n::DOUBLE / total::DOUBLE, 6) AS share,
+        |  ROUND(LOG10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford,
+        |  ROUND(n::DOUBLE / total::DOUBLE
+        |    - LOG10(1.0 + 1.0 / digit::DOUBLE), 6) AS deviation
+        |FROM g, t ORDER BY digit""".stripMargin,
 
     "q167_table_checksum" -> {
       val fold60 = (e: String) =>

@@ -580,6 +580,50 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("twap: a value held 9x longer weighs 9x; cadence-free") {
+    import spark.implicits._
+    // key a: 10.0 held for 90 time units, then 20.0 for 10 units, then
+    // a final observation closing the span -> twap = (10*90+20*10)/100 = 11
+    val ev = Seq(
+      ("a", 0L, 1L, 10.0), ("a", 90L, 2L, 20.0), ("a", 100L, 3L, 99.0),
+      ("b", 0L, 4L, 5.0))  // single obs: no span -> excluded
+      .toDF("k", "ts", "id", "v")
+    val out = graft.operators.EventAnalytics.twap(ev, "k", "ts", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 3L, 11.0)))
+  }
+
+  test("interpFill: straight line between observations in exact micro " +
+    "units; LOCF after last; NULL before first") {
+    import spark.implicits._
+    // key a: obs 1.0 at period 0, obs 4.0 at period 3 -> 2.0, 3.0 between;
+    // period 4 spine requires an event: add obs-less? spine ends at last
+    // event period, so add a later obs 4.0 at period 5 -> period 4
+    // interpolates flat
+    val ev = Seq(
+      ("a", 5L, 1L, 1.0), ("a", 305L, 2L, 4.0), ("a", 505L, 3L, 4.0))
+      .toDF("k", "ts", "id", "v")
+    val out = graft.operators.EventAnalytics
+      .interpFill(ev, "k", "ts", "id", "v", periodLength = 100L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 1.0, false), (1L, 2.0, true), (2L, 3.0, true),
+      (3L, 4.0, false), (4L, 4.0, true), (5L, 4.0, false)))
+  }
+
+  test("benfordProfile: digits from the cents string; shares sum to 1") {
+    import spark.implicits._
+    val df = Seq(1234L, 1999L, 2500L, 37L, 990L, 0L, -5L).toDF("cents")
+    val out = graft.pipeline.Stats.benfordProfile(df, col("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // 0 and -5 excluded; digits: 1 (1234, 1999), 2 (2500), 3 (37), 9 (990)
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, 2L), (2, 1L), (3, 1L), (9, 1L)))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("tableChecksum: order- and partition-invariant; any single-row " +
     "change moves it") {
     import spark.implicits._
