@@ -381,6 +381,43 @@ object EventAnalytics {
         (col("__obs").isNull && col("value").isNotNull).as("was_filled"))
   }
 
+  /** RFM segmentation — the classic customer-value grid: per user,
+    * Recency (periods since last conversion, relative to the corpus
+    * max), Frequency (conversion count) and Monetary (cents sum), each
+    * scored into `q` quantile bins by the deterministic histogram
+    * estimator (`Stats.quantileBins` — bin edges are 6-dp-rounded
+    * engine-exact values, so bin membership is reproducible), composed
+    * into the 3-digit `rfm_code` (bins ascend with the RAW value:
+    * r_bin 0 = most recent, f/m_bin q−1 = heaviest).
+    *
+    * Shape: one conversion aggregate (user-cardinality), a broadcast
+    * corpus-max row, and three constant-size edge fits — no
+    * user-pairwise anything.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, convType: String, valueCol: String,
+                  periodNs: Long, histBins: Int = 64,
+                  q: Int = 5): DataFrame = {
+    require(periodNs > 0, "periodNs must be positive")
+    val conv = events.filter(col(typeCol) === convType)
+    val gmax = conv.agg(max(col(tsCol)).as("__gmax"))
+    val feats = conv.groupBy(col(userCol))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
+        sum(round(col(valueCol) * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(gmax))
+      .withColumn("recency_days", expr(s"(__gmax - __last) div $periodNs"))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"))
+    val binned = Seq(("recency_days", "r_bin"), ("frequency", "f_bin"),
+      ("monetary_cents", "m_bin"))
+      .foldLeft(feats) { case (df, (c, b)) =>
+        graft.pipeline.Stats.quantileBins(df, c, histBins, q)
+          .withColumnRenamed("bin", b)
+      }
+    binned.withColumn("rfm_code",
+      (col("r_bin") + 1) * 100 + (col("f_bin") + 1) * 10 + col("m_bin") + 1)
+  }
+
   /** Time-weighted average (TWAP): per key, Σ valueᵢ·Δtᵢ / Σ Δtᵢ where
     * Δtᵢ is the time the i-th observation remained current (until the
     * next one) — the financial/sensor mean that ignores sampling

@@ -395,6 +395,15 @@ object EventsPack extends QueryPack {
         .orderBy(col("user_id"), col("ts_ns"), col("event_id"))
     },
 
+    // ---- RFM customer segmentation: quantile-binned recency /
+    //      frequency / monetary with the composed 3-digit code ----
+    "q171_rfm" -> { (s, d) =>
+      graft.operators.EventAnalytics.rfmSegments(Tables.events(s, d),
+          "user_id", "ts_ns", "event_type", convType = "purchase",
+          valueCol = "value", periodNs = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"))
+    },
+
     // ---- time-weighted average: per-user TWAP of value (exact
     //      cents·Δns decimal sums, doubles only at the end) ----
     "q168_twap" -> { (s, d) =>
@@ -441,7 +450,58 @@ object EventsPack extends QueryPack {
   private def kmvEstSql(hs: String): String =
     s"ROUND(CASE WHEN len($hs) < 64 THEN len($hs)::DOUBLE ELSE 63.0 * 2147483647 / ($hs)[64]::DOUBLE END, 6)"
 
+  /** Quantile-edge CTE chain replaying `Stats.histogramQuantiles` over
+    * CTE `src`'s column expr `vexpr` (prefix `p` keeps chains disjoint).
+    */
+  private def qedgesCtes(p: String, src: String, vexpr: String,
+                         bins: Int, qs: Seq[Double]): String =
+    s"""${p}stats AS (SELECT MIN($vexpr)::DOUBLE AS mn,
+       |  MAX($vexpr)::DOUBLE AS mx, COUNT($vexpr) AS n FROM $src),
+       |${p}b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+       |  ELSE LEAST(${bins - 1}, FLOOR(($vexpr::DOUBLE - s.mn) * ${bins}.0
+       |    / (s.mx - s.mn))::INT) END AS bin FROM $src, ${p}stats s),
+       |${p}c AS (SELECT bin, COUNT(*) AS c FROM ${p}b GROUP BY bin),
+       |${p}cc AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |  AS cum FROM ${p}c),
+       |${p}q AS (SELECT unnest([${qs.mkString(", ")}]::DOUBLE[]) AS q),
+       |${p}est AS (SELECT ROUND(CASE WHEN s.mx = s.mn THEN s.mn
+       |  ELSE s.mn + (s.mx - s.mn) / ${bins}.0
+       |    * (cc.bin + (q.q * s.n - (cc.cum - cc.c)) / cc.c) END, 6) AS est
+       |  FROM ${p}cc cc, ${p}q q, ${p}stats s
+       |  WHERE cc.cum >= q.q * s.n AND (cc.cum - cc.c) < q.q * s.n)"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q171_rfm" -> {
+      val qs = (1 until 5).map(i => i.toDouble / 5)
+      s"""WITH gmax AS (SELECT MAX(epoch_ns(ts)) AS g FROM events
+         |  WHERE event_type = 'purchase'),
+         |f AS (SELECT user_id,
+         |    (g - MAX(epoch_ns(ts))) // 86400000000000 AS recency_days,
+         |    COUNT(*)::BIGINT AS frequency,
+         |    SUM(ROUND(value * 100)::BIGINT)::BIGINT AS monetary_cents
+         |  FROM events, gmax WHERE event_type = 'purchase'
+         |  GROUP BY user_id, g),
+         |${qedgesCtes("r", "f", "recency_days", 64, qs)},
+         |${qedgesCtes("fq", "f", "frequency", 64, qs)},
+         |${qedgesCtes("m", "f", "monetary_cents", 64, qs)}
+         |SELECT user_id, recency_days, frequency, monetary_cents,
+         |  (SELECT COUNT(*) FROM rest e
+         |    WHERE f.recency_days::DOUBLE > e.est)::INT AS r_bin,
+         |  (SELECT COUNT(*) FROM fqest e
+         |    WHERE f.frequency::DOUBLE > e.est)::INT AS f_bin,
+         |  (SELECT COUNT(*) FROM mest e
+         |    WHERE f.monetary_cents::DOUBLE > e.est)::INT AS m_bin,
+         |  ((SELECT COUNT(*) FROM rest e
+         |    WHERE f.recency_days::DOUBLE > e.est) + 1) * 100
+         |  + ((SELECT COUNT(*) FROM fqest e
+         |    WHERE f.frequency::DOUBLE > e.est) + 1) * 10
+         |  + (SELECT COUNT(*) FROM mest e
+         |    WHERE f.monetary_cents::DOUBLE > e.est)::INT + 1 AS rfm_code
+         |FROM f ORDER BY user_id""".stripMargin
+    },
+
     "q160_theil_sen" ->
       """WITH s AS (SELECT event_type AS k,
         |    epoch_ns(ts) // 86400000000000 AS p, COUNT(*)::BIGINT AS n

@@ -580,6 +580,33 @@ class PipelineSpec extends SparkSpec {
       (2L, 6L, None, None)))
   }
 
+  test("rfmSegments: bins ascend with the raw feature; code composes " +
+    "the three digits") {
+    import spark.implicits._
+    // 10 users, conversions spaced so recency/frequency/monetary all vary
+    val ev = (1L to 10L).flatMap { u =>
+      (1L to u).map(i => (u, u * 1000L + i, s"buy", u * 10.0))
+    }.map { case (u, ts, t, v) => (u, ts, t, v) }
+      .toDF("user_id", "ts_ns", "event_type", "value")
+    val out = graft.operators.EventAnalytics.rfmSegments(ev, "user_id",
+        "ts_ns", "event_type", "buy", "value", periodNs = 1000L, q = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7)))
+      .sortBy(_._1)
+    // codes are 3 digits of 1..3
+    assert(out.forall { case (_, rb, fb, mb, code) =>
+      rb >= 0 && rb <= 2 && fb >= 0 && fb <= 2 && mb >= 0 && mb <= 2 &&
+        code == (rb + 1) * 100 + (fb + 1) * 10 + mb + 1
+    })
+    // user 10 converts most, most recently, for the most money:
+    // r_bin 0 (most recent), f_bin and m_bin maximal
+    val u10 = out.find(_._1 == 10L).get
+    assert(u10._2 == 0 && u10._3 == 2 && u10._4 == 2 && u10._5 == 133)
+    // frequency bins never decrease as frequency (= user id) grows
+    val fbins = out.sortBy(_._1).map(_._3)
+    assert(fbins.zip(fbins.tail).forall { case (a, b) => a <= b })
+  }
+
   test("twap: a value held 9x longer weighs 9x; cadence-free") {
     import spark.implicits._
     // key a: 10.0 held for 90 time units, then 20.0 for 10 units, then

@@ -192,7 +192,9 @@ class PlanSpec extends SparkSpec {
     //    drift expression reads),
     //    q91 (the single token-stream-total row; the coverage rank now
     //    comes from TakeOrderedAndProject, not a vocab-wide window),
-    //    q170 (the single digit-count-total row of the Benford audit)
+    //    q170 (the single digit-count-total row of the Benford audit),
+    //    q171 (the single corpus-max-timestamp row of the recency
+    //    feature; the quantile fits are collected edge literals)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
@@ -205,7 +207,7 @@ class PlanSpec extends SparkSpec {
       "q119_rrf_fusion", "q120_bigram_surprisal", "q123_dsir_resample",
       "q139_zscore_price", "q145_copurchase", "q154_winsorize",
       "q159_join_size", "q161_kmv_setops", "q156_term_drift",
-      "q91_vocab_coverage", "q170_benford",
+      "q91_vocab_coverage", "q170_benford", "q171_rfm",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")
