@@ -563,4 +563,37 @@ object EventAnalytics {
         col("first_id"), col("first_ns"), col("first_type"),
         col("last_id"), col("last_ns"), col("last_type"))
   }
+
+  /** Gap-based sessionization with per-session statistics — the batch
+    * form of the streaming `mapGroupsWithState` sessionizer: a new
+    * session starts whenever a user's inter-event gap exceeds `gapNs`.
+    * Output one row per (user, ordinal session): start, end, event
+    * count, duration, and the bounce flag (single-event session — the
+    * classic engagement denominator).
+    *
+    * Scale notes: the lag that marks session starts and the running
+    * sum that numbers them share ONE per-user window partition (a
+    * single Exchange), then one hash aggregate collapses events to
+    * sessions. Per-user window state is that user's events — bounded
+    * by activity, never global; at 100 TB this is the same
+    * shuffle-once shape as any per-key groupBy.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, gapNs: Long): DataFrame = {
+    require(gapNs > 0, "gapNs must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_ns"),
+        (count(lit(1)) === 1).as("is_bounce"))
+  }
 }

@@ -441,6 +441,30 @@ object EventsPack extends QueryPack {
           convPred = col("event_type") === "purchase" && col("value") > 99,
           variantExpr = col("user_id") % 2)
     },
+
+    // ---- gap-based sessionization with per-session stats (30-min
+    //      gap): the batch twin of the streaming sessionizer ----
+    "q172_session_stats" -> { (s, d) =>
+      graft.operators.EventAnalytics.sessionStats(Tables.events(s, d),
+          "user_id", "ts_ns", "event_id",
+          gapNs = 1800L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- pivot: per-user event-type count matrix via the real
+    //      relational PIVOT operator (fixed value list keeps the
+    //      schema static — the scale-safe form; .pivot without the
+    //      list would collect the distinct types to the driver) ----
+    "q174_event_pivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
+    },
   )
 
   private def md5LongSql(e: String): String =
@@ -473,6 +497,35 @@ object EventsPack extends QueryPack {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q172_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id
+        |  FROM events),
+        |m AS (SELECT user_id, ts_ns, event_id,
+        |    CASE WHEN LAG(ts_ns) OVER w IS NULL
+        |         OR ts_ns - LAG(ts_ns) OVER w > 1800000000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |sid AS (SELECT user_id, ts_ns,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, MIN(ts_ns) AS session_start,
+        |  MAX(ts_ns) AS session_end, COUNT(*)::BIGINT AS n_events,
+        |  MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
+        |  COUNT(*) = 1 AS is_bounce
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q174_event_pivot" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q171_rfm" -> {
       val qs = (1 until 5).map(i => i.toDouble / 5)
       s"""WITH gmax AS (SELECT MAX(epoch_ns(ts)) AS g FROM events

@@ -385,6 +385,27 @@ object RelationalPack extends QueryPack {
           round(col("est_size").cast("double") /
             col("exact_size").cast("double"), 6))
     },
+
+    // ---- OLAP rollup: region → nation revenue hierarchy with
+    //      grouping flags (one Expand + one hash aggregate; the
+    //      subtotal rows cost one extra aggregate row per group,
+    //      never a second scan) ----
+    "q173_rollup_revenue" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(grouping($"r_name").cast("int").as("g_region"),
+          grouping($"n_name").cast("int").as("g_nation"),
+          dsum($"o_totalprice").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"g_region", $"g_nation", $"r_name", $"n_name")
+    },
   )
 
   private def md5LongSql(e: String): String =
@@ -637,5 +658,17 @@ object RelationalPack extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, y ORDER BY r_name, y""".stripMargin,
+
+    "q173_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  GROUPING(r_name)::INT AS g_region,
+        |  GROUPING(n_name)::INT AS g_nation,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
   )
 }

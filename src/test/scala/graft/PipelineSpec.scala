@@ -444,6 +444,23 @@ class PipelineSpec extends SparkSpec {
       "user 2's first session is too short; the gap splits its paths")
   }
 
+  test("sessionStats: gap splits sessions; single-event session is a bounce") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 20L),
+      (2L, 4L, 100L))
+      .toDF("user_id", "event_id", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .sessionStats(ev, "user_id", "ts_ns", "event_id", gapNs = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 2L, 2L, 1L, false),   // events 1,2 share a session
+      (1L, 2L, 20L, 20L, 1L, 0L, true),  // the 18ns gap opens session 2
+      (2L, 1L, 100L, 100L, 1L, 0L, true)))
+  }
+
   test("expectations: one-scan audit; NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(Some(1.0), Some(2.0), None).toDF("x")
