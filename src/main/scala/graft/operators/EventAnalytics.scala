@@ -596,4 +596,75 @@ object EventAnalytics {
         (max(col(tsCol)) - min(col(tsCol))).as("duration_ns"),
         (count(lit(1)) === 1).as("is_bounce"))
   }
+
+  /** CUSUM changepoint screen: per key, the period where the cumulative
+    * deviation of the activity series from its own mean peaks — the
+    * classic level-shift detector (did this source/type change behavior,
+    * and when?).
+    *
+    * Exactness: deviations are scaled through the period count
+    * (dev_t = c_t·P − T) so the running sum stays in exact integers —
+    * cusum_t = P·Σc_i − t·T, zero at both ends, extremal at the shift.
+    * The argmax is max(struct(|cusum|, −period)) — deterministic
+    * earliest-period tie-break, no window beyond the per-key running
+    * sum over the AGGREGATED series (calendar-bounded, never event
+    * volume).
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+                       periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val per = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = per.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("total"), count(lit(1)).as("n_periods"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.join(tot, Seq(keyCol))
+      .withColumn("__cusum",
+        sum(col("__c") * col("n_periods") - col("total")).over(w))
+      .groupBy(col(keyCol), col("n_periods"), col("total"))
+      .agg(max(struct(abs(col("__cusum")).as("a"),
+        (-col("period")).as("np"))).as("__m"))
+      .select(col(keyCol), col("n_periods"), col("total"),
+        (-col("__m.np")).as("cp_period"),
+        col("__m.a").as("max_abs_cusum"))
+  }
+
+  /** Single-exponential smoothing (SES) over a per-key period series —
+    * the level-tracking forecast/denoiser (α = 1/`alphaDen`):
+    * s₀ = x₀·10⁶;  sₜ = (xₜ·10⁶ + (alphaDen−1)·sₜ₋₁) div alphaDen.
+    * The recurrence runs in integer MICRO-units with floor division —
+    * bit-deterministic across engines and partitionings (a float fold
+    * would accumulate rounding skew and can't hash-match any oracle).
+    *
+    * Shape: the recurrence is inherently sequential per key, so it
+    * folds over the AGGREGATED series (calendar-bounded — thousands of
+    * periods, not events) collected per key into one sorted array and
+    * scanned by one codegen'd `aggregate` HOF; cost per key is
+    * O(periods), state one array. Event volume is only touched by the
+    * initial hash aggregate.
+    */
+  def sesForecast(events: DataFrame, keyCol: String, tsCol: String,
+                  periodLength: Long, alphaDen: Int = 4): DataFrame = {
+    require(periodLength > 0 && alphaDen >= 2, "period > 0, alphaDen >= 2")
+    val per = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("period"), col("__c"))))
+        .as("__series"))
+      .withColumn("__f", expr(
+        s"""aggregate(__series,
+           |  CAST(array() AS ARRAY<STRUCT<period: BIGINT, c: BIGINT, sm: BIGINT>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'period', x.period, 'c', x.`__c`,
+           |    'sm', CASE WHEN size(acc) = 0 THEN x.`__c` * 1000000
+           |          ELSE (x.`__c` * 1000000
+           |            + ${alphaDen - 1} * element_at(acc, -1).sm)
+           |            div $alphaDen END)))""".stripMargin))
+      .select(col(keyCol), explode(col("__f")).as("__e"))
+      .select(col(keyCol), col("__e.period").as("period"),
+        col("__e.c").as("n_events"), col("__e.sm").as("smooth_micro"))
+  }
 }

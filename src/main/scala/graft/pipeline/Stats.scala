@@ -376,6 +376,43 @@ object Stats {
           .as("deviation"))
   }
 
+  /** Exact ROC AUC of an integer score against a boolean label — the
+    * Mann-Whitney rank-sum with midrank tie handling, the standard
+    * offline evaluation of any quality/toxicity/relevance scorer used
+    * as a curation gate.
+    *
+    * Shape: one hash aggregate collapses rows to (score → count,
+    * positives), one running-sum window over the DISTINCT-score table
+    * assigns midranks, one final aggregate folds the rank sum. The
+    * window is partitionless but runs over distinct quantized scores —
+    * bounded by the score CODOMAIN (here: integer cents of a 2-dp
+    * metric), a constant of the data model like histogram bins or
+    * calendar periods, never the row count.
+    *
+    * Exactness: 2·midrank(s) = 2·cum(s) − count(s) + 1 stays integer;
+    * sums ride DECIMAL(38,0) (rank sums reach n² — past int64 at
+    * cluster scale); AUC = (Σ 2r·p − P(P+1)) / (2PN) is one IEEE
+    * division at the end.
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.withColumn("__cum", sum(col("__c")).over(w))
+    ranked.agg(
+        sum((col("__p") * (lit(2L) * col("__cum") - col("__c") + lit(1L)))
+          .cast("decimal(38,0)")).as("__s2"),
+        sum(col("__p")).as("pos_n"),
+        sum(col("__c") - col("__p")).as("neg_n"))
+      .select(col("pos_n"), col("neg_n"),
+        round((col("__s2") - (col("pos_n") * (col("pos_n") + lit(1L)))
+            .cast("decimal(38,0)")).cast("double") /
+          (lit(2.0) * col("pos_n").cast("double") *
+            col("neg_n").cast("double")), 6).as("auc"))
+  }
+
   def inclusionDep(name: String, child: DataFrame, childCol: String,
                    parent: DataFrame, parentCol: String): DataFrame = {
     val c = child.select(col(childCol).cast("long").as("v"))

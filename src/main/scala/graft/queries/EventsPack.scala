@@ -451,6 +451,33 @@ object EventsPack extends QueryPack {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- exact ROC AUC: does event value separate purchases from
+    //      the rest? Mann-Whitney midranks over the distinct-cents
+    //      table (score-codomain-bounded, never row-count-sized) ----
+    "q175_auc" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("score_cents"),
+          (col("event_type") === "purchase").as("label"))
+      graft.pipeline.Stats.auc(ev, "score_cents", "label")
+    },
+
+    // ---- CUSUM changepoint screen: where each event type's daily
+    //      activity level shifted (exact integer cumulative devs) ----
+    "q176_cusum" -> { (s, d) =>
+      graft.operators.EventAnalytics.cusumChangepoint(Tables.events(s, d),
+          "event_type", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("event_type"))
+    },
+
+    // ---- single-exponential smoothing (α=1/4) of the daily activity
+    //      series per type — integer micro-unit recurrence, bit-exact ----
+    "q177_ses" -> { (s, d) =>
+      graft.operators.EventAnalytics.sesForecast(Tables.events(s, d),
+          "event_type", "ts_ns",
+          periodLength = 86400L * 1000 * 1000 * 1000, alphaDen = 4)
+        .orderBy(col("event_type"), col("period"))
+    },
+
     // ---- pivot: per-user event-type count matrix via the real
     //      relational PIVOT operator (fixed value list keeps the
     //      schema static — the scale-safe form; .pivot without the
@@ -516,6 +543,56 @@ object EventsPack extends QueryPack {
         |  COUNT(*) = 1 AS is_bounce
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q175_auc" ->
+      """WITH e AS (SELECT ROUND(value * 100)::BIGINT AS s,
+        |    event_type = 'purchase' AS lbl FROM events),
+        |g AS (SELECT s, COUNT(*)::BIGINT AS c,
+        |    SUM(CASE WHEN lbl THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM e GROUP BY s),
+        |r AS (SELECT s, c, p, SUM(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum FROM g),
+        |a AS (SELECT SUM((p * (2 * cum - c + 1))::HUGEINT) AS s2,
+        |    SUM(p)::BIGINT AS pos_n, SUM(c - p)::BIGINT AS neg_n FROM r)
+        |SELECT pos_n, neg_n,
+        |  ROUND((s2 - pos_n::HUGEINT * (pos_n + 1))::DOUBLE
+        |    / (2.0 * pos_n::DOUBLE * neg_n::DOUBLE), 6) AS auc
+        |FROM a""".stripMargin,
+
+    "q176_cusum" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS period, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c)::BIGINT AS total,
+        |    COUNT(*)::BIGINT AS n_periods FROM s GROUP BY k),
+        |cu AS (SELECT s.k, s.period, t.total, t.n_periods,
+        |    SUM(s.c * t.n_periods - t.total) OVER (PARTITION BY s.k
+        |      ORDER BY s.period ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW)::BIGINT AS cusum
+        |  FROM s JOIN t ON s.k = t.k),
+        |rk AS (SELECT k, n_periods, total, period, ABS(cusum) AS a,
+        |    ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY ABS(cusum) DESC, period ASC) AS rn FROM cu)
+        |SELECT k AS event_type, n_periods, total, period AS cp_period,
+        |  a AS max_abs_cusum
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q177_ses" ->
+      """WITH RECURSIVE s AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (SELECT k, p, c,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY p) AS rn FROM s),
+        |f(k, p, c, rn, sm) AS (
+        |  SELECT k, p, c, rn, c * 1000000 FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.k, r0.p, r0.c, r0.rn,
+        |    (r0.c * 1000000 + 3 * f.sm) // 4
+        |  FROM f JOIN r0 ON r0.k = f.k AND r0.rn = f.rn + 1)
+        |SELECT k AS event_type, p AS period, c AS n_events,
+        |  sm::BIGINT AS smooth_micro
+        |FROM f ORDER BY event_type, period""".stripMargin,
 
     "q174_event_pivot" ->
       """SELECT user_id,

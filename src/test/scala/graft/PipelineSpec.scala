@@ -461,6 +461,46 @@ class PipelineSpec extends SparkSpec {
       (2L, 1L, 100L, 100L, 1L, 0L, true)))
   }
 
+  test("auc: midrank tie handling matches the pairwise definition") {
+    import spark.implicits._
+    // pairs (pos, neg): (2,1)=1, (2,2)=0.5, (3,1)=1, (3,2)=1 -> 3.5/4
+    val df = Seq((1L, false), (2L, false), (2L, true), (3L, true))
+      .toDF("s", "lbl")
+    val r = graft.pipeline.Stats.auc(df, "s", "lbl").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (2L, 2L, 0.875))
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "lbl")
+    assert(graft.pipeline.Stats.auc(perfect, "s", "lbl")
+      .collect()(0).getDouble(2) == 1.0)
+  }
+
+  test("cusumChangepoint: level shift peaks the integer cusum at the shift") {
+    import spark.implicits._
+    // counts per period: [1, 1, 5, 5] -> dev = [-8,-8,8,8] (x4 scale),
+    // cusum = [-8,-16,-8,0]: the changepoint is period 1 (|..|=16)
+    val ev = (Seq.fill(1)(0L) ++ Seq.fill(1)(10L) ++
+        Seq.fill(5)(20L) ++ Seq.fill(5)(30L))
+      .map(t => ("a", t)).toDF("k", "ts_ns")
+    val r = graft.operators.EventAnalytics
+      .cusumChangepoint(ev, "k", "ts_ns", periodLength = 10L)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (4L, 12L, 1L, 16L))
+  }
+
+  test("sesForecast: integer micro recurrence, observed periods only") {
+    import spark.implicits._
+    // counts [4, 8]: s0 = 4e6; s1 = (8e6 + 3*4e6) div 4 = 5e6
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(25L))
+      .map(t => ("a", t)).toDF("k", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .sesForecast(ev, "k", "ts_ns", periodLength = 10L, alphaDen = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 4L, 4000000L), (2L, 8L, 5000000L)),
+      "period 1 has no events and is skipped (observed-period series)")
+  }
+
   test("expectations: one-scan audit; NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(Some(1.0), Some(2.0), None).toDF("x")
