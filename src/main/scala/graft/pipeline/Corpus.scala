@@ -507,6 +507,38 @@ object Corpus {
     * Cost: one explode + one (term)-keyed aggregate + a broadcast
     * totals row; top-k via orderBy().limit() = TakeOrderedAndProject.
     */
+  /** Pointwise mutual-information cells between two categorical
+    * columns — the feature-association / corpus-composition profile
+    * (is `lang` independent of `source`? which cells drive the
+    * dependence?). Per cell: count and the MI contribution
+    * p(x,y)·ln(p(x,y)/(p(x)p(y))), quantized to integer nano-nats with
+    * the [[termDriftTopK]] operand-order discipline so the oracle
+    * replays it bit-exactly; Σ mi_nano over cells ≈ the MI of the pair.
+    *
+    * Scale notes: one |X|·|Y|-cell aggregate + two marginal aggregates
+    * (all map-side-combining) + one single-row broadcast total; the
+    * marginal joins broadcast when the domains are small (always, for
+    * real categorical columns).
+    */
+  def mutualInformationCells(df: DataFrame, xCol: String,
+                             yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("c_xy"))
+    val mx = df.groupBy(col(xCol)).agg(count(lit(1)).as("__cx"))
+    val my = df.groupBy(col(yCol)).agg(count(lit(1)).as("__cy"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    cells
+      .join(broadcast(mx), Seq(xCol))
+      .join(broadcast(my), Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_nano",
+        round((col("c_xy").cast("double") / col("__n").cast("double")) *
+          log((col("c_xy") * col("__n")).cast("double") /
+            (col("__cx") * col("__cy")).cast("double")) *
+          lit(1e9)).cast("long"))
+      .select(col(xCol), col(yCol), col("c_xy"), col("mi_nano"))
+  }
+
   def termDriftTopK(df: DataFrame, textCol: String, slicePred: Column,
                     topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")

@@ -133,6 +133,21 @@ object GraphPack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // ---- HITS hubs & authorities over the DIRECTED (low-id → high-id)
+    //      LSH similarity graph: integer micro-unit scores with L∞
+    //      normalization, two rounds; edges materialized once ----
+    "q178_hits" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .localCheckpoint()
+      graft.graph.Hits.run(emb.select(col("vec_id").as("id")), pairs,
+          iters = 2)
+        .select(col("id").as("vec_id"), col("auth"), col("hub"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- weighted PageRank: edge weight = cosine sim in 1e6 units
     //      (6-dp sims quantize exactly), same fixed-point machinery ----
     "q103_pagerank_weighted" -> { (s, d) =>
@@ -457,6 +472,36 @@ object GraphPack extends QueryPack {
          |  array_to_string(list_sort(list(id::VARCHAR)), ',') AS member_ids
          |FROM cc GROUP BY component HAVING COUNT(*) >= 2
          |ORDER BY component""".stripMargin
+    },
+
+    "q178_hits" -> {
+      // one HITS round: auth = Σ incoming hub, max-normalized to 1e6;
+      // hub = Σ outgoing FRESH auth, max-normalized — replaying
+      // graph.Hits.run exactly in integer micro-units
+      def iter(i: Int): String = {
+        val prev = s"s${i - 1}"
+        s"""ar$i AS (SELECT e.ib AS id, SUM(p.hub)::BIGINT AS raw
+           |  FROM e0 e JOIN $prev p ON p.id = e.ia GROUP BY e.ib),
+           |aj$i AS (SELECT p.id, COALESCE(r.raw, 0)::BIGINT AS raw, p.hub
+           |  FROM $prev p LEFT JOIN ar$i r ON p.id = r.id),
+           |am$i AS (SELECT GREATEST(MAX(raw), 1) AS m FROM aj$i),
+           |an$i AS (SELECT id, (raw::HUGEINT * 1000000 // m)::BIGINT AS auth,
+           |    hub FROM aj$i, am$i),
+           |hr$i AS (SELECT e.ia AS id, SUM(p.auth)::BIGINT AS raw
+           |  FROM e0 e JOIN an$i p ON p.id = e.ib GROUP BY e.ia),
+           |hj$i AS (SELECT p.id, p.auth, COALESCE(r.raw, 0)::BIGINT AS raw
+           |  FROM an$i p LEFT JOIN hr$i r ON p.id = r.id),
+           |hm$i AS (SELECT GREATEST(MAX(raw), 1) AS m FROM hj$i),
+           |s$i AS (SELECT id, auth,
+           |    (raw::HUGEINT * 1000000 // m)::BIGINT AS hub
+           |  FROM hj$i, hm$i)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED ($lshEdgesSql),
+         |s0 AS (SELECT vec_id AS id, 1000000::BIGINT AS auth,
+         |  1000000::BIGINT AS hub FROM embeddings),
+         |${iter(1)},
+         |${iter(2)}
+         |SELECT id AS vec_id, auth, hub FROM s2 ORDER BY vec_id""".stripMargin
     },
 
     "q98_pagerank" -> {

@@ -211,6 +211,14 @@ object TextPack extends QueryPack {
         .orderBy(col("drift_nano").desc, col("term").asc)
     },
 
+    // ---- mutual-information cells: is lang independent of source?
+    //      nano-nat PMI contributions per cell, oracle-bit-exact ----
+    "q179_lang_source_mi" -> { (s, d) =>
+      graft.pipeline.Corpus.mutualInformationCells(
+          Tables.documents(s, d), "lang", "source")
+        .orderBy(col("lang"), col("source"))
+    },
+
     // ---- corpus rollup by lang × source ----
     "q51_corpus_stats" -> { (s, d) =>
       import s.implicits._
@@ -247,6 +255,21 @@ object TextPack extends QueryPack {
            |GROUP BY 1, 2 HAVING COUNT(*) >= 2
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      "q179_lang_source_mi" ->
+        """WITH c AS (SELECT lang, source, COUNT(*)::BIGINT AS c_xy
+          |  FROM documents GROUP BY 1, 2),
+          |mx AS (SELECT lang, COUNT(*)::BIGINT AS cx
+          |  FROM documents GROUP BY 1),
+          |my AS (SELECT source, COUNT(*)::BIGINT AS cy
+          |  FROM documents GROUP BY 1),
+          |t AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+          |SELECT c.lang, c.source, c.c_xy,
+          |  ROUND((c_xy::DOUBLE / n::DOUBLE)
+          |    * LN((c_xy * n)::DOUBLE / (cx * cy)::DOUBLE)
+          |    * 1e9)::BIGINT AS mi_nano
+          |FROM c JOIN mx USING (lang) JOIN my USING (source), t
+          |ORDER BY lang, source""".stripMargin,
 
       "q156_term_drift" ->
         s"""WITH t AS (SELECT doc_id % 2 = 0 AS a, unnest($toksSql) AS term

@@ -474,6 +474,23 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getDouble(2) == 1.0)
   }
 
+  test("mutualInformationCells: independent columns score zero; PMI exact") {
+    import spark.implicits._
+    val indep = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val z = graft.pipeline.Corpus.mutualInformationCells(indep, "x", "y")
+      .collect().map(_.getLong(3))
+    assert(z.forall(_ == 0L), "uniform independent grid has zero PMI")
+    val dep = Seq(("a", "c"), ("a", "c"), ("b", "d"), ("b", "d"))
+      .toDF("x", "y")
+    val out = graft.pipeline.Corpus.mutualInformationCells(dep, "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    // (2/4)·ln(2·4/(2·2))·1e9 = 0.5·ln2·1e9 = 346573590
+    assert(out.toSeq == Seq(("a", "c", 2L, 346573590L),
+      ("b", "d", 2L, 346573590L)))
+  }
+
   test("cusumChangepoint: level shift peaks the integer cusum at the shift") {
     import spark.implicits._
     // counts per period: [1, 1, 5, 5] -> dev = [-8,-8,8,8] (x4 scale),

@@ -325,4 +325,25 @@ class TagAndGraphSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("Hits: hand-traced 2 rounds, integer micro L-inf normalization") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 2L)).toDF("src", "dst")
+    val out = graft.graph.Hits.run(vertices, edges, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // r1: authRaw 3:2e6, 2:1e6 -> auth (0, 500000, 1000000);
+    //     hubRaw 1:1.5e6, 2:1e6 -> hub (1000000, 666666, 0)
+    // r2: authRaw 3:1666666, 2:1e6 -> auth (0, 600000, 1000000);
+    //     hubRaw 1:1.6e6, 2:1e6 -> hub (1000000, 625000, 0)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1000000L), (2L, 600000L, 625000L), (3L, 1000000L, 0L)))
+    // partitioning must not change a single unit
+    val again = graft.graph.Hits
+      .run(vertices.repartition(3), edges.repartition(2), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }
