@@ -53,6 +53,31 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Leakage-safe split assignment: rows are assigned to
+    * train/val/test by GROUP (near-dup cluster, user, session, …) so
+    * no group straddles a split boundary — the contamination guard
+    * every eval pipeline needs (a near-duplicate of a training doc in
+    * the test set is a leak, not a holdout). `splits` are (name,
+    * permille) and must sum to 1000; assignment is a cumulative gate
+    * over the md5 bucket of the GROUP id — deterministic,
+    * partition-invariant, and stable under re-runs/backfills.
+    *
+    * Scale: one codegen'd CASE over a map-side hash — zero extra
+    * shuffles beyond whatever produced the group column.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      "split permilles must sum to 1000")
+    val b = hashBucket(col(groupCol))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assigned = splits.zip(cum).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), hi)) => when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Deterministic k exemplars per group: rank rows inside each group
     * by the md5 of their key (a reproducible shuffle) and keep the
     * first k — "show me 3 random-but-stable examples per source", the

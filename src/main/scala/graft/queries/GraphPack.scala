@@ -133,6 +133,22 @@ object GraphPack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // ---- leakage-safe split: assign train/val/test by near-dup
+    //      CLUSTER (md5 gate on the component id) so no duplicate
+    //      family straddles a split — the eval-contamination guard ----
+    "q180_group_split" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      val comps = Components.connectedComponentsFast(
+        emb.select("vec_id"), pairs)
+      graft.pipeline.Sampling.groupSplit(
+          comps.select(col("id").as("vec_id"), col("component")),
+          "component", Seq(("train", 800), ("val", 100), ("test", 100)))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- HITS hubs & authorities over the DIRECTED (low-id → high-id)
     //      LSH similarity graph: integer micro-unit scores with L∞
     //      normalization, two rounds; edges materialized once ----
@@ -472,6 +488,16 @@ object GraphPack extends QueryPack {
          |  array_to_string(list_sort(list(id::VARCHAR)), ',') AS member_ids
          |FROM cc GROUP BY component HAVING COUNT(*) >= 2
          |ORDER BY component""".stripMargin
+    },
+
+    "q180_group_split" -> {
+      val bucket = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(component::VARCHAR), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000"
+      s"""WITH cc AS (${ccSql(lshEdgesSql, "embeddings", "vec_id")})
+         |SELECT id AS vec_id, component,
+         |  CASE WHEN $bucket < 800 THEN 'train'
+         |       WHEN $bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cc ORDER BY vec_id""".stripMargin
     },
 
     "q178_hits" -> {

@@ -89,6 +89,57 @@ object EventStreams {
       }
   }
 
+  case class OpenSession(sid: Long, startNs: Long, lastNs: Long,
+                         nEvents: Long)
+  case class ClosedSession(user_id: Long, session_id: Long,
+                           session_start: Long, session_end: Long,
+                           n_events: Long, duration_ns: Long,
+                           is_bounce: Boolean)
+
+  /** Streaming per-session statistics — the stream form of
+    * `EventAnalytics.sessionStats`: sessions CLOSE when the next event
+    * arrives past the gap, and each closed session is emitted exactly
+    * once with the same (ordinal id, start, end, count, duration,
+    * bounce) row the batch operator computes. The still-open session
+    * per user stays in state (the batch pass would emit it; a stream
+    * can't know it's finished — the one honest semantic difference,
+    * pinned in the spec as batch == emitted ∪ open).
+    *
+    * State per user is ONE open-session tuple — constant size,
+    * independent of history length; per batch, rows sort by (ts, id),
+    * the batch window's total order.
+    */
+  def sessionStatsStream(events: DataFrame,
+                         gapNs: Long = 1800L * 1000 * 1000 * 1000)
+      : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts_ns"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          sorted.foreach { case (_, tsNs, _) =>
+            st match {
+              case Some(s) if tsNs - s.lastNs <= gapNs =>
+                st = Some(s.copy(lastNs = tsNs, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                out += ClosedSession(userId, s.sid, s.startNs, s.lastNs,
+                  s.nEvents, s.lastNs - s.startNs, s.nEvents == 1)
+                st = Some(OpenSession(s.sid + 1, tsNs, tsNs, 1L))
+              case None =>
+                st = Some(OpenSession(1L, tsNs, tsNs, 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the stream form of Dedup.exactDedup: keep
     * the first event per content hash, with state bounded by the
     * watermark horizon (late duplicates beyond it are not caught; that

@@ -474,6 +474,21 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getDouble(2) == 1.0)
   }
 
+  test("groupSplit: a group never straddles splits; permilles must sum") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, i % 50)).toDF("id", "grp")
+    val out = graft.pipeline.Sampling.groupSplit(df, "grp",
+      Seq(("train", 800), ("val", 100), ("test", 100)))
+    val maxSplitsPerGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).collect()(0).getLong(0)
+    assert(maxSplitsPerGroup == 1L, "every group lands in exactly one split")
+    assert(out.count() == 300L, "assignment never drops rows")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.groupSplit(df, "grp", Seq(("train", 500)))
+    }
+  }
+
   test("mutualInformationCells: independent columns score zero; PMI exact") {
     import spark.implicits._
     val indep = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))

@@ -235,6 +235,32 @@ class StreamingSpec extends SparkSpec {
       "per-user emitted transitions must aggregate to the batch lag matrix")
   }
 
+  test("streaming closed sessions equal batch sessionStats minus open tails") {
+    val dir = Files.createTempDirectory("evstream_sess").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.sessionStatsStream(
+        EventStreams.readEventStream(spark, dir)).toDF(),
+      "session_stats_test", OutputMode.Append())
+    val cols = Seq("user_id", "session_id", "session_start", "session_end",
+      "n_events", "duration_ns", "is_bounce")
+    val batch = graft.operators.EventAnalytics.sessionStats(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts_ns", "event_id", gapNs = 1800L * 1000 * 1000 * 1000)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    // each user's LAST session is still open in the stream's state —
+    // the batch pass emits it, the stream honestly can't know it ended
+    val closed = batch.withColumn("__mx", max(col("session_id")).over(w))
+      .filter(col("session_id") < col("__mx"))
+    val s = streamed.select(cols.map(col): _*)
+      .orderBy("user_id", "session_id").collect().map(_.toString).toSeq
+    val b = closed.select(cols.map(col): _*)
+      .orderBy("user_id", "session_id").collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "emitted closed sessions must be row-identical to the batch operator")
+  }
+
   test("streaming incremental checksum equals the batch table checksum") {
     val dir = Files.createTempDirectory("evstream_ck").toString
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
