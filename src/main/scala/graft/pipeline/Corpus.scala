@@ -507,6 +507,45 @@ object Corpus {
     * Cost: one explode + one (term)-keyed aggregate + a broadcast
     * totals row; top-k via orderBy().limit() = TakeOrderedAndProject.
     */
+  /** Collocation mining: top-k adjacent-token bigrams by PMI — the
+    * classic multi-word-expression detector ("new york", "machine
+    * learning") used to audit tokenizer merges and build phrase
+    * vocabularies. All probabilities come from the BIGRAM stream
+    * (c_x = bigrams with first token x, c_y = second token y, N =
+    * total bigrams) so the estimate is self-consistent;
+    * pmi_nano = round(ln(c_xy·N / (c_x·c_y))·10⁹) with the
+    * [[termDriftTopK]] operand-order discipline. `minCount` guards the
+    * low-frequency PMI explosion (hapax pairs score arbitrarily high).
+    *
+    * Scale: one explode + three vocabulary-keyed aggregates + two
+    * vocabulary equi-joins + one broadcast total; top-k is
+    * TakeOrderedAndProject.
+    */
+  def collocationsTopK(df: DataFrame, textCol: String, minCount: Long,
+                       topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val bi = df.select(tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |  (a, b) -> named_struct('x', a, 'y', b))""".stripMargin)).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val cxy = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val cx = bi.groupBy(col("x")).agg(count(lit(1)).as("__cx"))
+    val cy = bi.groupBy(col("y")).agg(count(lit(1)).as("__cy"))
+    val tot = bi.agg(count(lit(1)).as("__n"))
+    cxy.filter(col("c_xy") >= minCount)
+      .join(cx, Seq("x")).join(cy, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_nano",
+        round(log((col("c_xy") * col("__n")).cast("double") /
+          (col("__cx") * col("__cy")).cast("double")) * lit(1e9))
+          .cast("long"))
+      .orderBy(col("pmi_nano").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+      .select(col("x"), col("y"), col("c_xy"), col("pmi_nano"))
+  }
+
   /** Pointwise mutual-information cells between two categorical
     * columns — the feature-association / corpus-composition profile
     * (is `lang` independent of `source`? which cells drive the

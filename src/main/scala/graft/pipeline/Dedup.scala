@@ -202,6 +202,34 @@ object Dedup {
     * cross-corpus probes). Shared by `ngramJaccardPairs` and
     * `crossCorpusDedup` so the Jaccard/rounding contract lives once.
     */
+  /** Asymmetric n-gram CONTAINMENT pairs: C(a→b) = |Sa∩Sb| / |Sa| ≥
+    * `threshold` — catches quotation/subset duplication that symmetric
+    * Jaccard misses (a short doc fully quoted inside a long one has
+    * low Jaccard but containment 1.0; the deduplication literature's
+    * "containment" of Broder's resemblance/containment pair). Directed:
+    * both (a→b) and (b→a) can emit, with different values.
+    *
+    * Scale: the same inverted-index shingle equi-join as the Jaccard
+    * plan — disjoint docs never meet, candidates are intersection-
+    * proportional; one aggregate keyed by the ordered pair.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    val sh = preparedShingles(df, idCol, textCol, n)
+    val ex = sh.select(col("id"), col("__sz"),
+      explode(col("shingle_set")).as("__s"))
+    ex.as("x").join(ex.as("y"), "__s")
+      .filter(col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.__sz").as("__na"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("containment", round(
+        col("__c").cast("double") / col("__na").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   private def jaccardJoin(exA: DataFrame, exB: DataFrame,
                           pairFilter: Column): DataFrame =
     exA.as("x").join(exB.as("y"), "__s")

@@ -33,6 +33,28 @@ object Export {
       .drop("__hex")
   }
 
+  /** Per-shard delivery manifest: row count + order-invariant checksum
+    * (the `Stats.tableChecksum` md5 fold-sum, mod 2⁶⁰) for each md5
+    * shard — what a consumer verifies before training on shipped
+    * shards, and what an incremental delivery appends to (the fold-sum
+    * is mergeable: manifest(A ∪ B) folds from manifest(A) and
+    * manifest(B) without rereading either).
+    *
+    * One hash aggregate keyed by the map-side shard expression — a
+    * single shuffle of (shard, partial count, partial sum) rows.
+    */
+  def shardManifest(df: DataFrame, idCol: String, numShards: Int,
+                    fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    require(numShards > 0, "numShards must be > 0")
+    val lim = 1L << 60
+    val h = conv(substring(md5(fingerprint), 1, 15), 16, 10).cast("long")
+    df.groupBy(pmod(md5Long(col(idCol).cast("string")),
+        lit(numShards.toLong)).as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(h.cast("decimal(38,0)")),
+          lit(lim).cast("decimal(38,0)")).cast("long").as("checksum"))
+  }
+
   /** Write the sharded dataset as parquet partitioned by shard —
     * `outDir/shard=K/…` — so a training reader can open exactly the
     * shards assigned to it (partition pruning on `shard`).

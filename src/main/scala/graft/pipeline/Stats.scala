@@ -376,6 +376,29 @@ object Stats {
           .as("deviation"))
   }
 
+  /** Exact per-group LOWER median of an integer column — the robust
+    * central tendency the (approximate) histogram quantiles can't
+    * guarantee: position ⌈n/2⌉ of the group's sorted values, the same
+    * deterministic convention as the Theil-Sen median (no averaging of
+    * middle pairs, so the result is always an attained value and
+    * engines can't disagree on a half-sum). `tieCol` must make
+    * (value, tie) a total order within each group.
+    *
+    * Scale: one per-group window rank + count over the SAME Exchange,
+    * one filter — row-count work partitioned by group, no global sort.
+    */
+  def groupedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                    tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col(groupCol), col("__cnt").as("n_rows"),
+        col(valueCol).as("median"))
+  }
+
   /** Exact ROC AUC of an integer score against a boolean label — the
     * Mann-Whitney rank-sum with midrank tie handling, the standard
     * offline evaluation of any quality/toxicity/relevance scorer used

@@ -386,6 +386,22 @@ object RelationalPack extends QueryPack {
             col("exact_size").cast("double"), 6))
     },
 
+    // ---- exact per-nation LOWER median order price (deterministic
+    //      attained-value convention — no middle-pair averaging) ----
+    "q184_grouped_median" -> { (s, d) =>
+      import s.implicits._
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name",
+          round($"o_totalprice" * 100).cast("long").as("cents"),
+          $"o_orderkey")
+      graft.pipeline.Stats.groupedMedian(j, "n_name", "cents", "o_orderkey")
+        .select(col("n_name"), col("n_rows").as("n_orders"),
+          col("median").as("median_cents"))
+        .orderBy(col("n_name"))
+    },
+
     // ---- OLAP rollup: region → nation revenue hierarchy with
     //      grouping flags (one Expand + one hash aggregate; the
     //      subtotal rows cost one extra aggregate row per group,
@@ -658,6 +674,18 @@ object RelationalPack extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, y ORDER BY r_name, y""".stripMargin,
+
+    "q184_grouped_median" ->
+      """WITH j AS (SELECT n_name,
+        |    ROUND(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY cents, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY n_name) AS cnt FROM j)
+        |SELECT n_name, cnt::BIGINT AS n_orders, cents AS median_cents
+        |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY n_name""".stripMargin,
 
     "q173_rollup_revenue" ->
       """SELECT r_name, n_name,

@@ -211,6 +211,22 @@ object TextPack extends QueryPack {
         .orderBy(col("drift_nano").desc, col("term").asc)
     },
 
+    // ---- collocations: top-20 adjacent-token bigrams by PMI (all
+    //      probabilities from the bigram stream; minCount=5 guards the
+    //      hapax-PMI explosion) ----
+    "q182_collocations" -> { (s, d) =>
+      graft.pipeline.Corpus.collocationsTopK(Tables.documents(s, d),
+        "text", minCount = 5L, topK = 20)
+    },
+
+    // ---- asymmetric n-gram containment: quotation/subset duplication
+    //      that symmetric Jaccard misses (directed pairs) ----
+    "q183_containment" -> { (s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- mutual-information cells: is lang independent of source?
     //      nano-nat PMI contributions per cell, oracle-bit-exact ----
     "q179_lang_source_mi" -> { (s, d) =>
@@ -253,6 +269,35 @@ object TextPack extends QueryPack {
            |  COUNT(*)::BIGINT AS n_shared
            |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q182_collocations" ->
+        s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+           |bi AS (SELECT tk[gs] AS x, tk[gs + 1] AS y
+           |  FROM (SELECT tk, unnest(range(1, len(tk))) AS gs FROM t) z),
+           |cxy AS (SELECT x, y, COUNT(*)::BIGINT AS c_xy
+           |  FROM bi GROUP BY x, y),
+           |cx AS (SELECT x, COUNT(*)::BIGINT AS cx FROM bi GROUP BY x),
+           |cy AS (SELECT y, COUNT(*)::BIGINT AS cy FROM bi GROUP BY y),
+           |n AS (SELECT COUNT(*)::BIGINT AS n FROM bi)
+           |SELECT c.x, c.y, c.c_xy,
+           |  ROUND(LN((c_xy * n)::DOUBLE / (cx * cy)::DOUBLE)
+           |    * 1e9)::BIGINT AS pmi_nano
+           |FROM cxy c JOIN cx USING (x) JOIN cy USING (y), n
+           |WHERE c_xy >= 5
+           |ORDER BY pmi_nano DESC, x ASC, y ASC LIMIT 20""".stripMargin,
+
+      "q183_containment" -> {
+        val cont =
+          "ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss)::DOUBLE, 6)"
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $cont AS containment
+           |FROM sh a, sh b
+           |WHERE a.doc_id <> b.doc_id AND len(a.ss) > 0
+           |  AND len(list_intersect(a.ss, b.ss)) > 0
+           |  AND $cont >= 0.8
            |ORDER BY id_a, id_b""".stripMargin
       },
 

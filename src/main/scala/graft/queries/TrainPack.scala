@@ -449,6 +449,17 @@ object TrainPack extends QueryPack {
 
     // ---- order-invariant table checksums: the replication-equality
     //      pre-check (exact commutative md5-fold sums, one scan each) ----
+    // ---- per-shard delivery manifest: row count + mergeable
+    //      order-invariant checksum per md5 shard (what a training
+    //      consumer verifies before reading shipped shards) ----
+    "q181_shard_manifest" -> { (s, d) =>
+      graft.pipeline.Export.shardManifest(Tables.documents(s, d),
+          "doc_id", numShards = 8,
+          fingerprint = concat_ws("|", col("doc_id"), col("lang"),
+            col("n_chars")))
+        .orderBy(col("shard"))
+    },
+
     "q167_table_checksum" -> { (s, d) =>
       def fp(cols: Column*): Column = concat_ws("|", cols: _*)
       Stats.tableChecksum(Tables.nation(s, d), "nation",
@@ -539,6 +550,17 @@ object TrainPack extends QueryPack {
         |  ROUND(n::DOUBLE / total::DOUBLE
         |    - LOG10(1.0 + 1.0 / digit::DOUBLE), 6) AS deviation
         |FROM g, t ORDER BY digit""".stripMargin,
+
+    "q181_shard_manifest" -> {
+      val fold60 = (e: String) =>
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b)"
+      s"""WITH t AS (SELECT (${fold60("doc_id::VARCHAR")} % 2147483647) % 8 AS shard,
+         |    doc_id::VARCHAR || '|' || lang || '|' || n_chars::VARCHAR AS fp
+         |  FROM documents)
+         |SELECT shard, COUNT(*)::BIGINT AS n_rows,
+         |  (SUM(${fold60("fp")}) % 1152921504606846976)::BIGINT AS checksum
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     "q167_table_checksum" -> {
       val fold60 = (e: String) =>

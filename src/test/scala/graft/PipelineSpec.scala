@@ -474,6 +474,59 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getDouble(2) == 1.0)
   }
 
+  test("ngramContainmentPairs: quoted subset scores 1.0 one way only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),            // shingles {abc, bcd}
+      (2L, "a b c d e f"))        // shingles {abc, bcd, cde, def}
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .ngramContainmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)),
+      "1 ⊂ 2 gives C(1→2)=1.0; C(2→1)=0.5 is under the threshold")
+  }
+
+  test("shardManifest: checksums are mergeable across deliveries") {
+    import spark.implicits._
+    val a = (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val b = (40L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Export.shardManifest(df, "id", 4, col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val whole = m(a.unionAll(b))
+    val merged = (m(a) ++ m(b)).groupBy(_._1).map { case (s, rows) =>
+      (s, rows.map(_._2).sum,
+        rows.map(r => BigInt(r._3)).sum.mod(BigInt(1L << 60)).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(whole == merged, "manifest(A ∪ B) folds from the two manifests")
+  }
+
+  test("collocationsTopK: frequent pair ranks; hapax pairs are gated") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("new york is big") :+ "rare pair").toDF("text")
+    val out = graft.pipeline.Corpus.collocationsTopK(docs, "text",
+        minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 3 && out.forall(_._3 == 5L),
+      "only the 5x bigrams survive minCount; 'rare pair' (1x) is gated")
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set(("new", "york"), ("york", "is"), ("is", "big")))
+  }
+
+  test("groupedMedian: lower-median convention, exact attained value") {
+    import spark.implicits._
+    val df = Seq(("g1", 1L, 1L), ("g1", 3L, 2L), ("g1", 2L, 3L),
+      ("g2", 4L, 4L), ("g2", 1L, 5L), ("g2", 3L, 6L), ("g2", 2L, 7L))
+      .toDF("g", "v", "id")
+    val out = graft.pipeline.Stats.groupedMedian(df, "g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(("g1", 3L, 2L), ("g2", 4L, 2L)),
+      "odd n takes the middle; even n takes the LOWER middle")
+  }
+
   test("groupSplit: a group never straddles splits; permilles must sum") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, i % 50)).toDF("id", "grp")
