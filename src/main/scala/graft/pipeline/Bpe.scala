@@ -59,6 +59,26 @@ object Bpe {
       .limit(topK)
   }
 
+  /** Tokenizer APPLY: per-document BPE token counts under `rounds`
+    * learned merges — the "how many tokens is this corpus" question
+    * every training-budget estimate starts from, answered with the
+    * tokenizer the corpus itself trained. The encode reuses the
+    * trainer's word table (each distinct word is merged ONCE), so
+    * per-doc cost is a vocabulary-keyed equi-join — documents are
+    * never re-folded.
+    * Output: (id, n_words, n_bpe_tokens).
+    */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+                 rounds: Int): DataFrame = {
+    val (_, encoded) = train(df, textCol, rounds)
+    val wordLen = encoded.select(col("w"), size(col("syms")).as("__len"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(wordLen, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__len")).as("n_bpe_tokens"))
+  }
+
   /** Shared trainer loop: returns (learned rules, the word-count table
     * re-symbolized by all of them).
     */
@@ -68,7 +88,7 @@ object Bpe {
     val chars = (w: Column) => filter(split(w, ""), c => c =!= "")
     var cur = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(chars(col("w")).as("syms"), col("cnt"))
+      .select(col("w"), chars(col("w")).as("syms"), col("cnt"))
       .localCheckpoint()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
@@ -96,6 +116,7 @@ object Bpe {
         // the accumulator tail to the merged symbol
         val merged = lit(a + b)
         cur = cur.select(
+          col("w"),
           aggregate(
             slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
             slice(col("syms"), 1, 1),

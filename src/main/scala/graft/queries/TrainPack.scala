@@ -449,6 +449,15 @@ object TrainPack extends QueryPack {
 
     // ---- order-invariant table checksums: the replication-equality
     //      pre-check (exact commutative md5-fold sums, one scan each) ----
+    // ---- tokenizer APPLY: per-doc BPE token counts under the corpus's
+    //      own 4 learned merges — the training-budget token count;
+    //      encode = one vocabulary equi-join, docs never re-folded ----
+    "q185_bpe_encode" -> { (s, d) =>
+      graft.pipeline.Bpe.encodeDocs(Tables.documents(s, d),
+          "doc_id", "text", rounds = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- per-shard delivery manifest: row count + mergeable
     //      order-invariant checksum per md5 shard (what a training
     //      consumer verifies before reading shipped shards) ----
@@ -502,7 +511,7 @@ object TrainPack extends QueryPack {
          |  SELECT pe, n, ROW_NUMBER() OVER (ORDER BY n DESC, pe ASC) AS rn
          |  FROM (SELECT pe, SUM(cnt) AS n FROM p$k GROUP BY pe) y) z
          |  WHERE rn = 1),
-         |s$k AS (SELECT string_split(list_reduce(
+         |s$k AS (SELECT s.w, string_split(list_reduce(
          |    list_prepend(s.syms[1], s.syms[2:]),
          |    (acc, x) -> CASE WHEN list_extract($accList, len($accList)) = r.a
          |        AND x = r.b
@@ -514,7 +523,7 @@ object TrainPack extends QueryPack {
     }
     s"""w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM
        |  (SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
-       |s0 AS (SELECT list_filter(string_split(w, ''), c -> c <> '')
+       |s0 AS (SELECT w, list_filter(string_split(w, ''), c -> c <> '')
        |  AS syms, cnt FROM w),
        |${round(1)},
        |${round(2)},
@@ -530,6 +539,15 @@ object TrainPack extends QueryPack {
          |UNION ALL SELECT 3, a, b, n FROM r3
          |UNION ALL SELECT 4, a, b, n FROM r4
          |ORDER BY round""".stripMargin,
+
+    "q185_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         |wl AS (SELECT w, len(syms)::BIGINT AS l FROM s4),
+         |dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+         |  SUM(l)::BIGINT AS n_bpe_tokens
+         |FROM dw JOIN wl USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q163_bpe_vocab" ->
       s"""WITH $bpeCtes

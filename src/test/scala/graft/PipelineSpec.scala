@@ -855,6 +855,20 @@ class PipelineSpec extends SparkSpec {
       (1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "a", 1L)))
   }
 
+  test("bpe encodeDocs: per-doc token counts under learned merges") {
+    import spark.implicits._
+    // r1 merges (a,b) -> ab; r2 merges (ab,ab) -> abab
+    val docs = Seq((1L, "abab abab"), (2L, "ab")).toDF("doc_id", "text")
+    def enc(rounds: Int) = graft.pipeline.Bpe
+      .encodeDocs(docs, "doc_id", "text", rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(enc(2) == Seq((1L, 2L, 2L), (2L, 1L, 1L)),
+      "after both merges every word is one symbol")
+    assert(enc(1) == Seq((1L, 2L, 4L), (2L, 1L, 1L)),
+      "one merge leaves abab as [ab, ab]")
+  }
+
   test("termDriftTopK: drift ranks terms over-represented in slice A; " +
     "balanced terms score near zero") {
     import spark.implicits._
