@@ -631,6 +631,45 @@ object EventAnalytics {
         col("__m.a").as("max_abs_cusum"))
   }
 
+  /** Lag-k autocorrelation of each key's activity series — the
+    * seasonality detector (a strong lag-7 ACF on daily counts = weekly
+    * cycle; the diagnostic that picks the seasonal period before any
+    * forecast). Deviations are scaled through the period count
+    * (dev_t = n·c_t − T, the CUSUM trick) so numerator products and
+    * the variance denominator are exact integers riding DECIMAL(38,0);
+    * r_k = num/den is one IEEE division rounded 6 dp. The series is
+    * the key's OBSERVED periods in order (gap-fill first via
+    * [[gapFill]] if zero-periods must count).
+    *
+    * Shape: one activity aggregate, then per lag one lead window +
+    * one aggregate over the calendar-bounded series.
+    */
+  def autocorr(events: DataFrame, keyCol: String, tsCol: String,
+               periodLength: Long, lags: Seq[Int]): DataFrame = {
+    require(periodLength > 0 && lags.nonEmpty && lags.forall(_ >= 1),
+      "positive period and lags")
+    val per = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = per.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("__t"), count(lit(1)).as("n_periods"))
+    val dev = per.join(tot, Seq(keyCol))
+      .withColumn("__dev", col("__c") * col("n_periods") - col("__t"))
+      .localCheckpoint() // each lag re-reads the series; fold it once
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("period"))
+    lags.map { k =>
+      dev.withColumn("__devk", lead(col("__dev"), k).over(w))
+        .groupBy(col(keyCol), col("n_periods"))
+        .agg(sum(col("__dev").cast("decimal(38,0)") *
+            col("__devk").cast("decimal(38,0)")).as("__num"),
+          sum(col("__dev").cast("decimal(38,0)") *
+            col("__dev").cast("decimal(38,0)")).as("__den"))
+        .select(col(keyCol), col("n_periods"), lit(k).as("lag"),
+          round(col("__num").cast("double") /
+            col("__den").cast("double"), 6).as("autocorr"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Single-exponential smoothing (SES) over a per-key period series —
     * the level-tracking forecast/denoiser (α = 1/`alphaDen`):
     * s₀ = x₀·10⁶;  sₜ = (xₜ·10⁶ + (alphaDen−1)·sₜ₋₁) div alphaDen.

@@ -167,6 +167,31 @@ object Sampling {
       .select(df.columns.map(col) :+ col("prio"): _*)
   }
 
+  /** Per-group priority sampling: the [[prioritySample]] order (exact
+    * BIGINT u div w priorities — Duffield-Lund-Thorup without-
+    * replacement semantics) ranked INSIDE each group — "k weighted
+    * exemplars per stratum", the stratified form of the weighted
+    * sampler. One per-group window over the same deterministic
+    * priority key; no global sort, no doubles in the order.
+    */
+  def prioritySamplePerGroup(df: DataFrame, key: Column, weightCol: String,
+                             groupCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val u = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") + lit(1L)
+    val wMicro = round(col(weightCol) * lit(1e6)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__prio").asc, col("__u").asc, key.asc)
+    df.withColumn("__u", u).withColumn("__w", wMicro)
+      .filter(col("__w") > 0)
+      .withColumn("__prio", expr("__u div __w"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(df.columns.map(col) ++ Seq(col("__prio").as("prio"),
+        col("rank")): _*)
+  }
+
   def importanceResample(df: DataFrame, key: Column, weightCol: String,
                          targetPermille: Int): DataFrame = {
     require(targetPermille >= 0 && targetPermille <= 1000,

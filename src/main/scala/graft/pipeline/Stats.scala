@@ -376,6 +376,47 @@ object Stats {
           .as("deviation"))
   }
 
+  /** Population-stability-index (PSI) profile between two slices of a
+    * numeric column — THE production ML drift monitor (is the serving
+    * distribution still the training distribution?). Equal-width bins
+    * over the combined [min, max] (the q95 histogram convention),
+    * add-one smoothing on both slices (empty bins stay finite), and a
+    * per-bin contribution (p_a − p_b)·ln(p_a/p_b) in integer nano
+    * units with the termDrift operand-order discipline — Σ psi_nano
+    * over bins ≈ the PSI (>0.2·10⁹ is the classic "investigate" bar).
+    *
+    * Scale: one stats row broadcast + one bin-keyed aggregate + one
+    * totals row broadcast — two scans of the column, constant-size
+    * everything else.
+    */
+  def psiProfile(df: DataFrame, valueCol: String, slicePred: Column,
+                 bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val base = df.select(col(valueCol).cast("double").as("__v"),
+      slicePred.as("__a")).filter(col("__v").isNotNull)
+    val stats = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val binned = base.crossJoin(broadcast(stats))
+      .withColumn("bin", when(col("__mx") === col("__mn"), lit(0))
+        .otherwise(least(lit(bins - 1),
+          floor((col("__v") - col("__mn")) * lit(bins.toDouble) /
+            (col("__mx") - col("__mn"))).cast("int"))))
+    val c = binned.groupBy(col("bin")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = c.agg(sum(col("c_a")).as("__na"), sum(col("c_b")).as("__nb"),
+      count(lit(1)).as("__k"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("psi_nano", round(
+        (((col("c_a") + 1).cast("double") /
+            (col("__na") + col("__k")).cast("double")) -
+          ((col("c_b") + 1).cast("double") /
+            (col("__nb") + col("__k")).cast("double"))) *
+        log(((col("c_a") + 1) * (col("__nb") + col("__k"))).cast("double") /
+          ((col("c_b") + 1) * (col("__na") + col("__k"))).cast("double")) *
+        lit(1e9)).cast("long"))
+      .select("bin", "c_a", "c_b", "psi_nano")
+  }
+
   /** Exact per-group LOWER median of an integer column — the robust
     * central tendency the (approximate) histogram quantiles can't
     * guarantee: position ⌈n/2⌉ of the group's sorted values, the same

@@ -469,6 +469,15 @@ object EventsPack extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // ---- lag-1/lag-7 autocorrelation of daily activity per type:
+    //      the seasonality diagnostic (exact integer deviations) ----
+    "q189_autocorr" -> { (s, d) =>
+      graft.operators.EventAnalytics.autocorr(Tables.events(s, d),
+          "event_type", "ts_ns",
+          periodLength = 86400L * 1000 * 1000 * 1000, lags = Seq(1, 7))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
     // ---- single-exponential smoothing (α=1/4) of the daily activity
     //      series per type — integer micro-unit recurrence, bit-exact ----
     "q177_ses" -> { (s, d) =>
@@ -577,6 +586,28 @@ object EventsPack extends QueryPack {
         |SELECT k AS event_type, n_periods, total, period AS cp_period,
         |  a AS max_abs_cusum
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q189_autocorr" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c)::BIGINT AS tt, COUNT(*)::BIGINT AS n
+        |  FROM s GROUP BY k),
+        |d AS (SELECT s.k, s.p, t.n AS n_periods, s.c * t.n - t.tt AS dev
+        |  FROM s JOIN t ON s.k = t.k),
+        |l AS (SELECT k, n_periods, dev,
+        |    LEAD(dev, 1) OVER w AS d1, LEAD(dev, 7) OVER w AS d7
+        |  FROM d WINDOW w AS (PARTITION BY k ORDER BY p)),
+        |a AS (SELECT k, n_periods,
+        |    SUM(dev::HUGEINT * d1::HUGEINT) AS n1,
+        |    SUM(dev::HUGEINT * d7::HUGEINT) AS n7,
+        |    SUM(dev::HUGEINT * dev::HUGEINT) AS dn
+        |  FROM l GROUP BY k, n_periods)
+        |SELECT k AS event_type, n_periods, 1 AS lag,
+        |  ROUND(n1::DOUBLE / dn::DOUBLE, 6) AS autocorr FROM a
+        |UNION ALL SELECT k, n_periods, 7,
+        |  ROUND(n7::DOUBLE / dn::DOUBLE, 6) FROM a
+        |ORDER BY event_type, lag""".stripMargin,
 
     "q177_ses" ->
       """WITH RECURSIVE s AS (SELECT event_type AS k,

@@ -336,6 +336,33 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-group priority sampling: 3 weighted exemplars per lang
+    //      (the stratified form of q131's weighted sampler) ----
+    "q186_group_priority_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("w"))
+      Sampling.prioritySamplePerGroup(docs, col("doc_id"), "w",
+          Seq("lang"), k = 3)
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    // ---- PSI drift profile: is English doc length distributed like
+    //      the rest of the corpus? (the production ML drift monitor) ----
+    "q187_psi_drift" -> { (s, d) =>
+      Stats.psiProfile(Tables.documents(s, d), "n_chars",
+          col("lang") === "en", bins = 16)
+        .orderBy(col("bin"))
+    },
+
+    // ---- sorted-neighborhood ER blocking: rank-window candidates over
+    //      the distributed name sort, exact Levenshtein verify ----
+    "q188_sorted_neighborhood" -> { (s, d) =>
+      graft.pipeline.Dedup.sortedNeighborhoodPairs(
+          Tables.customer(s, d), "c_custkey", "c_name",
+          window = 3, maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- quantile discretizer: quartile-bucket every order total ----
     "q132_quantile_bins" -> { (s, d) =>
       Stats.quantileBins(
@@ -756,6 +783,53 @@ object TrainPack extends QueryPack {
 
     // full-width 60-bit md5 fold (hashBucket's arithmetic without the
     // mod), +1 so u > 0 — replays Sampling.prioritySample exactly
+    "q186_group_priority_sample" -> {
+      val u60 = "(list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        "string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), " +
+        "c -> strpos('0123456789abcdef', c)::BIGINT - 1)), " +
+        "(a, b) -> a * 16 + b) + 1)"
+      s"""WITH c AS (SELECT doc_id, lang, n_chars::DOUBLE AS w,
+         |    $u60 AS u, n_chars::BIGINT * 1000000 AS wm
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, w, u // wm AS prio,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY u // wm ASC, u ASC, doc_id ASC) AS rank
+         |  FROM c WHERE wm > 0)
+         |SELECT doc_id, lang, w, prio, rank FROM r WHERE rank <= 3
+         |ORDER BY lang, rank""".stripMargin
+    },
+
+    "q187_psi_drift" ->
+      """WITH b AS (SELECT n_chars::DOUBLE AS v, lang = 'en' AS a
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |s AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM b),
+        |bb AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE LEAST(15, FLOOR((v - s.mn) * 16.0
+        |      / (s.mx - s.mn))::INT) END AS bin, a FROM b, s),
+        |c AS (SELECT bin,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c_a,
+        |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS c_b
+        |  FROM bb GROUP BY bin),
+        |t AS (SELECT SUM(c_a)::BIGINT AS na, SUM(c_b)::BIGINT AS nb,
+        |  COUNT(*)::BIGINT AS k FROM c)
+        |SELECT bin, c_a, c_b,
+        |  ROUND((((c_a + 1)::DOUBLE / (na + k)::DOUBLE)
+        |      - ((c_b + 1)::DOUBLE / (nb + k)::DOUBLE))
+        |    * LN(((c_a + 1) * (nb + k))::DOUBLE
+        |        / ((c_b + 1) * (na + k))::DOUBLE)
+        |    * 1e9)::BIGINT AS psi_nano
+        |FROM c, t ORDER BY bin""".stripMargin,
+
+    "q188_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS s,
+        |    ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.s, b.s)::INT AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q131_weighted_sample" -> {
       val u60 = "(list_reduce(list_prepend(0::BIGINT, list_transform(" +
         "string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), " +

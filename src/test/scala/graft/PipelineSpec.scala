@@ -527,6 +527,67 @@ class PipelineSpec extends SparkSpec {
       "odd n takes the middle; even n takes the LOWER middle")
   }
 
+  test("prioritySamplePerGroup: k weighted exemplars per stratum, " +
+    "partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 60L).map(i => (i, s"g${i % 3}", 1.0 + (i % 5)))
+      .toDF("id", "grp", "w")
+    val out = graft.pipeline.Sampling
+      .prioritySamplePerGroup(df, col("id"), "w", Seq("grp"), k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(4)))
+    assert(out.groupBy(_._1).forall(_._2.length == 4),
+      "every group yields exactly k rows")
+    val again = graft.pipeline.Sampling
+      .prioritySamplePerGroup(df.repartition(7), col("id"), "w",
+        Seq("grp"), k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(4)))
+    assert(out.sortBy(t => (t._1, t._3)).toSeq ==
+      again.sortBy(t => (t._1, t._3)).toSeq,
+      "selection and ranks are partition-invariant")
+  }
+
+  test("psiProfile: identical distributions score exactly zero; " +
+    "a shift scores positive") {
+    import spark.implicits._
+    val same = (0 until 100).flatMap(i => Seq((i % 10, true), (i % 10, false)))
+      .toDF("v", "a")
+    val z = graft.pipeline.Stats.psiProfile(same, "v", col("a"), bins = 4)
+      .collect().map(_.getLong(3))
+    assert(z.forall(_ == 0L), "equal per-bin counts give exact-zero PSI")
+    val shifted = ((0 until 100).map(i => (i % 10, true)) ++
+      (0 until 100).map(i => (i % 10 + 5, false))).toDF("v", "a")
+    val psi = graft.pipeline.Stats.psiProfile(shifted, "v", col("a"), bins = 4)
+      .collect().map(_.getLong(3)).sum
+    assert(psi > 200000000L, s"a 5-unit location shift is a large PSI ($psi)")
+  }
+
+  test("sortedNeighborhoodPairs: rank-window candidates, exact verify") {
+    import spark.implicits._
+    val df = Seq((1L, "aa"), (2L, "ab"), (4L, "zz"), (3L, "ac"))
+      .toDF("id", "name")
+    val out = graft.pipeline.Dedup
+      .sortedNeighborhoodPairs(df, "id", "name", window = 2, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)),
+      "zz is within the window of ab/ac but fails the distance verify")
+  }
+
+  test("autocorr: alternating series gives negative lag-1, positive lag-2") {
+    import spark.implicits._
+    // daily counts [2, 4, 2, 4]: dev = [-4, 4, -4, 4]
+    val rows = for {
+      (p, n) <- Seq((0L, 2), (1L, 4), (2L, 2), (3L, 4))
+      i <- 1 to n
+    } yield ("a", p * 10L + i)
+    val out = graft.operators.EventAnalytics
+      .autocorr(rows.toDF("k", "ts"), "k", "ts", periodLength = 10L,
+        lags = Seq(1, 2))
+      .collect().map(r => (r.getInt(2), r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, -0.75), (2, 0.5)),
+      "num/den over exact integer deviations: -48/64 and 32/64")
+  }
+
   test("groupSplit: a group never straddles splits; permilles must sum") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, i % 50)).toDF("id", "grp")
