@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, KmvSketch}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, JaroWinklerSim, KmvSketch}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.cmsSketchDescriptor)
     ext.injectFunction(Graft.byteHistogramDescriptor)
     ext.injectFunction(Graft.bloomSketchDescriptor)
+    ext.injectFunction(Graft.jaroWinklerDescriptor)
   }
 }
 
@@ -88,10 +89,20 @@ object Graft {
       }
     })
 
+  private[graft] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaro_winkler expects exactly 2 arguments")
+      JaroWinklerSim(children.head, children(1))
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
-        byteHistogramDescriptor, bloomSketchDescriptor).foreach {
+        byteHistogramDescriptor, bloomSketchDescriptor,
+        jaroWinklerDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -126,6 +137,10 @@ object Graft {
     * (or the extension) on the session that runs the plan.
     */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Jaro-Winkler string similarity (native codegen expression). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
 
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =

@@ -40,4 +40,34 @@ object Intervals {
         max(col(endCol)).as("end"),
         count(lit(1)).as("n_merged"))
   }
+
+  /** Interval × interval OVERLAP join without a cartesian: both sides
+    * explode to the fixed-width time bins they touch, candidates come
+    * from a bin equi-join, the exact closed-interval predicate
+    * (aStart ≤ bEnd ∧ bStart ≤ aEnd) verifies, and each overlapping
+    * pair emits EXACTLY once — kept iff the join bin is the FIRST bin
+    * both intervals occupy (max of the two start bins), which dedups
+    * without a distinct shuffle. Adds `overlap_ns` =
+    * min(ends) − max(starts) (0 for a touch).
+    *
+    * Scale: fan-out per interval = ⌈length/binNs⌉ — pick binNs near
+    * the typical interval length and the join is ~row-proportional;
+    * the same bin-bucket discipline as [[RangeJoin]].
+    */
+  def overlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                  b: DataFrame, bStart: String, bEnd: String,
+                  binNs: Long): DataFrame = {
+    require(binNs > 0, "binNs must be positive")
+    val ax = a.withColumn("__bin", explode(sequence(
+      expr(s"$aStart div $binNs"), expr(s"$aEnd div $binNs"))))
+    val bx = b.withColumn("__bin", explode(sequence(
+      expr(s"$bStart div $binNs"), expr(s"$bEnd div $binNs"))))
+    ax.join(bx, "__bin")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bin") ===
+        greatest(expr(s"$aStart div $binNs"), expr(s"$bStart div $binNs")))
+      .drop("__bin")
+      .withColumn("overlap_ns",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+  }
 }

@@ -239,6 +239,37 @@ object Dedup {
     // a.blk matches at most one of them per pair
   }
 
+  /** Jaro-Winkler near-dup pairs over sorted-neighborhood candidates —
+    * the name-matching verifier (transpositions and shared prefixes
+    * score high where Levenshtein charges full edits) on the same
+    * rank-window blocking as [[sortedNeighborhoodPairs]]. The verify
+    * is graft's native codegen `jaro_winkler` expression
+    * (DuckDB-`jaro_winkler_similarity`-bit-identical: 0.1 prefix bonus
+    * up to 4 chars gated on j > 0.7, zero-match → 0). Requires
+    * `Graft.install` on the session.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       window: Int = 3,
+                       threshold: Double = 0.9): DataFrame = {
+    require(window >= 1 && threshold >= 0.0, "window >= 1, threshold >= 0")
+    val ranked = graft.graph.Components.withGlobalRowNumber(
+        df.select(col(idCol).as("id"), col(strCol).as("s")),
+        "__rn", Seq(col(strCol).asc, col(idCol).asc))
+      .withColumn("__blk", expr(s"__rn div $window"))
+    val a = ranked.select(col("id").as("id_a"), col("s").as("__sa"),
+      col("__rn").as("__ra"), col("__blk"))
+    val b = ranked.select(col("id").as("id_b"), col("s").as("__sb"),
+      col("__rn").as("__rb"),
+      explode(array(col("__blk"), col("__blk") - 1)).as("__blk"))
+    a.join(b, "__blk")
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= window)
+      .withColumn("jw",
+        round(graft.Graft.jaroWinkler(col("__sa"), col("__sb")), 6))
+      .filter(col("jw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: C(a→b) = |Sa∩Sb| / |Sa| ≥
     * `threshold` — catches quotation/subset duplication that symmetric
     * Jaccard misses (a short doc fully quoted inside a long one has

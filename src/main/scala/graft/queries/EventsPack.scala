@@ -469,6 +469,34 @@ object EventsPack extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // ---- interval overlap join: which user sessions overlapped a
+    //      global error burst? (bin equi-join, first-shared-bin dedup;
+    //      bursts from calendar-bounded 10-min error buckets) ----
+    "q191_session_incident_overlap" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sessions = graft.operators.EventAnalytics.sessionStats(
+          ev.filter(col("user_id") < 30), "user_id", "ts_ns", "event_id",
+          gapNs = 1800L * 1000 * 1000 * 1000)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      val bin10 = 600L * 1000 * 1000 * 1000
+      val buckets = ev.filter(col("event_type") === "error")
+        .select(expr(s"ts_ns div $bin10").as("__b")).distinct()
+        .select(lit(1L).as("__g"), (col("__b") * bin10).as("s0"),
+          ((col("__b") + 1) * bin10).as("e0"))
+      val bursts = graft.operators.Intervals
+        .coalesceIntervals(buckets, "__g", "s0", "e0")
+        .select(col("island").as("burst_id"), col("start").as("burst_start"),
+          col("end").as("burst_end"))
+      graft.operators.Intervals.overlapJoin(
+          sessions, "session_start", "session_end",
+          bursts, "burst_start", "burst_end",
+          binNs = 3600L * 1000 * 1000 * 1000)
+        .select(col("user_id"), col("session_id"), col("burst_id"),
+          col("overlap_ns"))
+        .orderBy(col("user_id"), col("session_id"), col("burst_id"))
+    },
+
     // ---- lag-1/lag-7 autocorrelation of daily activity per type:
     //      the seasonality diagnostic (exact integer deviations) ----
     "q189_autocorr" -> { (s, d) =>
@@ -586,6 +614,49 @@ object EventsPack extends QueryPack {
         |SELECT k AS event_type, n_periods, total, period AS cp_period,
         |  a AS max_abs_cusum
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q191_session_incident_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    event_type FROM events),
+        |m AS (SELECT user_id, ts_ns, event_id,
+        |    CASE WHEN LAG(ts_ns) OVER w IS NULL
+        |         OR ts_ns - LAG(ts_ns) OVER w > 1800000000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM e WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |sid AS (SELECT user_id, ts_ns,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS session_id
+        |  FROM m),
+        |sess AS (SELECT user_id, session_id, MIN(ts_ns) AS session_start,
+        |    MAX(ts_ns) AS session_end
+        |  FROM sid GROUP BY user_id, session_id),
+        |bk AS (SELECT DISTINCT ts_ns // 600000000000 AS b FROM e
+        |  WHERE event_type = 'error'),
+        |iv AS (SELECT b * 600000000000 AS s0,
+        |  (b + 1) * 600000000000 AS e0 FROM bk),
+        |f AS (SELECT s0, e0,
+        |    CASE WHEN MAX(e0) OVER pw IS NULL OR s0 > MAX(e0) OVER pw
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW pw AS (ORDER BY s0, e0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT s0, e0,
+        |    CAST(SUM(nw) OVER (ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f),
+        |bursts AS (SELECT island AS burst_id, MIN(s0) AS burst_start,
+        |    MAX(e0) AS burst_end
+        |  FROM g GROUP BY island)
+        |SELECT s.user_id, s.session_id, b.burst_id,
+        |  LEAST(s.session_end, b.burst_end)
+        |    - GREATEST(s.session_start, b.burst_start) AS overlap_ns
+        |FROM sess s JOIN bursts b
+        |  ON s.session_start <= b.burst_end
+        | AND b.burst_start <= s.session_end
+        |ORDER BY s.user_id, s.session_id, b.burst_id""".stripMargin,
 
     "q189_autocorr" ->
       """WITH s AS (SELECT event_type AS k,

@@ -117,6 +117,13 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- kNN-distance outliers: bottom-20 vectors by mean similarity
+    //      to their IVF-blocked kNN (embedding-space anomaly scores) ----
+    "q192_knn_outliers" -> { (s, d) =>
+      SimilarityOps.knnOutliers(Tables.embeddings(s, d), "vec_id",
+        "embedding", nCentroids = 8, k = 3, bottomK = 20)
+    },
+
     // ---- reciprocal kNN: pairs where each is in the other's top-k —
     //      the hub-edge-stripping high-precision link filter ----
     "q155_mutual_knn" -> { (s, d) =>
@@ -328,6 +335,33 @@ object SimilarityPack extends QueryPack {
          |   WHERE query_id > neighbor_id) r
          |USING (id_a, id_b)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q192_knn_outliers" ->
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1),
+         |knn AS (SELECT query_id, sim FROM (
+         |  SELECT q.vec_id AS query_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM assign q JOIN assign c
+         |    ON q.centroid = c.centroid AND q.vec_id <> c.vec_id) t
+         |  WHERE rank <= 3),
+         |agg AS (SELECT query_id, COUNT(*)::BIGINT AS n_neighbors,
+         |    SUM(ROUND(sim * 1e6)::BIGINT)::BIGINT AS sum_sim_micro
+         |  FROM knn GROUP BY query_id)
+         |SELECT query_id, n_neighbors, sum_sim_micro,
+         |  ROUND(sum_sim_micro::DOUBLE / n_neighbors::DOUBLE / 1e6, 6)
+         |    AS mean_sim
+         |FROM agg ORDER BY mean_sim ASC, query_id ASC LIMIT 20""".stripMargin,
 
     "q110_blocked_knn" ->
       s"""WITH assign AS (

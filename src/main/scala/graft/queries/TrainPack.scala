@@ -363,6 +363,16 @@ object TrainPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- Jaro-Winkler name matching: native codegen expression over
+    //      the sorted-neighborhood candidates (q188's blocking) ----
+    "q190_jaro_winkler" -> { (s, d) =>
+      graft.Graft.install(s)
+      graft.pipeline.Dedup.jaroWinklerPairs(
+          Tables.customer(s, d), "c_custkey", "c_name",
+          window = 3, threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- quantile discretizer: quartile-bucket every order total ----
     "q132_quantile_bins" -> { (s, d) =>
       Stats.quantileBins(
@@ -819,6 +829,16 @@ object TrainPack extends QueryPack {
         |        / ((c_b + 1) * (na + k))::DOUBLE)
         |    * 1e9)::BIGINT AS psi_nano
         |FROM c, t ORDER BY bin""".stripMargin,
+
+    "q190_jaro_winkler" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS s,
+        |    ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+        |WHERE ROUND(jaro_winkler_similarity(a.s, b.s), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q188_sorted_neighborhood" ->
       """WITH r AS (SELECT c_custkey AS id, c_name AS s,

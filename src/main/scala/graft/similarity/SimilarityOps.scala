@@ -553,6 +553,32 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** kNN-distance outlier scores: each vector's MEAN cosine similarity
+    * to its IVF-blocked k nearest neighbors, ranked ascending — the
+    * embedding-space anomaly detector (mislabeled, corrupted, or
+    * out-of-distribution points sit far from everything, so their kNN
+    * mean similarity is low). Vectors alone in their block have no
+    * kNN rows and drop out — at production k/centroid ratios every
+    * vector has neighbors.
+    *
+    * Exactness: neighbor sims are the 6-dp `blockedKnn` values; the
+    * mean is an exact integer-micro sum with ONE IEEE division at the
+    * end. TakeOrderedAndProject serves the bottom-k.
+    */
+  def knnOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                  nCentroids: Int, k: Int, bottomK: Int): DataFrame = {
+    require(bottomK > 0, "bottomK must be positive")
+    blockedKnn(emb, idCol, vecCol, nCentroids, k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(round(col("sim") * 1e6).cast("long")).as("sum_sim_micro"))
+      .withColumn("mean_sim",
+        round(col("sum_sim_micro").cast("double") /
+          col("n_neighbors").cast("double") / lit(1e6), 6))
+      .orderBy(col("mean_sim").asc, col("query_id").asc)
+      .limit(bottomK)
+  }
+
   /** Reciprocal (mutual) kNN pairs: (a, b) kept iff b is in a's top-k
     * AND a is in b's top-k — the high-precision dedup/link filter (a
     * hub vector appears in thousands of kNN lists, but its OWN list

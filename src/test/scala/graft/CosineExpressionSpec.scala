@@ -46,4 +46,31 @@ class CosineExpressionSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined && plan.contains("cosine_sim"),
       s"expected the expression inside a codegen stage:\n$plan")
   }
+
+  test("jaro_winkler: DuckDB-probed reference values, codegen inline") {
+    Graft.install(spark)
+    import spark.implicits._
+    // right-hand constants probed from duckdb jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),  // transposition + boost
+      ("dixon", "dicksonx", 0.8133333333333332), // unequal lengths
+      ("abcdef", "abzzzz", 0.5555555555555555),  // j <= 0.7: NO boost
+      ("ab", "ba", 0.0),                          // window 0, no matches
+      ("", "abc", 0.0),                           // empty -> 0 (DuckDB)
+      ("a", "a", 1.0))
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(Graft.jaroWinkler(col("a"), col("b")).as("jw"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == cases.map(_._3),
+      "bit-identical to the DuckDB oracle implementation")
+    // literals constant-fold (itself a proof eval works); a table scan
+    // shows the expression inside a WholeStageCodegen projection
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val onTable = cust.select(
+      Graft.jaroWinkler(col("c_name"), col("c_mktsegment")).as("jw"))
+    onTable.collect()
+    val plan = onTable.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined &&
+      plan.contains("jaro_winkler"),
+      s"expected the expression inside a codegen stage:\n$plan")
+  }
 }

@@ -588,6 +588,33 @@ class PipelineSpec extends SparkSpec {
       "num/den over exact integer deviations: -48/64 and 32/64")
   }
 
+  test("overlapJoin: multi-bin overlaps emit exactly once; touch = 0") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 250L), (2L, 400L, 500L)).toDF("aid", "s", "e")
+    val b = Seq((9L, 240L, 400L), (8L, 300L, 500L)).toDF("bid", "bs", "be")
+    val out = graft.operators.Intervals
+      .overlapJoin(a, "s", "e", b, "bs", "be", binNs = 100L)
+      .select("aid", "bid", "overlap_ns")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // (1,9): bins {0,1,2}x{2,3,4} share bin 2 only once; overlap 10
+    // (2,8): overlap 100; (2,9): touch at 400 -> overlap 0; (1,8): none
+    assert(out.toSeq == Seq((1L, 9L, 10L), (2L, 8L, 100L), (2L, 9L, 0L)))
+  }
+
+  test("knnOutliers: the isolated vector ranks first by mean kNN sim") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)),
+      (2L, Seq(1f, -0.01f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.SimilarityOps
+      .knnOutliers(emb, "vec_id", "embedding",
+        nCentroids = 1, k = 3, bottomK = 2)
+      .collect().map(_.getLong(0))
+    assert(out.head == 3L, "the orthogonal vector is the top outlier")
+  }
+
   test("groupSplit: a group never straddles splits; permilles must sum") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, i % 50)).toDF("id", "grp")
