@@ -631,6 +631,58 @@ object EventAnalytics {
         col("__m.a").as("max_abs_cusum"))
   }
 
+  /** Holt linear (level + trend) smoothing of a per-key period series —
+    * [[sesForecast]]'s two-component sibling, the forecast primitive
+    * for trending series (SES lags a trend by design; Holt tracks it):
+    *   l₀ = x₀·10⁶,            b₀ = 0
+    *   lₜ = (xₜ·10⁶ + (d−1)·(lₜ₋₁ + bₜ₋₁)) div d       (α = 1/d)
+    *   bₜ = ((lₜ − lₜ₋₁) + (d−1)·bₜ₋₁) div d           (β = 1/d)
+    * All integer micro-units with truncating division —
+    * bit-deterministic (both Spark's `div` and DuckDB's `//` truncate
+    * toward ZERO, probed: −7//2 = −3, so negative trends agree too).
+    * `forecast_micro` = lₜ + horizon·bₜ from the last period. The same
+    * one-HOF-fold-over-the-calendar-bounded-series shape as SES, with
+    * a two-field struct as the running state.
+    */
+  def holtForecast(events: DataFrame, keyCol: String, tsCol: String,
+                   periodLength: Long, alphaDen: Int = 4,
+                   horizon: Int = 7): DataFrame = {
+    require(periodLength > 0 && alphaDen >= 2 && horizon >= 0,
+      "period > 0, alphaDen >= 2, horizon >= 0")
+    val d = alphaDen
+    val per = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("period"), col("__c"))))
+        .as("__series"))
+      .withColumn("__f", expr(
+        s"""aggregate(__series,
+           |  CAST(array() AS ARRAY<STRUCT<period: BIGINT, c: BIGINT,
+           |    l: BIGINT, b: BIGINT>>),
+           |  (acc, x) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0 THEN named_struct(
+           |      'period', x.period, 'c', x.`__c`,
+           |      'l', x.`__c` * 1000000, 'b', CAST(0 AS BIGINT))
+           |    ELSE named_struct(
+           |      'period', x.period, 'c', x.`__c`,
+           |      'l', (x.`__c` * 1000000 + ${d - 1} *
+           |        (element_at(acc, -1).l + element_at(acc, -1).b)) div $d,
+           |      'b', (((x.`__c` * 1000000 + ${d - 1} *
+           |          (element_at(acc, -1).l + element_at(acc, -1).b)) div $d
+           |          - element_at(acc, -1).l)
+           |        + ${d - 1} * element_at(acc, -1).b) div $d) END))"""
+          .stripMargin))
+      .select(col(keyCol), col("__f"))
+      .withColumn("__last", element_at(col("__f"), -1))
+      .select(col(keyCol), explode(col("__f")).as("__e"),
+        (col("__last.l") + lit(horizon.toLong) * col("__last.b"))
+          .as("forecast_micro"))
+      .select(col(keyCol), col("__e.period").as("period"),
+        col("__e.c").as("n_events"), col("__e.l").as("level_micro"),
+        col("__e.b").as("trend_micro"), col("forecast_micro"))
+  }
+
   /** Lag-k autocorrelation of each key's activity series — the
     * seasonality detector (a strong lag-7 ACF on daily counts = weekly
     * cycle; the diagnostic that picks the seasonal period before any

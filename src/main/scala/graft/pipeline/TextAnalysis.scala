@@ -76,14 +76,42 @@ object TextAnalysis {
   def languageId(df: DataFrame, idCol: String, textCol: String,
                  cutoff: Double = 0.05): DataFrame = {
     val toks = tokens(col(textCol))
-    val markers = filter(toks, t => t.isin(EnMarkers.map(lit): _*))
-    val score = when(size(toks) === 0, lit(0.0))
-      .otherwise(size(markers).cast("double") / size(toks))
     df.select(
       col(idCol),
-      round(score, 6).as("en_score"),
-      when(size(toks) === 0, "unknown")
-        .when(score >= cutoff, "en").otherwise("other").as("pred_lang"))
+      round(enScore(toks), 6).as("en_score"),
+      predLang(toks, cutoff).as("pred_lang"))
+  }
+
+  private def enScore(toks: Column): Column = {
+    val markers = filter(toks, t => t.isin(EnMarkers.map(lit): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(markers).cast("double") / size(toks))
+  }
+
+  private def predLang(toks: Column, cutoff: Double): Column =
+    when(size(toks) === 0, "unknown")
+      .when(enScore(toks) >= cutoff, "en").otherwise("other")
+
+  /** Language-ID confusion matrix against the labeled `langCol` — the
+    * classifier-evaluation staple: per (actual, predicted) cell the
+    * count and the within-actual rate (diagonal rows are per-class
+    * recall). `actual` collapses to en/other, matching the
+    * classifier's codomain; one projection + one |classes|²-cell
+    * aggregate + a class-total equi-join.
+    */
+  def languageIdConfusion(df: DataFrame, textCol: String, langCol: String,
+                          cutoff: Double = 0.05): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cells = df.select(
+        when(col(langCol) === "en", "en").otherwise("other").as("actual"),
+        predLang(toks, cutoff).as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("actual")).agg(sum(col("n")).as("__t"))
+    cells.join(broadcast(totals), Seq("actual"))
+      .select(col("actual"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("rate"))
   }
 
   /** Order-sensitive rolling fingerprint of the token stream. */

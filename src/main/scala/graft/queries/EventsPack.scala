@@ -506,6 +506,16 @@ object EventsPack extends QueryPack {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // ---- Holt level+trend smoothing (α=β=1/4) with a 7-period-ahead
+    //      forecast — integer micro recurrence, bit-exact ----
+    "q193_holt" -> { (s, d) =>
+      graft.operators.EventAnalytics.holtForecast(Tables.events(s, d),
+          "event_type", "ts_ns",
+          periodLength = 86400L * 1000 * 1000 * 1000,
+          alphaDen = 4, horizon = 7)
+        .orderBy(col("event_type"), col("period"))
+    },
+
     // ---- single-exponential smoothing (α=1/4) of the daily activity
     //      series per type — integer micro-unit recurrence, bit-exact ----
     "q177_ses" -> { (s, d) =>
@@ -679,6 +689,28 @@ object EventsPack extends QueryPack {
         |UNION ALL SELECT k, n_periods, 7,
         |  ROUND(n7::DOUBLE / dn::DOUBLE, 6) FROM a
         |ORDER BY event_type, lag""".stripMargin,
+
+    "q193_holt" ->
+      """WITH RECURSIVE s AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (SELECT k, p, c,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY p) AS rn FROM s),
+        |f(k, p, c, rn, l, b) AS (
+        |  SELECT k, p, c, rn, c * 1000000, 0::BIGINT FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.k, r0.p, r0.c, r0.rn,
+        |    (r0.c * 1000000 + 3 * (f.l + f.b)) // 4,
+        |    (((r0.c * 1000000 + 3 * (f.l + f.b)) // 4 - f.l) + 3 * f.b) // 4
+        |  FROM f JOIN r0 ON r0.k = f.k AND r0.rn = f.rn + 1),
+        |lastrow AS (SELECT k, l, b FROM (
+        |  SELECT k, l, b, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY rn DESC) AS rr FROM f) t WHERE rr = 1)
+        |SELECT f.k AS event_type, f.p AS period, f.c AS n_events,
+        |  f.l::BIGINT AS level_micro, f.b::BIGINT AS trend_micro,
+        |  (lastrow.l + 7 * lastrow.b)::BIGINT AS forecast_micro
+        |FROM f JOIN lastrow ON f.k = lastrow.k
+        |ORDER BY event_type, period""".stripMargin,
 
     "q177_ses" ->
       """WITH RECURSIVE s AS (SELECT event_type AS k,

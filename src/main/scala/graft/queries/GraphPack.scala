@@ -149,6 +149,39 @@ object GraphPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // ---- per-vertex graph FEATURE TABLE: degree, PageRank, component
+    //      id + size, triangle count — four operators over ONE
+    //      materialized LSH edge set (the GNN/feature-store export
+    //      pattern: reuse, never recompute, the expensive candidate
+    //      pipeline) ----
+    "q194_graph_features" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val v = emb.select("vec_id")
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      val deg = sym.toDF("id", "__nb").groupBy("id")
+        .agg(count(lit(1)).as("degree"))
+      val pr = PageRank.run(v, sym.toDF("src", "dst"), iters = 3)
+      val cc = Components.connectedComponentsFast(v, pairs)
+      val csize = cc.groupBy("component")
+        .agg(count(lit(1)).as("component_size"))
+      val tri = Traversals.triangleCounts(v, pairs)
+        .select(col("id"), col("n_triangles"))
+      v.select(col("vec_id").as("id"))
+        .join(deg, Seq("id"), "left")
+        .join(pr.select(col("id"), col("rank")), Seq("id"))
+        .join(cc.select(col("id"), col("component")), Seq("id"))
+        .join(csize, Seq("component"))
+        .join(tri, Seq("id"))
+        .select(col("id").as("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"), col("rank"),
+          col("component"), col("component_size"), col("n_triangles"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- HITS hubs & authorities over the DIRECTED (low-id → high-id)
     //      LSH similarity graph: integer micro-unit scores with L∞
     //      normalization, two rounds; edges materialized once ----
@@ -488,6 +521,60 @@ object GraphPack extends QueryPack {
          |  array_to_string(list_sort(list(id::VARCHAR)), ',') AS member_ids
          |FROM cc GROUP BY component HAVING COUNT(*) >= 2
          |ORDER BY component""".stripMargin
+    },
+
+    "q194_graph_features" -> {
+      // the q98 PageRank iteration fragment, verbatim
+      def iter(idx: Int): String = {
+        val prev = s"i${idx - 1}"
+        s"""i$idx AS (SELECT d.id, d.deg,
+           |  150000000000 + (85 * (COALESCE(inc.s, 0) + dang.dd)) // 100 AS rank
+           |  FROM degv d
+           |  LEFT JOIN (SELECT sym.dst AS id,
+           |      CAST(SUM($prev.rank // $prev.deg) AS BIGINT) AS s
+           |    FROM $prev JOIN sym ON $prev.id = sym.src
+           |    WHERE $prev.deg > 0 GROUP BY sym.dst) inc ON d.id = inc.id
+           |  CROSS JOIN (SELECT COALESCE(CAST(SUM(rank) AS BIGINT), 0)
+           |      // (SELECT n FROM nn) AS dd
+           |    FROM $prev WHERE deg = 0) dang)""".stripMargin
+      }
+      s"""WITH RECURSIVE e0 AS MATERIALIZED ($lshEdgesSql),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e0
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e0),
+         |degv AS (SELECT v.vec_id AS id, COALESCE(d.deg, 0) AS deg
+         |  FROM embeddings v LEFT JOIN (SELECT src,
+         |    CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src) d
+         |    ON v.vec_id = d.src),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |i0 AS (SELECT id, deg, 1000000000000 AS rank FROM degv),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |r(id, comp) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+         |  WHERE r.comp < sym.dst),
+         |cc AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id),
+         |cs AS (SELECT component, COUNT(*)::BIGINT AS component_size
+         |  FROM cc GROUP BY component),
+         |tri AS (SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
+         |  FROM e0 ab JOIN e0 bc ON ab.ib = bc.ia
+         |  JOIN e0 ac ON ac.ia = ab.ia AND ac.ib = bc.ib),
+         |m AS (SELECT id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) x GROUP BY id)
+         |SELECT v.vec_id, COALESCE(dg.deg, 0)::BIGINT AS degree, i3.rank,
+         |  cc.component, cs.component_size,
+         |  COALESCE(m.n_triangles, 0)::BIGINT AS n_triangles
+         |FROM embeddings v
+         |LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY src) dg ON v.vec_id = dg.src
+         |JOIN i3 ON v.vec_id = i3.id
+         |JOIN cc ON v.vec_id = cc.id
+         |JOIN cs ON cc.component = cs.component
+         |LEFT JOIN m ON v.vec_id = m.id
+         |ORDER BY v.vec_id""".stripMargin
     },
 
     "q180_group_split" -> {

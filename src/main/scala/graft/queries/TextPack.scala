@@ -130,6 +130,14 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- language-ID confusion matrix vs the labeled lang column:
+    //      per-cell counts + within-actual rates (diagonal = recall) ----
+    "q195_lang_confusion" -> { (s, d) =>
+      TextAnalysis.languageIdConfusion(Tables.documents(s, d),
+          "text", "lang")
+        .orderBy(col("actual"), col("predicted"))
+    },
+
     // ---- BPE-ish token counting (whitespace count vs subword cost) ----
     "q54_token_count_bpe" -> { (s, d) =>
       Tables.documents(s, d)
@@ -430,6 +438,22 @@ object TextPack extends QueryPack {
            |      ELSE len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE END AS dv
            |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t) s
            |ORDER BY doc_id""".stripMargin,
+
+      "q195_lang_confusion" ->
+        s"""WITH p AS (SELECT
+           |    CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+           |    CASE WHEN len(tk) = 0 THEN 'unknown'
+           |      WHEN (CASE WHEN len(tk) = 0 THEN 0.0
+           |        ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE / len(tk) END) >= 0.05
+           |      THEN 'en' ELSE 'other' END AS predicted
+           |  FROM (SELECT lang, $toksSql AS tk FROM documents) t),
+           |c AS (SELECT actual, predicted, COUNT(*)::BIGINT AS n
+           |  FROM p GROUP BY 1, 2),
+           |tt AS (SELECT actual, SUM(n)::BIGINT AS ta FROM c GROUP BY actual)
+           |SELECT c.actual, c.predicted, c.n,
+           |  ROUND(c.n::DOUBLE / tt.ta::DOUBLE, 6) AS rate
+           |FROM c JOIN tt USING (actual)
+           |ORDER BY actual, predicted""".stripMargin,
 
       "q50_language_id" ->
         s"""SELECT doc_id, ROUND(sc, 6) AS en_score,

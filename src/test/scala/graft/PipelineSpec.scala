@@ -661,6 +661,40 @@ class PipelineSpec extends SparkSpec {
       (4L, 12L, 1L, 16L))
   }
 
+  test("holtForecast: hand-traced level/trend recurrence and forecast") {
+    import spark.implicits._
+    // counts [4, 8, 12]: l=[4e6, 5e6, 6937500], b=[0, 250000, 671875]
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(10L) ++ Seq.fill(12)(20L))
+      .map(t => ("a", t)).toDF("k", "ts_ns")
+    val out = graft.operators.EventAnalytics
+      .holtForecast(ev, "k", "ts_ns", periodLength = 10L,
+        alphaDen = 4, horizon = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 4000000L, 0L, 8281250L),
+      (1L, 5000000L, 250000L, 8281250L),
+      (2L, 6937500L, 671875L, 8281250L)),
+      "forecast = last level + horizon * last trend, one value per key")
+  }
+
+  test("languageIdConfusion: cells and within-actual rates") {
+    import spark.implicits._
+    val docs = Seq(
+      ("the the", "en"),   // predicted en   (recall hit)
+      ("zz zz", "en"),     // predicted other (miss)
+      ("zz", "fr"),        // predicted other (true negative)
+      ("", "fr"))          // predicted unknown
+      .toDF("text", "lang")
+    val out = graft.pipeline.TextAnalysis
+      .languageIdConfusion(docs, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("en", "en", 1L, 0.5), ("en", "other", 1L, 0.5),
+      ("other", "other", 1L, 0.5), ("other", "unknown", 1L, 0.5)))
+  }
+
   test("sesForecast: integer micro recurrence, observed periods only") {
     import spark.implicits._
     // counts [4, 8]: s0 = 4e6; s1 = (8e6 + 3*4e6) div 4 = 5e6
