@@ -631,6 +631,37 @@ object EventAnalytics {
         col("__m.a").as("max_abs_cusum"))
   }
 
+  /** Period-over-period change report: per (key, period) the activity
+    * count with day-over-day and week-over-week comparisons — the BI
+    * trend tile. The comparison is CALENDAR lag (value at period − L
+    * via a self equi-join on the aggregated series), not positional
+    * `lead`/`lag` — a missing period compares against NULL, exactly
+    * what a dashboard should show. Percent change is one IEEE division
+    * of exact integers, rounded 6 dp, NULL when the base is missing.
+    *
+    * Shape: one activity aggregate + one self equi-join per lag on the
+    * calendar-bounded series.
+    */
+  def periodChanges(events: DataFrame, keyCol: String, tsCol: String,
+                    periodLength: Long, dayLag: Int = 1,
+                    weekLag: Int = 7): DataFrame = {
+    require(periodLength > 0 && dayLag >= 1 && weekLag > dayLag,
+      "positive period, weekLag > dayLag >= 1")
+    val per = events
+      .groupBy(col(keyCol), expr(s"$tsCol div $periodLength").as("period"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    def lagged(l: Int, name: String) = per.select(col(keyCol),
+      (col("period") + l).as("period"), col("n").as(name))
+    def pct(prev: String) = round(
+      (col("n") - col(prev)).cast("double") / col(prev).cast("double"), 6)
+    per
+      .join(lagged(dayLag, "__d"), Seq(keyCol, "period"), "left")
+      .join(lagged(weekLag, "__w"), Seq(keyCol, "period"), "left")
+      .select(col(keyCol), col("period"), col("n"),
+        col("__d").as("prev_day"), pct("__d").as("dod_pct"),
+        col("__w").as("prev_week"), pct("__w").as("wow_pct"))
+  }
+
   /** Holt linear (level + trend) smoothing of a per-key period series —
     * [[sesForecast]]'s two-component sibling, the forecast primitive
     * for trending series (SES lags a trend by design; Holt tracks it):

@@ -507,6 +507,71 @@ object Corpus {
     * Cost: one explode + one (term)-keyed aggregate + a broadcast
     * totals row; top-k via orderBy().limit() = TakeOrderedAndProject.
     */
+  /** Exact phrase search through the shingle inverted index — the
+    * "which documents contain this n-token phrase" lookup that rides
+    * the SAME index the dedup pipeline already maintains. Candidates =
+    * docs containing ALL of the phrase's n-gram shingles (explode +
+    * literal IN filter + count-distinct — an index probe, never a
+    * corpus scan per query); verify = one codegen'd boundary-padded
+    * substring test on the token stream (shingle containment alone
+    * can't prove contiguity). The phrase must span at least n tokens.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: String, n: Int = 3): DataFrame = {
+    val pTokens = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(pTokens.length >= n,
+      s"phrase must have at least $n tokens for the $n-gram index")
+    val pShingles = pTokens.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    val cand = graft.pipeline.Dedup.shingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shingle_set")).as("__s"))
+      .filter(col("__s").isin(pShingles.map(lit): _*))
+      .groupBy(col("id")).agg(countDistinct(col("__s")).as("__hit"))
+      .filter(col("__hit") === pShingles.length)
+      .select(col("id"))
+    val joined = pTokens.mkString(" ")
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(cand, "id")
+      .filter(concat(lit(" "), array_join(tokens(col("__t")), " "), lit(" "))
+        .contains(s" $joined "))
+      .select(col("id").as(idCol))
+  }
+
+  /** Chi-square test of independence between two categorical columns —
+    * [[mutualInformationCells]]'s hypothesis-testing twin (is the
+    * dependence SIGNIFICANT, not just nonzero?). Per-cell terms are
+    * (O·n − r·c)² / (r·c·n) computed from exact integer counts — the
+    * square rides DECIMAL(38,0) (O·n reaches n² — past int64 at
+    * cluster scale) — then quantized to integer micro so the cell SUM
+    * is order-independent (a raw double Σ would be partition-
+    * dependent). Output: one row (n, n_cells, dof, chi2_micro).
+    */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("__o"))
+    val mx = df.groupBy(col(xCol)).agg(count(lit(1)).as("__cx"))
+    val my = df.groupBy(col(yCol)).agg(count(lit(1)).as("__cy"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val nx = mx.agg(count(lit(1)).as("__kx"))
+    val ny = my.agg(count(lit(1)).as("__ky"))
+    cells
+      .join(broadcast(mx), Seq(xCol))
+      .join(broadcast(my), Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        col("__o").cast("decimal(38,0)") * col("__n") -
+          col("__cx").cast("decimal(38,0)") * col("__cy"))
+      .withColumn("__term_micro",
+        round((col("__d") * col("__d")).cast("double") /
+          (col("__cx").cast("double") * col("__cy").cast("double")) /
+          col("__n").cast("double") * lit(1e6)).cast("long"))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("__term_micro")).as("chi2_micro"))
+      .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      .select(col("n"), col("n_cells"),
+        ((col("__kx") - 1) * (col("__ky") - 1)).as("dof"),
+        col("chi2_micro"))
+  }
+
   /** Collocation mining: top-k adjacent-token bigrams by PMI — the
     * classic multi-word-expression detector ("new york", "machine
     * learning") used to audit tokenizer merges and build phrase

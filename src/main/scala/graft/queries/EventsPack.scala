@@ -506,6 +506,15 @@ object EventsPack extends QueryPack {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // ---- period-over-period change report: DoD + WoW via calendar
+    //      self equi-joins on the aggregated daily series ----
+    "q197_period_changes" -> { (s, d) =>
+      graft.operators.EventAnalytics.periodChanges(Tables.events(s, d),
+          "event_type", "ts_ns",
+          periodLength = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("event_type"), col("period"))
+    },
+
     // ---- Holt level+trend smoothing (α=β=1/4) with a 7-period-ahead
     //      forecast — integer micro recurrence, bit-exact ----
     "q193_holt" -> { (s, d) =>
@@ -689,6 +698,20 @@ object EventsPack extends QueryPack {
         |UNION ALL SELECT k, n_periods, 7,
         |  ROUND(n7::DOUBLE / dn::DOUBLE, 6) FROM a
         |ORDER BY event_type, lag""".stripMargin,
+
+    "q197_period_changes" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS period, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.k AS event_type, s.period, s.n,
+        |  d.n AS prev_day,
+        |  ROUND((s.n - d.n)::DOUBLE / d.n::DOUBLE, 6) AS dod_pct,
+        |  w.n AS prev_week,
+        |  ROUND((s.n - w.n)::DOUBLE / w.n::DOUBLE, 6) AS wow_pct
+        |FROM s
+        |LEFT JOIN s d ON d.k = s.k AND d.period = s.period - 1
+        |LEFT JOIN s w ON w.k = s.k AND w.period = s.period - 7
+        |ORDER BY event_type, s.period""".stripMargin,
 
     "q193_holt" ->
       """WITH RECURSIVE s AS (SELECT event_type AS k,

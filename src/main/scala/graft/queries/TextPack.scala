@@ -130,6 +130,21 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- exact phrase search via the shingle inverted index (probe +
+    //      boundary-padded contiguity verify) ----
+    "q196_phrase_search" -> { (s, d) =>
+      graft.pipeline.Corpus.phraseSearch(Tables.documents(s, d),
+          "doc_id", "text", phrase = "slow hash batch", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- chi-square independence test lang × source (the MI cells'
+    //      hypothesis-testing twin; order-independent micro sum) ----
+    "q198_chi_square" -> { (s, d) =>
+      graft.pipeline.Corpus.chiSquare(Tables.documents(s, d),
+        "lang", "source")
+    },
+
     // ---- language-ID confusion matrix vs the labeled lang column:
     //      per-cell counts + within-actual rates (diagonal = recall) ----
     "q195_lang_confusion" -> { (s, d) =>
@@ -438,6 +453,32 @@ object TextPack extends QueryPack {
            |      ELSE len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE END AS dv
            |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t) s
            |ORDER BY doc_id""".stripMargin,
+
+      "q196_phrase_search" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+           |SELECT doc_id FROM t
+           |WHERE ' ' || array_to_string(tk, ' ') || ' '
+           |  LIKE '% slow hash batch %'
+           |ORDER BY doc_id""".stripMargin,
+
+      "q198_chi_square" ->
+        """WITH c AS (SELECT lang, source, COUNT(*)::BIGINT AS o
+          |  FROM documents GROUP BY 1, 2),
+          |mx AS (SELECT lang, COUNT(*)::BIGINT AS cx
+          |  FROM documents GROUP BY 1),
+          |my AS (SELECT source, COUNT(*)::BIGINT AS cy
+          |  FROM documents GROUP BY 1),
+          |t AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+          |kx AS (SELECT COUNT(*)::BIGINT AS nkx FROM mx),
+          |ky AS (SELECT COUNT(*)::BIGINT AS nky FROM my),
+          |terms AS (SELECT
+          |    (o::HUGEINT * n - cx::HUGEINT * cy) AS d, cx, cy, n
+          |  FROM c JOIN mx USING (lang) JOIN my USING (source), t)
+          |SELECT MAX(n)::BIGINT AS n, COUNT(*)::BIGINT AS n_cells,
+          |  (SELECT (nkx - 1) * (nky - 1) FROM kx, ky)::BIGINT AS dof,
+          |  SUM(ROUND((d * d)::DOUBLE / (cx::DOUBLE * cy::DOUBLE)
+          |    / n::DOUBLE * 1e6)::BIGINT)::BIGINT AS chi2_micro
+          |FROM terms""".stripMargin,
 
       "q195_lang_confusion" ->
         s"""WITH p AS (SELECT

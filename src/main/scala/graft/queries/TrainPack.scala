@@ -363,6 +363,41 @@ object TrainPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- ER survivorship: the GOLDEN RECORD per entity cluster —
+    //      canonical id + its name (struct-min), exact balance sum,
+    //      modal nation (packed argmax) — the step after q144's
+    //      clustering that master-data pipelines actually ship ----
+    "q199_golden_record" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val pairs = Dedup.editDistancePairs(cust, "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val cc = graft.graph.Components
+        .connectedComponentsFast(cust.select("c_custkey"), pairs)
+      val joined = cust.join(
+        cc.select(col("id").as("c_custkey"), col("component")), "c_custkey")
+        .localCheckpoint() // two aggregates read it; CC must not rerun
+      val base = joined.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("c_custkey"), col("c_name"))).as("__c"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_acctbal"))
+      val modalNation = joined
+        .groupBy(col("component"), col("c_nationkey"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("component"))
+        .agg(max(struct(col("__cnt"),
+          (-col("c_nationkey")).as("__nn"))).as("__m"))
+        .select(col("component"), (-col("__m.__nn")).as("modal_nation"),
+          col("__m.__cnt").as("modal_nation_n"))
+      base.join(modalNation, "component")
+        .filter(col("n_members") >= 2)
+        .select(col("component"), col("n_members"),
+          col("__c.c_custkey").as("canonical_id"),
+          col("__c.c_name").as("canonical_name"),
+          col("total_acctbal"), col("modal_nation"), col("modal_nation_n"))
+        .orderBy(col("component"))
+    },
+
     // ---- Jaro-Winkler name matching: native codegen expression over
     //      the sorted-neighborhood candidates (q188's blocking) ----
     "q190_jaro_winkler" -> { (s, d) =>
@@ -767,6 +802,52 @@ object TrainPack extends QueryPack {
         |  UNION ALL SELECT 'o_custkey', 'o_orderpriority', da, dab FROM p2
         |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus', da, dab FROM p3)
         |ORDER BY determinant, dependent""".stripMargin,
+
+    "q199_golden_record" ->
+      """WITH RECURSIVE v0 AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |    unnest(list_prepend(c_name,
+        |      list_transform(range(1, length(c_name) + 1),
+        |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS v
+        |  FROM customer),
+        |d AS (SELECT DISTINCT id, s, v FROM v0),
+        |e AS MATERIALIZED (SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM d a JOIN d b ON a.v = b.v AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |sym AS (SELECT ia AS src, ib AS dst FROM e
+        |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+        |r(id, comp) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+        |  WHERE r.comp < sym.dst),
+        |comp AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id),
+        |j AS (SELECT c.*, comp.component FROM customer c
+        |  JOIN comp ON c.c_custkey = comp.id),
+        |base AS (SELECT component, COUNT(*)::BIGINT AS n_members,
+        |    MIN(c_custkey)::BIGINT AS canonical_id,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_acctbal
+        |  FROM j GROUP BY component),
+        |cname AS (SELECT j.component, j.c_name FROM j
+        |  JOIN base ON j.component = base.component
+        |    AND j.c_custkey = base.canonical_id),
+        |nat AS (SELECT component, c_nationkey, COUNT(*)::BIGINT AS cnt
+        |  FROM j GROUP BY 1, 2),
+        |modal AS (SELECT component, c_nationkey AS modal_nation,
+        |    cnt AS modal_nation_n
+        |  FROM (SELECT component, c_nationkey, cnt, ROW_NUMBER() OVER (
+        |    PARTITION BY component
+        |    ORDER BY cnt DESC, c_nationkey ASC) AS rn FROM nat) z
+        |  WHERE rn = 1)
+        |SELECT b.component, b.n_members, b.canonical_id,
+        |  cname.c_name AS canonical_name, b.total_acctbal,
+        |  modal.modal_nation::INT AS modal_nation, modal.modal_nation_n
+        |FROM base b
+        |JOIN cname ON b.component = cname.component
+        |JOIN modal ON b.component = modal.component
+        |WHERE b.n_members >= 2
+        |ORDER BY b.component""".stripMargin,
 
     "q144_entity_resolution" ->
       """WITH RECURSIVE v0 AS (

@@ -695,6 +695,46 @@ class PipelineSpec extends SparkSpec {
       ("other", "other", 1L, 0.5), ("other", "unknown", 1L, 0.5)))
   }
 
+  test("phraseSearch: shingle candidates need the contiguity verify") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a b c d y"),        // contains the phrase
+      (2L, "a b c x b c d"),      // both shingles, NOT contiguous
+      (3L, "a b x c d"))          // neither shingle
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus
+      .phraseSearch(docs, "doc_id", "text", "a b c d", n = 3)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L),
+      "doc 2 passes the index probe but fails the substring verify")
+  }
+
+  test("chiSquare: uniform grid scores zero with dof 1") {
+    import spark.implicits._
+    val indep = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val r = graft.pipeline.Corpus.chiSquare(indep, "x", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 4L, 1L, 0L))
+  }
+
+  test("periodChanges: calendar lag, not positional — gaps give NULL") {
+    import spark.implicits._
+    val rows = (Seq.fill(10)(0L) ++ Seq.fill(20)(10L) ++ Seq.fill(5)(30L))
+      .map(t => ("a", t)).toDF("k", "ts")
+    val out = graft.operators.EventAnalytics
+      .periodChanges(rows, "k", "ts", periodLength = 10L,
+        dayLag = 1, weekLag = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 10L, -1L), (1L, 20L, 10L), (3L, 5L, -1L)),
+      "period 3 has no period-2 base: prev_day is NULL, not period 1's value")
+    assert(out(1)._4 == 1.0)
+  }
+
   test("sesForecast: integer micro recurrence, observed periods only") {
     import spark.implicits._
     // counts [4, 8]: s0 = 4e6; s1 = (8e6 + 3*4e6) div 4 = 5e6
