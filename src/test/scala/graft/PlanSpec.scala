@@ -198,7 +198,12 @@ class PlanSpec extends SparkSpec {
     //    q179 (the single corpus-total row the PMI cells read; the
     //    marginal joins are broadcast equi-joins),
     //    q182 (the single bigram-total row of the collocation PMI;
-    //    the cx/cy marginals are vocabulary equi-joins)
+    //    the cx/cy marginals are vocabulary equi-joins),
+    //    q187 (the single [min, max] stats row binning the PSI
+    //    histogram and the single bin-totals row — the q95 shape),
+    //    q192 (rides blockedKnn's ≤1024-row centroid seed table),
+    //    q198 (single corpus-total and class-count rows of the
+    //    chi-square statistic; marginals are broadcast equi-joins)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
@@ -212,7 +217,8 @@ class PlanSpec extends SparkSpec {
       "q139_zscore_price", "q145_copurchase", "q154_winsorize",
       "q159_join_size", "q161_kmv_setops", "q156_term_drift",
       "q91_vocab_coverage", "q170_benford", "q171_rfm",
-      "q179_lang_source_mi", "q182_collocations",
+      "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
+      "q192_knn_outliers", "q198_chi_square",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")
