@@ -293,6 +293,30 @@ object Stats {
         col("p.ndv"), col("p.min_value"), col("p.max_value"))
   }
 
+  /** Profile drift between two table versions/slices — the
+    * schema-statistics monitoring op (did a backfill change NDVs?
+    * did a new code path widen a value range?): [[columnProfile]] of
+    * both sides joined per column, with the NDV ratio and a
+    * range-stability flag. Both profiles are single-aggregate scans;
+    * the join is |columns|-row.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    val pa = columnProfile(a, cols).select(col("col_name"),
+      col("n_rows").as("n_a"), col("n_nonnull").as("nonnull_a"),
+      col("ndv").as("ndv_a"), col("min_value").as("min_a"),
+      col("max_value").as("max_a"))
+    val pb = columnProfile(b, cols).select(col("col_name"),
+      col("n_rows").as("n_b"), col("n_nonnull").as("nonnull_b"),
+      col("ndv").as("ndv_b"), col("min_value").as("min_b"),
+      col("max_value").as("max_b"))
+    pa.join(pb, "col_name")
+      .withColumn("ndv_ratio",
+        round(col("ndv_a").cast("double") / col("ndv_b").cast("double"), 6))
+      .withColumn("range_stable",
+        col("min_a") === col("min_b") && col("max_a") === col("max_b"))
+  }
+
   /** Winsorize: clamp `valueCol` to its [pLow, pHigh] quantile band —
     * the standard outlier-trimming transform before scaling/training.
     * Bounds come from the deterministic histogram-quantile estimator

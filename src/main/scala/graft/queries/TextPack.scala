@@ -130,6 +130,28 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the full curation DECISION TABLE: per doc, every dedup/
+    //      quality gate and the final keep bit — the row a 100 TB
+    //      curation run materializes before writing shards ----
+    "q200_curation_decisions" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val exact = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("__keeper"))
+      val near = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__near", lit(true))
+      docs.join(exact, md5(col("text")) === col("__h"))
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("__keeper")).as("exact_dup"),
+          coalesce(col("__near"), lit(false)).as("near_dup"),
+          (col("n_chars") < 100).as("too_short"))
+        .withColumn("keep",
+          !col("exact_dup") && !col("near_dup") && !col("too_short"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact phrase search via the shingle inverted index (probe +
     //      boundary-padded contiguity verify) ----
     "q196_phrase_search" -> { (s, d) =>
@@ -453,6 +475,29 @@ object TextPack extends QueryPack {
            |      ELSE len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE END AS dv
            |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t) s
            |ORDER BY doc_id""".stripMargin,
+
+      "q200_curation_decisions" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+           |banded AS (SELECT doc_id, unnest(${bandsSql(minhashSql("ss", k), bands, rowsPer)}) AS band_key FROM sh),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band_key = y.band_key
+           |  WHERE x.doc_id < y.doc_id),
+           |near AS (SELECT DISTINCT c.id_b AS doc_id
+           |  FROM cand c JOIN sh a ON c.id_a = a.doc_id
+           |  JOIN sh b ON c.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5),
+           |ex AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+           |  FROM documents GROUP BY 1)
+           |SELECT d.doc_id,
+           |  d.doc_id <> ex.keeper AS exact_dup,
+           |  near.doc_id IS NOT NULL AS near_dup,
+           |  d.n_chars < 100 AS too_short,
+           |  (d.doc_id = ex.keeper AND near.doc_id IS NULL
+           |    AND d.n_chars >= 100) AS keep
+           |FROM documents d JOIN ex ON md5(d.text) = ex.h
+           |LEFT JOIN near ON d.doc_id = near.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q196_phrase_search" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)

@@ -363,6 +363,17 @@ object TrainPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- profile drift: column statistics of two order slices
+    //      compared per column (the schema-stats monitoring gate) ----
+    "q201_profile_drift" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      Stats.profileDrift(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+        .orderBy(col("col_name"))
+    },
+
     // ---- ER survivorship: the GOLDEN RECORD per entity cluster —
     //      canonical id + its name (struct-min), exact balance sum,
     //      modal nation (packed argmax) — the step after q144's
@@ -1459,6 +1470,29 @@ object TrainPack extends QueryPack {
          |      / p.n_tokens::DOUBLE END, 6) AS avg_surprisal
          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q201_profile_drift" -> {
+      def prof(c: String, pred: String, sfx: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*)::BIGINT AS n_$sfx,
+           |  COUNT($c)::BIGINT AS nonnull_$sfx,
+           |  COUNT(DISTINCT $c)::BIGINT AS ndv_$sfx,
+           |  CAST(MIN($c) AS VARCHAR) AS min_$sfx,
+           |  CAST(MAX($c) AS VARCHAR) AS max_$sfx
+           |FROM orders WHERE $pred""".stripMargin
+      val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus")
+      val a = cols.map(prof(_, "o_orderkey % 2 = 0", "a"))
+        .mkString("\nUNION ALL\n")
+      val b = cols.map(prof(_, "o_orderkey % 2 = 1", "b"))
+        .mkString("\nUNION ALL\n")
+      s"""WITH pa AS ($a),
+         |pb AS ($b)
+         |SELECT pa.col_name, n_a, nonnull_a, ndv_a, min_a, max_a,
+         |  n_b, nonnull_b, ndv_b, min_b, max_b,
+         |  ROUND(ndv_a::DOUBLE / ndv_b::DOUBLE, 6) AS ndv_ratio,
+         |  (min_a = min_b AND max_a = max_b) AS range_stable
+         |FROM pa JOIN pb USING (col_name)
+         |ORDER BY col_name""".stripMargin
+    },
 
     "q121_column_profile" -> {
       def one(c: String) =

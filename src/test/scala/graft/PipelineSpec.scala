@@ -735,6 +735,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(1)._4 == 1.0)
   }
 
+  test("profileDrift: identical slices are stable; drift is flagged") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val same = graft.pipeline.Stats.profileDrift(a, a, Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getDouble(11), r.getBoolean(12)))
+      .sortBy(_._1)
+    assert(same.forall(t => t._2 == 1.0 && t._3),
+      "self-comparison: ndv_ratio 1.0, ranges stable")
+    val b = Seq((1L, "x"), (9L, "x")).toDF("id", "v")
+    val drift = graft.pipeline.Stats.profileDrift(a, b, Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getDouble(11), r.getBoolean(12)))
+      .sortBy(_._1).toSeq
+    assert(drift == Seq(("id", 1.5, false), ("v", 3.0, false)),
+      "NDV ratios and range instability surface the drift")
+  }
+
   test("sesForecast: integer micro recurrence, observed periods only") {
     import spark.implicits._
     // counts [4, 8]: s0 = 4e6; s1 = (8e6 + 3*4e6) div 4 = 5e6
