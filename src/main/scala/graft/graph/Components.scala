@@ -259,6 +259,42 @@ object Components {
     labels
   }
 
+  /** INCREMENTAL connected components: fold a new edge batch into
+    * existing min-id labels without re-running CC on the full graph.
+    * The delta edges are mapped through the current labels; CC runs on
+    * the CONTRACTED label-level graph (one vertex per touched
+    * component — delta-sized, never corpus-sized); the relabel
+    * composes back through one equi-join. Because labels are
+    * component-minimum ids, min-of-mins is the global minimum — the
+    * result is IDENTICAL to a full recompute on the union graph (the
+    * oracle checks exactly that).
+    *
+    * Cost ∝ delta edges + touched components. New vertices enter as
+    * their own label rows in `labels` before the call.
+    *
+    * @param labels   (id, component) — current assignment, new ids as
+    *                 self-labeled rows
+    * @param newEdges (src, dst) — the arriving batch
+    */
+  def incrementalComponents(labels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val l1 = labels.select(col("id").as("src"), col("component").as("__ca"))
+    val l2 = labels.select(col("id").as("dst"), col("component").as("__cb"))
+    val labelEdges = newEdges.join(l1, "src").join(l2, "dst")
+      .filter(col("__ca") =!= col("__cb"))
+      .select(least(col("__ca"), col("__cb")).as("id_a"),
+        greatest(col("__ca"), col("__cb")).as("id_b"))
+      .distinct()
+      .localCheckpoint() // vertices and CC both read it
+    val verts = labelEdges.select(col("id_a").as("id"))
+      .union(labelEdges.select(col("id_b"))).distinct()
+    val re = connectedComponentsFast(verts, labelEdges)
+      .select(col("id").as("component"), col("component").as("__new"))
+    labels.join(re, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   def clusterSummary(nodesWithTags: DataFrame, components: DataFrame): DataFrame = {
     val joined = nodesWithTags.select(col("id"), col("tags"))
       .join(components, "id")

@@ -441,6 +441,32 @@ object Stats {
       .select("bin", "c_a", "c_b", "psi_nano")
   }
 
+  /** [[auc]] per group — the fairness/segmentation audit (does the
+    * scorer rank equally well for every cohort?). Identical midrank
+    * machinery with the running sum PARTITIONED by group; one row per
+    * group.
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("__cum", sum(col("__c")).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sum((col("__p") * (lit(2L) * col("__cum") - col("__c") + lit(1L)))
+          .cast("decimal(38,0)")).as("__s2"),
+        sum(col("__p")).as("pos_n"),
+        sum(col("__c") - col("__p")).as("neg_n"))
+      .select(col(groupCol), col("pos_n"), col("neg_n"),
+        round((col("__s2") - (col("pos_n") * (col("pos_n") + lit(1L)))
+            .cast("decimal(38,0)")).cast("double") /
+          (lit(2.0) * col("pos_n").cast("double") *
+            col("neg_n").cast("double")), 6).as("auc"))
+  }
+
   /** Exact per-group LOWER median of an integer column — the robust
     * central tendency the (approximate) histogram quantiles can't
     * guarantee: position ⌈n/2⌉ of the group's sorted values, the same

@@ -461,6 +461,17 @@ object EventsPack extends QueryPack {
       graft.pipeline.Stats.auc(ev, "score_cents", "label")
     },
 
+    // ---- AUC per cohort: does value rank purchases equally well for
+    //      both user-parity arms? (the fairness/segmentation audit) ----
+    "q203_auc_by_group" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select((col("user_id") % 2).as("cohort"),
+          round(col("value") * 100).cast("long").as("score_cents"),
+          (col("event_type") === "purchase").as("label"))
+      graft.pipeline.Stats.aucByGroup(ev, "cohort", "score_cents", "label")
+        .orderBy(col("cohort"))
+    },
+
     // ---- CUSUM changepoint screen: where each event type's daily
     //      activity level shifted (exact integer cumulative devs) ----
     "q176_cusum" -> { (s, d) =>
@@ -599,6 +610,24 @@ object EventsPack extends QueryPack {
         |  COUNT(*) = 1 AS is_bounce
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q203_auc_by_group" ->
+      """WITH e AS (SELECT user_id % 2 AS cohort,
+        |    ROUND(value * 100)::BIGINT AS s,
+        |    event_type = 'purchase' AS lbl FROM events),
+        |g AS (SELECT cohort, s, COUNT(*)::BIGINT AS c,
+        |    SUM(CASE WHEN lbl THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM e GROUP BY cohort, s),
+        |r AS (SELECT cohort, s, c, p, SUM(c) OVER (PARTITION BY cohort
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW)::BIGINT AS cum FROM g),
+        |a AS (SELECT cohort, SUM((p * (2 * cum - c + 1))::HUGEINT) AS s2,
+        |    SUM(p)::BIGINT AS pos_n, SUM(c - p)::BIGINT AS neg_n
+        |  FROM r GROUP BY cohort)
+        |SELECT cohort, pos_n, neg_n,
+        |  ROUND((s2 - pos_n::HUGEINT * (pos_n + 1))::DOUBLE
+        |    / (2.0 * pos_n::DOUBLE * neg_n::DOUBLE), 6) AS auc
+        |FROM a ORDER BY cohort""".stripMargin,
 
     "q175_auc" ->
       """WITH e AS (SELECT ROUND(value * 100)::BIGINT AS s,

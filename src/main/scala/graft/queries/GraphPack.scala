@@ -80,6 +80,30 @@ object GraphPack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // ---- INCREMENTAL connected components: docs >= 400 arrive as a
+    //      batch; delta edges fold into the existing labels through
+    //      the contracted label-level graph. The oracle is a FULL
+    //      recompute over the union — the hash match proves
+    //      incremental == batch ----
+    "q202_incremental_cc" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldDocs = docs.filter(col("doc_id") < 400)
+      val base = Components.connectedComponentsFast(
+        oldDocs.select("doc_id"),
+        Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", 3, 0.5)
+          .select("id_a", "id_b"))
+      // id_a < id_b and new ids are all above old ids, so every edge
+      // touching the batch has id_b >= 400
+      val delta = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .filter(col("id_b") >= 400)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val labels0 = base.unionAll(
+        docs.filter(col("doc_id") >= 400)
+          .select(col("doc_id").as("id"), col("doc_id").as("component")))
+      Components.incrementalComponents(labels0, delta)
+        .orderBy(col("id"))
+    },
+
     // ---- near-dup clustering: CC over shingle-jaccard pairs with a
     //      canonical keeper per cluster (the dedup decision table) ----
     "q39_neardup_clusters" -> { (s, d) =>
@@ -468,6 +492,33 @@ object GraphPack extends QueryPack {
          |  component, COUNT(*) AS cluster_size
          |FROM cc GROUP BY component
          |ORDER BY cluster_id""".stripMargin,
+
+    "q202_incremental_cc" -> {
+      // FULL recompute over the union graph — hash-matching it proves
+      // the incremental fold is exact
+      val toksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val shingle =
+        s"""CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+           | ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string((tk)[i:i+2], ' ')) END""".stripMargin
+      val jac = (a: String, b: String) =>
+        s"CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+      val edges =
+        s"""WITH sh AS (SELECT doc_id, list_distinct($shingle) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+           |WHERE a.doc_id < b.doc_id AND ROUND(${jac("a.ss", "b.ss")}, 6) >= 0.5"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH RECURSIVE e AS MATERIALIZED ($edges),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+         |r(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+         |  WHERE r.comp < sym.dst)
+         |SELECT id, MIN(comp) AS component
+         |FROM r GROUP BY id ORDER BY id""".stripMargin
+    },
 
     "q39_neardup_clusters" -> {
       val toksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""

@@ -461,6 +461,38 @@ class PipelineSpec extends SparkSpec {
       (2L, 1L, 100L, 100L, 1L, 0L, true)))
   }
 
+  test("incrementalComponents: delta fold equals full recompute") {
+    import spark.implicits._
+    // existing: {1,2} labeled 1; {3} and {4} singletons; 5 untouched
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("id", "component")
+    val delta = Seq((2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.graph.Components
+      .incrementalComponents(labels, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L)),
+      "merged components take the min of mins; untouched 5 is unchanged")
+    // intra-component delta edge is a no-op
+    val noop = graft.graph.Components
+      .incrementalComponents(labels, Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(noop.toSeq == labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
+  test("aucByGroup: per-cohort midranks match the single-group AUC") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, false), ("a", 2L, false), ("a", 2L, true), ("a", 3L, true),
+      ("b", 1L, false), ("b", 2L, false), ("b", 3L, true), ("b", 4L, true))
+      .toDF("g", "s", "lbl")
+    val out = graft.pipeline.Stats.aucByGroup(df, "g", "s", "lbl")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 0.875), ("b", 1.0)),
+      "cohort a reproduces the q175 tie case; cohort b separates perfectly")
+  }
+
   test("auc: midrank tie handling matches the pairwise definition") {
     import spark.implicits._
     // pairs (pos, neg): (2,1)=1, (2,2)=0.5, (3,1)=1, (3,2)=1 -> 3.5/4
