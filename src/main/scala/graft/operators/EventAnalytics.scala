@@ -631,6 +631,54 @@ object EventAnalytics {
         col("__m.a").as("max_abs_cusum"))
   }
 
+  /** Churn label/feature table — the supervised-learning labeling op:
+    * per user, tenure, last-seen recency, activity counts, and the
+    * churn bit (no activity in the trailing `churnNs` window before
+    * the corpus horizon). One aggregate over events + one broadcast
+    * horizon row; deterministic given the data (the horizon is the
+    * max event time, not wall clock).
+    */
+  def churnLabels(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, convType: String,
+                  churnNs: Long): DataFrame = {
+    require(churnNs > 0, "churnNs must be positive")
+    val horizon = events.agg(max(col(tsCol)).as("__h"))
+    events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .as("n_conversions"),
+        min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+      .crossJoin(broadcast(horizon))
+      .select(col(userCol), col("n_events"), col("n_conversions"),
+        (col("__last") - col("__first")).as("tenure_ns"),
+        (col("__h") - col("__last")).as("recency_ns"),
+        (col("__h") - col("__last") > churnNs).as("churned"))
+  }
+
+  /** Per-key Shannon entropy of the event-type mix — the behavioral
+    * diversity score (bots hammer one action; engaged users spread
+    * across the product). Exact nano-nat arithmetic per (user, type)
+    * cell — Σ −(c/n)·ln(c/n) with the [[graft.pipeline.Corpus]]
+    * operand-order discipline; |types| is bounded so the per-user
+    * state is constant.
+    */
+  def behaviorEntropy(events: DataFrame, userCol: String,
+                      typeCol: String): DataFrame = {
+    val cells = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cells.groupBy(col(userCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_types"))
+    cells.join(tot, Seq(userCol))
+      .withColumn("__e_nano",
+        round((col("__c").cast("double") / col("__n").cast("double")) *
+          log(col("__n").cast("double") / col("__c").cast("double")) *
+          lit(1e9)).cast("long"))
+      .groupBy(col(userCol), col("n_types"), col("__n"))
+      .agg(sum(col("__e_nano")).as("entropy_nano"))
+      .select(col(userCol), col("__n").as("n_events"), col("n_types"),
+        col("entropy_nano"))
+  }
+
   /** Period-over-period change report: per (key, period) the activity
     * count with day-over-day and week-over-week comparisons — the BI
     * trend tile. The comparison is CALENDAR lag (value at period − L

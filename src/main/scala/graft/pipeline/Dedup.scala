@@ -239,6 +239,34 @@ object Dedup {
     // a.blk matches at most one of them per pair
   }
 
+  /** Near-dup EVIDENCE: for every verified n-gram Jaccard pair, the
+    * shared-shingle count and a deterministic sample of the overlap
+    * (the k lexicographically-smallest shared shingles) — what a
+    * reviewer sees when auditing why two docs were merged. Same
+    * inverted-index equi-join as the pair plan, plus one sorted-slice
+    * aggregate; the sample bounds the payload at any scale.
+    */
+  def dupEvidence(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.5,
+                  sampleK: Int = 3): DataFrame = {
+    require(sampleK >= 1, "sampleK must be >= 1")
+    val sh = preparedShingles(df, idCol, textCol, n)
+    val ex = sh.select(col("id"), col("__sz"),
+      explode(col("shingle_set")).as("__s"))
+    ex.as("x").join(ex.as("y"), "__s")
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.__sz").as("__na"), col("y.__sz").as("__nb"))
+      .agg(count(lit(1)).as("n_shared"),
+        array_join(slice(sort_array(collect_list(col("__s"))), 1, sampleK),
+          "|").as("shared_sample"))
+      .withColumn("jaccard", round(
+        col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_shared", "jaccard", "shared_sample")
+  }
+
   /** Jaro-Winkler near-dup pairs over sorted-neighborhood candidates —
     * the name-matching verifier (transpositions and shared prefixes
     * score high where Levenshtein charges full edits) on the same

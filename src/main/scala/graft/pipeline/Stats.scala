@@ -467,6 +467,31 @@ object Stats {
             col("neg_n").cast("double")), 6).as("auc"))
   }
 
+  /** Gini concentration coefficient per group over a non-negative
+    * integer column — the inequality metric (how concentrated is
+    * revenue across orders? token mass across documents?). Exact
+    * arithmetic: values take a (value, tie) total order per group,
+    * Σ rank·value and Σ value ride DECIMAL(38,0), and
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) is one IEEE division at the
+    * end. One per-group window + one aggregate over the same Exchange.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__sx"),
+        sum((col("__rn").cast("decimal(38,0)") * col(valueCol)))
+          .as("__srx"))
+      .select(col(groupCol), col("n_rows"),
+        round((lit(2L) * col("__srx") - (col("n_rows") + lit(1L)) *
+            col("__sx")).cast("double") /
+          (col("n_rows").cast("double") * col("__sx").cast("double")), 6)
+          .as("gini"))
+  }
+
   /** Exact per-group LOWER median of an integer column — the robust
     * central tendency the (approximate) histogram quantiles can't
     * guarantee: position ⌈n/2⌉ of the group's sorted values, the same

@@ -461,6 +461,23 @@ object EventsPack extends QueryPack {
       graft.pipeline.Stats.auc(ev, "score_cents", "label")
     },
 
+    // ---- churn label/feature table: tenure, recency, counts and the
+    //      7-day-inactivity churn bit vs the corpus horizon ----
+    "q205_churn_labels" -> { (s, d) =>
+      graft.operators.EventAnalytics.churnLabels(Tables.events(s, d),
+          "user_id", "ts_ns", "event_type", convType = "purchase",
+          churnNs = 7L * 86400 * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"))
+    },
+
+    // ---- behavioral entropy: event-type mix diversity per user in
+    //      exact nano-nats (bot/engagement screen) ----
+    "q206_behavior_entropy" -> { (s, d) =>
+      graft.operators.EventAnalytics.behaviorEntropy(Tables.events(s, d),
+          "user_id", "event_type")
+        .orderBy(col("user_id"))
+    },
+
     // ---- AUC per cohort: does value rank purchases equally well for
     //      both user-parity arms? (the fairness/segmentation audit) ----
     "q203_auc_by_group" -> { (s, d) =>
@@ -610,6 +627,31 @@ object EventsPack extends QueryPack {
         |  COUNT(*) = 1 AS is_bounce
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q205_churn_labels" ->
+      """WITH h AS (SELECT MAX(epoch_ns(ts)) AS hz FROM events),
+        |a AS (SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS n_conversions,
+        |    MIN(epoch_ns(ts)) AS f, MAX(epoch_ns(ts)) AS l
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, n_conversions,
+        |  l - f AS tenure_ns, hz - l AS recency_ns,
+        |  hz - l > 604800000000000 AS churned
+        |FROM a, h ORDER BY user_id""".stripMargin,
+
+    "q206_behavior_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, SUM(c)::BIGINT AS n,
+        |    COUNT(*)::BIGINT AS n_types FROM c GROUP BY user_id)
+        |SELECT c.user_id, t.n AS n_events, t.n_types,
+        |  SUM(ROUND((c.c::DOUBLE / t.n::DOUBLE)
+        |    * LN(t.n::DOUBLE / c.c::DOUBLE) * 1e9)::BIGINT)::BIGINT
+        |    AS entropy_nano
+        |FROM c JOIN t USING (user_id)
+        |GROUP BY c.user_id, t.n, t.n_types
+        |ORDER BY c.user_id""".stripMargin,
 
     "q203_auc_by_group" ->
       """WITH e AS (SELECT user_id % 2 AS cohort,

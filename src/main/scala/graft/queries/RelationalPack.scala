@@ -386,6 +386,20 @@ object RelationalPack extends QueryPack {
             col("exact_size").cast("double"), 6))
     },
 
+    // ---- Gini concentration of order revenue per nation (exact
+    //      rank·value decimal sums; one IEEE division at the end) ----
+    "q207_gini" -> { (s, d) =>
+      import s.implicits._
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name",
+          round($"o_totalprice" * 100).cast("long").as("cents"),
+          $"o_orderkey")
+      graft.pipeline.Stats.giniByGroup(j, "n_name", "cents", "o_orderkey")
+        .orderBy(col("n_name"))
+    },
+
     // ---- exact per-nation LOWER median order price (deterministic
     //      attained-value convention — no middle-pair averaging) ----
     "q184_grouped_median" -> { (s, d) =>
@@ -674,6 +688,23 @@ object RelationalPack extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, y ORDER BY r_name, y""".stripMargin,
+
+    "q207_gini" ->
+      """WITH j AS (SELECT n_name,
+        |    ROUND(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY cents, o_orderkey) AS rn FROM j),
+        |a AS (SELECT n_name, COUNT(*)::BIGINT AS n_rows,
+        |    SUM(cents::HUGEINT) AS sx,
+        |    SUM(rn::HUGEINT * cents) AS srx
+        |  FROM r GROUP BY n_name)
+        |SELECT n_name, n_rows,
+        |  ROUND((2 * srx - (n_rows + 1) * sx)::DOUBLE
+        |    / (n_rows::DOUBLE * sx::DOUBLE), 6) AS gini
+        |FROM a ORDER BY n_name""".stripMargin,
 
     "q184_grouped_median" ->
       """WITH j AS (SELECT n_name,

@@ -264,6 +264,14 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- near-dup EVIDENCE: per verified Jaccard pair, the shared-
+    //      shingle count + the 3 smallest shared shingles (audit row) ----
+    "q204_dup_evidence" -> { (s, d) =>
+      Dedup.dupEvidence(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5, sampleK = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- asymmetric n-gram containment: quotation/subset duplication
     //      that symmetric Jaccard misses (directed pairs) ----
     "q183_containment" -> { (s, d) =>
@@ -393,6 +401,18 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q204_dup_evidence" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  len(list_intersect(a.ss, b.ss))::BIGINT AS n_shared,
+           |  ${jaccardSql("a.ss", "b.ss")} AS jaccard,
+           |  array_to_string(list_sort(list_intersect(a.ss, b.ss))[1:3], '|')
+           |    AS shared_sample
+           |FROM sh a, sh b
+           |WHERE a.doc_id < b.doc_id AND ${jaccardSql("a.ss", "b.ss")} >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "q42_ngram_jaccard_pairs" ->
         s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss

@@ -239,6 +239,33 @@ object ScaleSmoke {
         corpusTagged, "doc_id", "text", n = 3, threshold = 0.5).count()
     }
 
+    // --- q200 shape: the full curation DECISION TABLE — exact keeper
+    // rule (md5 group), MinHash-LSH near-dup flag (band equi-join) and
+    // the length gate folded into one per-doc row. Corpus = the copy-
+    // tagged replicas (shingles copy-local → near-dup candidate degree
+    // constant in copies) + a verbatim re-append of copy 0, so every
+    // copy-0 doc gains exactly ONE exact twin (the crawl-duplicate
+    // pattern) and all three gates do real work ---
+    val curInput = corpusTagged.unionAll(
+      corpusTagged.filter(col("doc_id") < d0)
+        .select((col("doc_id") + lit((copies.toLong + 1) * d0)).as("doc_id"),
+          col("text")))
+    val (cuRows, cuSec, cuShuf) = timed {
+      val exact = curInput.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("__keeper"))
+      val near = graft.pipeline.Dedup.minhashLshPairs(curInput,
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__near", lit(true))
+      curInput.join(exact, md5(col("text")) === col("__h"))
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("__keeper")).as("exact_dup"),
+          coalesce(col("__near"), lit(false)).as("near_dup"),
+          (length(col("text")) < 100).as("too_short"))
+        .count()
+    }
+
     val json =
       s"""{"metric":"scale_smoke","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
@@ -251,6 +278,7 @@ object ScaleSmoke {
         s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf,""" +
         s""""editdist_rows":$edRows,"editdist_sec":${f"$edSec%.2f"},"editdist_shuffle_bytes":$edShuf,""" +
         s""""tfidfcos_rows":$tcRows,"tfidfcos_sec":${f"$tcSec%.2f"},"tfidfcos_shuffle_bytes":$tcShuf,""" +
+        s""""curation_rows":$cuRows,"curation_sec":${f"$cuSec%.2f"},"curation_shuffle_bytes":$cuShuf,""" +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     val outFile =

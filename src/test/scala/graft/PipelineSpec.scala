@@ -506,6 +506,51 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getDouble(2) == 1.0)
   }
 
+  test("dupEvidence: shared count, jaccard and the sorted sample") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .dupEvidence(docs, "doc_id", "text", n = 3, threshold = 0.5, sampleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 0.666667, "a b c|b c d")))
+  }
+
+  test("churnLabels: recency measured against the corpus horizon") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, "view"), (1L, 50L, "purchase"),
+      (2L, 80L, "view"), (2L, 100L, "view")).toDF("user_id", "ts", "t")
+    val out = graft.operators.EventAnalytics
+      .churnLabels(ev, "user_id", "ts", "t", "purchase", churnNs = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 50L, 50L, true),   // last seen 50ns before horizon
+      (2L, 2L, 0L, 20L, 0L, false)))
+  }
+
+  test("behaviorEntropy: uniform two-type mix scores ln2 in nano-nats") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"))
+      .toDF("user_id", "t")
+    val out = graft.operators.EventAnalytics
+      .behaviorEntropy(ev, "user_id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 2L, 693147180L), (2L, 2L, 1L, 0L)),
+      "two cells of 0.5*ln2 nano-rounded; single-type user scores 0")
+  }
+
+  test("giniByGroup: uniform values score 0; full concentration 2/3 at n=3") {
+    import spark.implicits._
+    val df = Seq(("u", 1L, 1L), ("u", 1L, 2L), ("u", 1L, 3L),
+      ("c", 0L, 4L), ("c", 0L, 5L), ("c", 4L, 6L)).toDF("g", "v", "id")
+    val out = graft.pipeline.Stats.giniByGroup(df, "g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(("c", 3L, 0.666667), ("u", 3L, 0.0)))
+  }
+
   test("ngramContainmentPairs: quoted subset scores 1.0 one way only") {
     import spark.implicits._
     val docs = Seq(
