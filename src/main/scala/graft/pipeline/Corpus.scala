@@ -536,6 +536,55 @@ object Corpus {
       .select(col("id").as(idCol))
   }
 
+  /** Keyword-in-context (KWIC): every occurrence of an n-token phrase
+    * with `window` tokens of context on each side — the snippet view
+    * behind [[phraseSearch]]'s hit list (search result rendering, PII
+    * review, dedup auditing). One posexplode over candidate docs'
+    * token streams (candidates from the same index probe as
+    * phraseSearch, so the scan never touches non-matching docs) and a
+    * boundary-exact token-slice join.
+    */
+  def keywordInContext(df: DataFrame, idCol: String, textCol: String,
+                       phrase: String, window: Int = 2,
+                       n: Int = 3): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val pTokens = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val plen = pTokens.length
+    val hits = phraseSearch(df, idCol, textCol, phrase, n)
+    df.join(hits, Seq(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(col("__tk")).as(Seq("__pos", "__t")))
+      .filter(col("__t") === pTokens.head)
+      .filter(
+        array_join(slice(col("__tk"), col("__pos") + 1, lit(plen)), " ") ===
+          pTokens.mkString(" "))
+      .select(col(idCol), col("__pos").as("pos"),
+        array_join(slice(col("__tk"),
+          greatest(col("__pos") + 1 - window, lit(1)),
+          when(col("__pos") + 1 - window < 1,
+            col("__pos") + window + plen)
+            .otherwise(lit(window * 2 + plen))), " ").as("context"))
+  }
+
+  /** Duplication profile: the histogram of exact-duplicate family
+    * sizes — "how duplicated is this corpus?" in one table
+    * (family_size → families, docs, share of corpus). Two hash
+    * aggregates; the histogram is at most ⌈log-ish⌉ distinct sizes.
+    */
+  def duplicationProfile(df: DataFrame, textCol: String): DataFrame = {
+    val fams = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("family_size"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    fams.groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .crossJoin(broadcast(tot))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"),
+        round((col("family_size") * col("n_families")).cast("double") /
+          col("__n").cast("double"), 6).as("corpus_share"))
+  }
+
   /** Chi-square test of independence between two categorical columns —
     * [[mutualInformationCells]]'s hypothesis-testing twin (is the
     * dependence SIGNIFICANT, not just nonzero?). Per-cell terms are

@@ -160,6 +160,22 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- keyword-in-context: every phrase occurrence with 2 tokens
+    //      of context each side (the snippet view behind q196) ----
+    "q208_kwic" -> { (s, d) =>
+      graft.pipeline.Corpus.keywordInContext(Tables.documents(s, d),
+          "doc_id", "text", phrase = "slow hash batch", window = 2, n = 3)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // ---- duplication profile: exact-dup family-size histogram with
+    //      corpus shares ("how duplicated is this corpus?") ----
+    "q209_dup_profile" -> { (s, d) =>
+      graft.pipeline.Corpus.duplicationProfile(Tables.documents(s, d),
+          "text")
+        .orderBy(col("family_size"))
+    },
+
     // ---- chi-square independence test lang × source (the MI cells'
     //      hypothesis-testing twin; order-independent micro sum) ----
     "q198_chi_square" -> { (s, d) =>
@@ -518,6 +534,26 @@ object TextPack extends QueryPack {
            |FROM documents d JOIN ex ON md5(d.text) = ex.h
            |LEFT JOIN near ON d.doc_id = near.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q208_kwic" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |hits AS (SELECT doc_id, tk, gs FROM (
+           |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS gs
+           |  FROM t) z
+           |  WHERE array_to_string(tk[gs:gs + 2], ' ') = 'slow hash batch')
+           |SELECT doc_id, gs - 1 AS pos,
+           |  array_to_string(tk[GREATEST(gs - 2, 1):gs + 4], ' ') AS context
+           |FROM hits ORDER BY doc_id, pos""".stripMargin,
+
+      "q209_dup_profile" ->
+        """WITH f AS (SELECT md5(text) AS h, COUNT(*)::BIGINT AS family_size
+          |  FROM documents GROUP BY h),
+          |t AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+          |SELECT family_size, COUNT(*)::BIGINT AS n_families,
+          |  (family_size * COUNT(*))::BIGINT AS n_docs,
+          |  ROUND((family_size * COUNT(*))::DOUBLE
+          |    / (SELECT n FROM t)::DOUBLE, 6) AS corpus_share
+          |FROM f GROUP BY family_size ORDER BY family_size""".stripMargin,
 
       "q196_phrase_search" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)

@@ -377,6 +377,34 @@ object EventStreams {
     state
   }
 
+  /** Streaming incremental connected components — the stream form of
+    * the q202 operator: arriving edge micro-batches fold into the
+    * label table via `Components.incrementalComponents` (CC on the
+    * CONTRACTED label graph, cost ∝ batch + touched components). The
+    * fold is ORDER-INSENSITIVE — min-label merging is confluent, so
+    * any batch split converges to the full-graph CC (the spec pins
+    * label-identical to `connectedComponentsFast` over all edges).
+    * This is how a live dedup index maintains cluster membership as a
+    * crawl streams in, without ever re-running CC on the corpus.
+    */
+  def incrementalCcStream(edges: DataFrame,
+                          initialLabels: DataFrame): DataFrame = {
+    @volatile var state = initialLabels.localCheckpoint()
+    val fold: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        state = graft.graph.Components
+          .incrementalComponents(state, batch.toDF())
+          .localCheckpoint()
+      }
+    val q = edges.writeStream
+      .foreachBatch(fold)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
+
   case class LastEvent(tsNs: Long, eventId: Long, eventType: String)
   case class Transition(user_id: Long, prev_type: String, next_type: String)
 

@@ -506,6 +506,21 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getDouble(2) == 1.0)
   }
 
+  test("keywordInContext: boundary clamps and mid-doc windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x"),              // hit at pos 0: left clamp
+      (2L, "z z a b c z z"),        // mid-doc full window
+      (3L, "a b x c"))              // no hit
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus
+      .keywordInContext(docs, "doc_id", "text", "a b c", window = 2, n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c x"), (2L, 2, "z z a b c z z")))
+  }
+
   test("dupEvidence: shared count, jaccard and the sorted sample") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")

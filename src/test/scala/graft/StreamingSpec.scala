@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.streaming.EventStreams
 
 class StreamingSpec extends SparkSpec {
@@ -259,6 +260,36 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "session_id").collect().map(_.toString).toSeq
     assert(s.nonEmpty && s == b,
       "emitted closed sessions must be row-identical to the batch operator")
+  }
+
+  test("streaming incremental CC converges to the full batch CC") {
+    import spark.implicits._
+    // a 60-vertex chain + a separate triangle, edges split across two
+    // files in an order that interleaves the chain (merge-heavy case)
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val all = chain ++ tri
+    val (evens, odds) = all.zipWithIndex.partition(_._2 % 2 == 0)
+    val dir = Files.createTempDirectory("edge_stream").toString
+    evens.map(_._1).toDF("src", "dst").coalesce(1)
+      .write.parquet(s"$dir/b0.parquet.d")
+    odds.map(_._1).toDF("src", "dst").coalesce(1)
+      .write.parquet(s"$dir/b1.parquet.d")
+    val schema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*.d")
+    val verts = ((0L until 60L) ++ Seq(100L, 101L, 102L)).toDF("id")
+    val init = verts.select(col("id"), col("id").as("component"))
+    val streamed = EventStreams.incrementalCcStream(stream, init)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val batch = graft.graph.Components
+      .connectedComponentsFast(verts, all.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "label-identical to one-shot CC regardless of batch split")
+    assert(streamed.count(_._2 == 0L) == 60 &&
+      streamed.count(_._2 == 100L) == 3, "chain -> 0, triangle -> 100")
   }
 
   test("streaming incremental checksum equals the batch table checksum") {

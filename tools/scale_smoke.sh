@@ -1,6 +1,8 @@
 #!/bin/bash
-# Opt-in scale smoke: LSH-CC, PageRank, incremental dedup, PQ ADC, and
-# Bloom decontamination on generated copies-x tables.
+# Opt-in scale smoke — TEN pipelines on generated copies-x tables:
+# LSH-CC, PageRank, k-means fit, label propagation, incremental dedup,
+# PQ ADC search, Bloom decontamination, FastSS edit-distance join,
+# TF-IDF cosine all-pairs, and the q200 curation decision table.
 # Usage: tools/scale_smoke.sh [sfDir] [copies] [mode]
 # mode: dense (default, densifying worst case) | constant (constant-degree)
 set -e
