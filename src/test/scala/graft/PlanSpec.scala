@@ -203,7 +203,10 @@ class PlanSpec extends SparkSpec {
     //    histogram and the single bin-totals row — the q95 shape),
     //    q192 (rides blockedKnn's ≤1024-row centroid seed table),
     //    q198 (single corpus-total and class-count rows of the
-    //    chi-square statistic; marginals are broadcast equi-joins)
+    //    chi-square statistic; marginals are broadcast equi-joins),
+    //    q205 (the single corpus-horizon max-timestamp row the churn
+    //    bit compares against),
+    //    q209 (the single corpus-total row of the duplication shares)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
@@ -218,7 +221,8 @@ class PlanSpec extends SparkSpec {
       "q159_join_size", "q161_kmv_setops", "q156_term_drift",
       "q91_vocab_coverage", "q170_benford", "q171_rfm",
       "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
-      "q192_knn_outliers", "q198_chi_square",
+      "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
+      "q209_dup_profile",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")
