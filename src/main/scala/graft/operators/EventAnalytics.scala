@@ -41,6 +41,28 @@ object EventAnalytics {
     acc
   }
 
+  /** Funnel step report: per step, users reaching it and the
+    * conversion rate from the previous step — the dashboard table over
+    * [[funnelTimes]]'s per-user rows. One extra single-row aggregate +
+    * a |steps|-row explode; rate is one IEEE division, NULL for the
+    * entry step.
+    */
+  def funnelRates(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    val ft = funnelTimes(events, userCol, tsCol, typeCol, steps)
+    val aggs = steps.indices.map(i =>
+      count(col(s"t${i + 1}")).as(s"__n${i + 1}"))
+    ft.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.indices.map { i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+          col(s"__n${i + 1}").as("n_users"),
+          (if (i == 0) lit(null).cast("double")
+           else round(col(s"__n${i + 1}").cast("double") /
+             col(s"__n$i").cast("double"), 6)).as("rate"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
   /** DAU/WAU stickiness: per period, the distinct-active count and the
     * trailing-`window`-period distinct-active count, plus their ratio
     * (the classic engagement metric). The trailing window is computed
@@ -629,6 +651,44 @@ object EventAnalytics {
       .select(col(keyCol), col("n_periods"), col("total"),
         (-col("__m.np")).as("cp_period"),
         col("__m.a").as("max_abs_cusum"))
+  }
+
+  /** Linear multi-touch attribution, session-scoped: every touch in
+    * the conversion's SESSION shares credit equally (weight = 1/n) —
+    * the multi-touch complement of [[touchAttribution]]'s first/last
+    * model. Session scoping is what makes this scale-safe: the
+    * touch × conversion pairing is an equi-join on (user, session),
+    * fan-out bounded by session length, never a user's whole history.
+    * Weights are one IEEE division of exact counts, rounded 6 dp.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String,
+                        touchTypes: Seq[String], convType: String,
+                        gapNs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && gapNs > 0, "touch types and a gap")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .localCheckpoint() // touches and conversions both read it
+    val touches = sessioned
+      .filter(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(userCol), col("__sid"), col(idCol).as("touch_id"),
+        col(tsCol).as("touch_ns"), col(typeCol).as("touch_type"))
+    val convs = sessioned.filter(col(typeCol) === convType)
+      .select(col(userCol), col("__sid"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ns"))
+    convs.join(touches, Seq(userCol, "__sid"))
+      .filter(col("touch_ns") < col("conv_ns"))
+      .withColumn("__nb", count(lit(1)).over(
+        Window.partitionBy(col(userCol), col("__sid"), col("conv_id"))))
+      .select(col(userCol), col("conv_id"), col("touch_id"),
+        col("touch_type"),
+        round(lit(1.0) / col("__nb").cast("double"), 6).as("weight"))
   }
 
   /** Churn label/feature table — the supervised-learning labeling op:

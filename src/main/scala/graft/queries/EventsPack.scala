@@ -461,6 +461,27 @@ object EventsPack extends QueryPack {
       graft.pipeline.Stats.auc(ev, "score_cents", "label")
     },
 
+    // ---- linear multi-touch attribution: every pre-conversion touch
+    //      in the conversion's SESSION shares equal credit (the
+    //      session scope bounds the pairing fan-out) ----
+    "q210_linear_attribution" -> { (s, d) =>
+      graft.operators.EventAnalytics.linearAttribution(
+          Tables.events(s, d).filter(col("user_id") < 40),
+          "user_id", "ts_ns", "event_id", "event_type",
+          touchTypes = Seq("view", "click"), convType = "purchase",
+          gapNs = 1800L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("conv_id"), col("touch_id"))
+    },
+
+    // ---- funnel step-rate dashboard: users per step + step-to-step
+    //      conversion rates over the q126 ordered-funnel rows ----
+    "q211_funnel_rates" -> { (s, d) =>
+      graft.operators.EventAnalytics.funnelRates(Tables.events(s, d),
+          "user_id", "ts_ns", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+
     // ---- churn label/feature table: tenure, recency, counts and the
     //      7-day-inactivity churn bit vs the corpus horizon ----
     "q205_churn_labels" -> { (s, d) =>
@@ -627,6 +648,55 @@ object EventsPack extends QueryPack {
         |  COUNT(*) = 1 AS is_bounce
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q210_linear_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    event_type FROM events WHERE user_id < 40),
+        |m AS (SELECT user_id, ts_ns, event_id, event_type,
+        |    CASE WHEN LAG(ts_ns) OVER w IS NULL
+        |         OR ts_ns - LAG(ts_ns) OVER w > 1800000000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |sid AS (SELECT user_id, ts_ns, event_id, event_type,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS s
+        |  FROM m),
+        |tch AS (SELECT user_id, s, event_id AS touch_id, ts_ns AS touch_ns,
+        |    event_type AS touch_type
+        |  FROM sid WHERE event_type IN ('view', 'click')),
+        |cv AS (SELECT user_id, s, event_id AS conv_id, ts_ns AS conv_ns
+        |  FROM sid WHERE event_type = 'purchase'),
+        |j AS (SELECT cv.user_id, cv.conv_id, tch.touch_id, tch.touch_type,
+        |    COUNT(*) OVER (PARTITION BY cv.user_id, cv.s, cv.conv_id)
+        |      AS nb
+        |  FROM cv JOIN tch ON cv.user_id = tch.user_id AND cv.s = tch.s
+        |  WHERE tch.touch_ns < cv.conv_ns)
+        |SELECT user_id, conv_id, touch_id, touch_type,
+        |  ROUND(1.0 / nb::DOUBLE, 6) AS weight
+        |FROM j ORDER BY user_id, conv_id, touch_id""".stripMargin,
+
+    "q211_funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s2.t2
+        |  GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1)::BIGINT AS n1,
+        |  (SELECT COUNT(*) FROM s2)::BIGINT AS n2,
+        |  (SELECT COUNT(*) FROM s3)::BIGINT AS n3)
+        |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+        |  NULL::DOUBLE AS rate FROM c
+        |UNION ALL SELECT 2, 'click', n2,
+        |  ROUND(n2::DOUBLE / n1::DOUBLE, 6) FROM c
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |  ROUND(n3::DOUBLE / n2::DOUBLE, 6) FROM c
+        |ORDER BY step""".stripMargin,
 
     "q205_churn_labels" ->
       """WITH h AS (SELECT MAX(epoch_ns(ts)) AS hz FROM events),

@@ -531,6 +531,40 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 0.666667, "a b c|b c d")))
   }
 
+  test("linearAttribution: session-scoped equal credit, later sessions " +
+    "excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "purchase"),
+      (1L, 4L, 100L, "view"),                 // next session: no credit
+      (2L, 5L, 1L, "purchase"))               // conversion w/o touches
+      .toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics
+      .linearAttribution(ev, "user_id", "ts_ns", "event_id", "event_type",
+        Seq("view", "click"), "purchase", gapNs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4))).sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 0.5), (1L, 3L, 2L, 0.5)),
+      "both same-session touches get 1/2; user 2 converts organically")
+  }
+
+  test("funnelRates: step counts and step-to-step rates") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "view"),
+      (4L, 1L, "click"))  // never enters: no view
+      .toDF("user_id", "ts_ns", "event_type")
+    val out = graft.operators.EventAnalytics
+      .funnelRates(ev, "user_id", "ts_ns", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, "view", 3L, -1.0),
+      (2, "click", 2L, 0.666667), (3, "purchase", 1L, 0.5)))
+  }
+
   test("churnLabels: recency measured against the corpus horizon") {
     import spark.implicits._
     val ev = Seq((1L, 0L, "view"), (1L, 50L, "purchase"),
