@@ -536,6 +536,42 @@ object Corpus {
       .select(col("id").as(idCol))
   }
 
+  /** Cluster labeling: the k most DISTINCTIVE terms per document
+    * cluster — within-cluster term count × corpus idf (micro-nat
+    * integers), ranked per cluster — the "what is this near-dup family
+    * about?" summary a dedup report ships next to [[graft.pipeline.Dedup]]'s
+    * clusters. One explode + one (cluster, term) aggregate + a
+    * vocabulary-keyed idf equi-join + a per-cluster window over the
+    * cluster's own terms.
+    *
+    * `clusters`: (id, component). Scoring: score = count ·
+    * idf_micro, idf = ln((N+1)/(df+1)) quantized to integer
+    * micro-nats; ties break lexicographically.
+    */
+  def clusterLabels(df: DataFrame, idCol: String, textCol: String,
+                    clusters: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val terms = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val n = df.count()
+    val idf = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__idf_micro",
+        round(log((lit(n) + lit(1.0)).cast("double") /
+          (col("__df") + lit(1)).cast("double")) * lit(1e6)).cast("long"))
+    val ct = terms.join(clusters, Seq("id"))
+      .groupBy(col("component"), col("term"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy((col("__c") * col("__idf_micro")).desc, col("term").asc)
+    ct.join(idf.select(col("term"), col("__idf_micro")), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("component"), col("rank"), col("term"),
+        col("__c").as("n_docs"),
+        (col("__c") * col("__idf_micro")).as("score_micro"))
+  }
+
   /** Keyword-in-context (KWIC): every occurrence of an n-token phrase
     * with `window` tokens of context on each side — the snippet view
     * behind [[phraseSearch]]'s hit list (search result rendering, PII

@@ -117,6 +117,13 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- embedding drift: cosine + L-inf/L1 between the exact
+    //      micro-quantized mean vectors of two corpus slices ----
+    "q213_embedding_drift" -> { (s, d) =>
+      SimilarityOps.embeddingDrift(Tables.embeddings(s, d), "vec_id",
+        "embedding", slicePred = col("vec_id") % 2 === 0)
+    },
+
     // ---- kNN-distance outliers: bottom-20 vectors by mean similarity
     //      to their IVF-blocked kNN (embedding-space anomaly scores) ----
     "q192_knn_outliers" -> { (s, d) =>
@@ -335,6 +342,24 @@ object SimilarityPack extends QueryPack {
          |   WHERE query_id > neighbor_id) r
          |USING (id_a, id_b)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q213_embedding_drift" ->
+      """WITH x AS (SELECT vec_id % 2 = 0 AS a,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    ROUND(unnest(embedding)::DOUBLE * 1e6)::BIGINT AS xm
+        |  FROM embeddings),
+        |d AS (SELECT pos,
+        |    (SUM(CASE WHEN a THEN xm END)
+        |      // SUM(CASE WHEN a THEN 1 ELSE 0 END))::BIGINT AS ma,
+        |    (SUM(CASE WHEN NOT a THEN xm END)
+        |      // SUM(CASE WHEN NOT a THEN 1 ELSE 0 END))::BIGINT AS mb
+        |  FROM x GROUP BY pos)
+        |SELECT ROUND(SUM(ma::HUGEINT * mb)::DOUBLE
+        |    / (SQRT(SUM(ma::HUGEINT * ma)::DOUBLE)
+        |      * SQRT(SUM(mb::HUGEINT * mb)::DOUBLE)), 6) AS mean_cosine,
+        |  MAX(ABS(ma - mb))::BIGINT AS max_abs_diff_micro,
+        |  SUM(ABS(ma - mb))::BIGINT AS l1_diff_micro
+        |FROM d""".stripMargin,
 
     "q192_knn_outliers" ->
       s"""WITH assign AS (

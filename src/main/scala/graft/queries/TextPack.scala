@@ -280,6 +280,22 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- cluster labeling: top-3 distinctive terms (count × idf) per
+    //      multi-member near-dup cluster — the dedup-report summary ----
+    "q212_cluster_labels" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val cc = graft.graph.Components.connectedComponentsFast(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"))
+      val multi = cc.groupBy("component").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") >= 2).select("component")
+      val clusters = cc.join(multi, "component")
+        .select(col("id"), col("component"))
+      graft.pipeline.Corpus.clusterLabels(docs, "doc_id", "text",
+          clusters, k = 3)
+        .orderBy(col("component"), col("rank"))
+    },
+
     // ---- near-dup EVIDENCE: per verified Jaccard pair, the shared-
     //      shingle count + the 3 smallest shared shingles (audit row) ----
     "q204_dup_evidence" -> { (s, d) =>
@@ -417,6 +433,48 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q212_cluster_labels" -> {
+        val jac = (a: String, b: String) =>
+          s"CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+        val edges =
+          s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+             |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+             |SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id AND ROUND(${jac("a.ss", "b.ss")}, 6) >= 0.5"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH RECURSIVE e AS MATERIALIZED ($edges),
+           |sym AS (SELECT ia AS src, ib AS dst FROM e
+           |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+           |r(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+           |  WHERE r.comp < sym.dst),
+           |cc AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id),
+           |mul AS (SELECT component FROM cc GROUP BY component
+           |  HAVING COUNT(*) >= 2),
+           |terms AS (SELECT doc_id AS id, unnest(list_distinct($toksSql))
+           |  AS term FROM documents),
+           |nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+           |idf AS (SELECT term, COUNT(*)::BIGINT AS df FROM terms
+           |  GROUP BY term),
+           |idfm AS (SELECT term,
+           |  ROUND(LN((n + 1.0) / (df + 1)::DOUBLE) * 1e6)::BIGINT AS im
+           |  FROM idf, nn),
+           |ct AS (SELECT cc.component, t.term, COUNT(*)::BIGINT AS c
+           |  FROM terms t JOIN cc ON t.id = cc.id
+           |  JOIN mul ON cc.component = mul.component
+           |  GROUP BY cc.component, t.term),
+           |rk AS (SELECT component, term, c, c * im AS score,
+           |    ROW_NUMBER() OVER (PARTITION BY component
+           |      ORDER BY c * im DESC, term ASC) AS rank
+           |  FROM ct JOIN idfm USING (term))
+           |SELECT component, rank::INT AS rank, term, c AS n_docs,
+           |  score::BIGINT AS score_micro
+           |FROM rk WHERE rank <= 3
+           |ORDER BY component, rank""".stripMargin
+      },
 
       "q204_dup_evidence" ->
         s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss

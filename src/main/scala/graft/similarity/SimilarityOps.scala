@@ -553,6 +553,40 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Embedding DRIFT between two corpus slices — the model-ops monitor
+    * (did a re-embed/backfill shift the space?): per-dimension means
+    * in exact micro-quantized integers (truncating div — both engines
+    * truncate toward zero), then ONE summary row: cosine between the
+    * two mean vectors + L∞/L1 of their difference. The per-dimension
+    * aggregate is (dim)-keyed — constant-size output; the input scan
+    * is one pass.
+    */
+  def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String,
+                     slicePred: Column): DataFrame = {
+    val dims = emb.select(slicePred.as("__a"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .withColumn("__xm",
+        round(col("__x").cast("double") * 1e6).cast("long"))
+      .groupBy(col("__pos"))
+      .agg(sum(when(col("__a"), col("__xm"))).as("__sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), col("__xm"))).as("__sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+      .select(col("__pos"), expr("__sa div __na").as("__ma"),
+        expr("__sb div __nb").as("__mb"))
+    dims.agg(
+        sum(col("__ma").cast("decimal(38,0)") * col("__mb")).as("__dot"),
+        sum(col("__ma").cast("decimal(38,0)") * col("__ma")).as("__naa"),
+        sum(col("__mb").cast("decimal(38,0)") * col("__mb")).as("__nbb"),
+        max(abs(col("__ma") - col("__mb"))).as("max_abs_diff_micro"),
+        sum(abs(col("__ma") - col("__mb"))).as("l1_diff_micro"))
+      .select(
+        round(col("__dot").cast("double") /
+          (sqrt(col("__naa").cast("double")) *
+            sqrt(col("__nbb").cast("double"))), 6).as("mean_cosine"),
+        col("max_abs_diff_micro"), col("l1_diff_micro"))
+  }
+
   /** kNN-distance outlier scores: each vector's MEAN cosine similarity
     * to its IVF-blocked k nearest neighbors, ranked ascending — the
     * embedding-space anomaly detector (mislabeled, corrupted, or

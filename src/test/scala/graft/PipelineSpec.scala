@@ -521,6 +521,31 @@ class PipelineSpec extends SparkSpec {
       (1L, 0, "a b c x"), (2L, 2, "z z a b c z z")))
   }
 
+  test("clusterLabels: distinctive terms rank by count x idf") {
+    import spark.implicits._
+    val docs = Seq((1L, "zebra apple"), (2L, "zebra banana"),
+      (3L, "apple banana common")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val out = graft.pipeline.Corpus
+      .clusterLabels(docs, "doc_id", "text", clusters, k = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // zebra: 2 cluster docs x idf(df=2) beats apple/banana (1 doc each)
+    assert(out.head == (1, "zebra", 2L))
+    assert(out(1)._2 == "apple", "count ties break lexicographically")
+  }
+
+  test("embeddingDrift: identical slices give cosine 1.0 and zero diffs") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1f, 2f)), (1L, Seq(1f, 2f)),
+      (2L, Seq(-1f, 3f)), (3L, Seq(-1f, 3f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.similarity.SimilarityOps
+      .embeddingDrift(emb, "vec_id", "embedding", col("vec_id") % 2 === 0)
+      .collect()(0)
+    assert((r.getDouble(0), r.getLong(1), r.getLong(2)) == (1.0, 0L, 0L))
+  }
+
   test("dupEvidence: shared count, jaccard and the sorted sample") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
