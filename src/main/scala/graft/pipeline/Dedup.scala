@@ -239,6 +239,28 @@ object Dedup {
     // a.blk matches at most one of them per pair
   }
 
+  /** Quality-based keeper selection: per near-dup cluster, keep the
+    * BEST copy (longest text, ties to the smallest id) instead of the
+    * min-id convention — what a production dedup actually ships (the
+    * canonical-id keeper may be a truncated mirror of a fuller
+    * original). One packed-struct argmax per cluster over the
+    * cluster-label join.
+    *
+    * @param clusters (id, component)
+    * @param quality  any integer column on `df` (higher = better)
+    */
+  def qualityKeepers(df: DataFrame, idCol: String, qualityCol: String,
+                     clusters: DataFrame): DataFrame = {
+    df.select(col(idCol).as("id"), col(qualityCol).cast("long").as("__q"))
+      .join(clusters, Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__q"), (-col("id")).as("__ni"))).as("__m"))
+      .select(col("component"), col("cluster_size"),
+        (-col("__m.__ni")).as("keeper_id"),
+        col("__m.__q").as("keeper_quality"))
+  }
+
   /** Near-dup EVIDENCE: for every verified n-gram Jaccard pair, the
     * shared-shingle count and a deterministic sample of the overlap
     * (the k lexicographically-smallest shared shingles) — what a

@@ -33,6 +33,27 @@ object Export {
       .drop("__hex")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each record
+    * goes to argmax_s md5(id ‖ s) — the consistent-placement scheme
+    * whose defining property is MINIMAL MOVEMENT under resize: growing
+    * from n to n+1 shards moves only ~1/(n+1) of records (mod-sharding
+    * moves ~all of them), so an elastic cluster re-ships almost
+    * nothing. Pure map-side: numShards hashes per record, packed-
+    * struct argmax, no shuffle at all.
+    */
+  def rendezvousShards(df: DataFrame, idCol: String,
+                       numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be > 0")
+    val cand = df.select(col(idCol),
+        explode(sequence(lit(0), lit(numShards - 1))).as("__s"))
+      .withColumn("__h",
+        conv(substring(md5(concat_ws("|", col(idCol).cast("string"),
+          col("__s"))), 1, 15), 16, 10).cast("long"))
+    cand.groupBy(col(idCol))
+      .agg(max(struct(col("__h"), col("__s"))).as("__m"))
+      .select(col(idCol), col("__m.__s").as("shard"))
+  }
+
   /** Per-shard delivery manifest: row count + order-invariant checksum
     * (the `Stats.tableChecksum` md5 fold-sum, mod 2⁶⁰) for each md5
     * shard — what a consumer verifies before training on shipped

@@ -280,6 +280,18 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- quality keepers: per near-dup cluster keep the LONGEST copy
+    //      (ties to min id) — the production keeper rule, vs min-id ----
+    "q215_quality_keepers" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val cc = graft.graph.Components.connectedComponentsFast(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"))
+      Dedup.qualityKeepers(docs, "doc_id", "n_chars", cc)
+        .filter(col("cluster_size") >= 2)
+        .orderBy(col("component"))
+    },
+
     // ---- cluster labeling: top-3 distinctive terms (count × idf) per
     //      multi-member near-dup cluster — the dedup-report summary ----
     "q212_cluster_labels" -> { (s, d) =>
@@ -433,6 +445,35 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q215_quality_keepers" -> {
+        val jac = (a: String, b: String) =>
+          s"CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+        val edges =
+          s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+             |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+             |SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id AND ROUND(${jac("a.ss", "b.ss")}, 6) >= 0.5"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH RECURSIVE e AS MATERIALIZED ($edges),
+           |sym AS (SELECT ia AS src, ib AS dst FROM e
+           |        UNION ALL SELECT ib AS src, ia AS dst FROM e),
+           |r(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id
+           |  WHERE r.comp < sym.dst),
+           |cc AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id),
+           |k AS (SELECT cc.component, d.doc_id, d.n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY cc.component
+           |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY cc.component) AS sz
+           |  FROM documents d JOIN cc ON d.doc_id = cc.id)
+           |SELECT component, sz::BIGINT AS cluster_size,
+           |  doc_id AS keeper_id, n_chars AS keeper_quality
+           |FROM k WHERE rn = 1 AND sz >= 2
+           |ORDER BY component""".stripMargin
+      },
 
       "q212_cluster_labels" -> {
         val jac = (a: String, b: String) =>

@@ -541,6 +541,24 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- rendezvous (HRW) sharding: per-shard sizes + the fraction
+    //      that MOVES when the cluster grows 8 → 9 shards (the
+    //      minimal-movement property mod-sharding lacks) ----
+    "q214_rendezvous" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val s8 = graft.pipeline.Export.rendezvousShards(docs, "doc_id", 8)
+      val s9 = graft.pipeline.Export.rendezvousShards(docs, "doc_id", 9)
+        .select(col("doc_id"), col("shard").as("__shard9"))
+      s8.join(s9, "doc_id")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__shard9") =!= col("shard"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("moved_rate", round(col("n_moved").cast("double") /
+          col("n_docs").cast("double"), 6))
+        .orderBy(col("shard"))
+    },
+
     // ---- per-shard delivery manifest: row count + mergeable
     //      order-invariant checksum per md5 shard (what a training
     //      consumer verifies before reading shipped shards) ----
@@ -651,6 +669,28 @@ object TrainPack extends QueryPack {
         |  ROUND(n::DOUBLE / total::DOUBLE
         |    - LOG10(1.0 + 1.0 / digit::DOUBLE), 6) AS deviation
         |FROM g, t ORDER BY digit""".stripMargin,
+
+    "q214_rendezvous" -> {
+      val fold60 = (e: String) =>
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b)"
+      def assign(n: Int, name: String) =
+        s"""$name AS (SELECT doc_id, s AS shard FROM (
+           |  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |    ORDER BY h DESC, s DESC) AS rn
+           |  FROM (SELECT d.doc_id, t.s,
+           |      ${fold60("d.doc_id::VARCHAR || '|' || t.s::VARCHAR")} AS h
+           |    FROM documents d, (SELECT unnest(range(0, $n)) AS s) t) x) y
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH ${assign(8, "c8")},
+         |${assign(9, "c9")}
+         |SELECT c8.shard, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN c9.shard <> c8.shard THEN 1 ELSE 0
+         |    END)::BIGINT AS n_moved,
+         |  ROUND(SUM(CASE WHEN c9.shard <> c8.shard THEN 1 ELSE 0
+         |    END)::DOUBLE / COUNT(*)::DOUBLE, 6) AS moved_rate
+         |FROM c8 JOIN c9 USING (doc_id)
+         |GROUP BY c8.shard ORDER BY c8.shard""".stripMargin
+    },
 
     "q181_shard_manifest" -> {
       val fold60 = (e: String) =>

@@ -638,6 +638,40 @@ class PipelineSpec extends SparkSpec {
       "1 ⊂ 2 gives C(1→2)=1.0; C(2→1)=0.5 is under the threshold")
   }
 
+  test("rendezvousShards: growing n to n+1 moves ~1/(n+1) of records") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val s8 = graft.pipeline.Export.rendezvousShards(df, "id", 8)
+    val s9 = graft.pipeline.Export.rendezvousShards(df, "id", 9)
+      .select(col("id"), col("shard").as("s9"))
+    val moved = s8.join(s9, "id")
+      .filter(col("s9") =!= col("shard")).count()
+    val rate = moved.toDouble / 2000.0
+    assert(rate > 0.05 && rate < 0.18,
+      s"HRW resize movement ~1/9, got $rate (mod-sharding would be ~0.89)")
+    // the survivors keep their EXACT shard — the defining property
+    val stayed = s8.join(s9, "id").filter(col("s9") === col("shard"))
+    assert(stayed.count() == 2000 - moved)
+    // contrast: mod-sharding moves almost everything on resize
+    val modMoved = df.filter(pmod(col("id"), lit(8)) =!=
+      pmod(col("id"), lit(9))).count()
+    assert(modMoved.toDouble / 2000.0 > 0.8)
+  }
+
+  test("qualityKeepers: longest copy wins, ties to the smallest id") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "component")
+    val out = graft.pipeline.Dedup
+      .qualityKeepers(docs, "doc_id", "n_chars", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 2L, 50L), (4L, 1L, 4L, 7L)),
+      "doc 2 beats doc 3 on the id tie; singleton keeps itself")
+  }
+
   test("shardManifest: checksums are mergeable across deliveries") {
     import spark.implicits._
     val a = (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
