@@ -117,6 +117,23 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- batch ANN serving: exact top-3 for the 10-query batch in
+    //      one corpus scan (bounded broadcast of the query batch) ----
+    "q216_batch_ann" -> { (s, d) =>
+      SimilarityOps.batchTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryPred = col("vec_id") < 10, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- ANN recall@3: IVF index vs the exact batch top-k — the
+    //      quality gate before trading exactness for speed ----
+    "q217_ann_recall" -> { (s, d) =>
+      SimilarityOps.annRecall(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryPred = col("vec_id") < 10,
+          nCentroids = 8, k = 3)
+        .orderBy(col("query_id"))
+    },
+
     // ---- embedding drift: cosine + L-inf/L1 between the exact
     //      micro-quantized mean vectors of two corpus slices ----
     "q213_embedding_drift" -> { (s, d) =>
@@ -342,6 +359,58 @@ object SimilarityPack extends QueryPack {
          |   WHERE query_id > neighbor_id) r
          |USING (id_a, id_b)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q216_batch_ann" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |r AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("c.embedding", "q.qv")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.embedding", "q.qv")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM c, q)
+         |SELECT query_id, neighbor_id, rank::INT AS rank, sim FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q217_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.embedding", "q.qv")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM c, q) t WHERE rank <= 3),
+         |assign AS (
+         |  SELECT vec_id, embedding, centroid FROM (
+         |    SELECT e.vec_id, e.embedding, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) cs) t
+         |  WHERE rn = 1),
+         |qa AS (SELECT vec_id AS query_id, embedding AS qv, centroid
+         |  FROM assign WHERE vec_id < 10),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT qa.query_id, ca.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qa.query_id
+         |      ORDER BY ${cosSql("ca.embedding", "qa.qv")} DESC,
+         |        ca.vec_id ASC) AS rank
+         |  FROM assign ca JOIN qa ON ca.centroid = qa.centroid
+         |    AND ca.vec_id >= 10) t WHERE rank <= 3),
+         |h AS (SELECT ex.query_id, COUNT(*)::BIGINT AS hits
+         |  FROM ex JOIN ap USING (query_id, neighbor_id)
+         |  GROUP BY ex.query_id),
+         |ek AS (SELECT query_id, COUNT(*)::BIGINT AS k FROM ex
+         |  GROUP BY query_id)
+         |SELECT ek.query_id, COALESCE(h.hits, 0)::BIGINT AS n_hits, ek.k,
+         |  ROUND(COALESCE(h.hits, 0)::DOUBLE / ek.k::DOUBLE, 6) AS recall
+         |FROM ek LEFT JOIN h ON ek.query_id = h.query_id
+         |ORDER BY ek.query_id""".stripMargin,
 
     "q213_embedding_drift" ->
       """WITH x AS (SELECT vec_id % 2 = 0 AS a,

@@ -553,6 +553,64 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Batch ANN serving: exact top-k neighbors for EVERY query in a
+    * (small) query batch against the corpus — the nightly re-ranking /
+    * eval-retrieval shape. The batch broadcasts (one bounded
+    * BNLJ build side — the POINT is that queries are few and the
+    * corpus is scanned once for all of them), per-query top-k is one
+    * window over the per-query candidates.
+    */
+  def batchTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    emb.filter(!queryPred)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", sim6(col(vecCol), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** ANN quality evaluation: recall@k of the IVF index against the
+    * exact batch top-k — the "measure, don't guess" gate every ANN
+    * deployment needs before trading exactness for speed. One exact
+    * pass ([[batchTopK]]), one IVF pass (same-centroid candidates),
+    * one (query, neighbor) equi-join; queries with empty IVF blocks
+    * honestly score 0.
+    */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, nCentroids: Int, k: Int): DataFrame = {
+    val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // counts and the hit join both read it
+    val assigned = assignToCentroids(emb, idCol, vecCol, nCentroids)
+    val q = assigned.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("centroid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val approx = assigned.filter(!queryPred)
+      .join(broadcast(q), Seq("centroid"))
+      .withColumn("sim", sim6(col(vecCol), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("__k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        col("__k").as("k"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__k").cast("double"), 6).as("recall"))
+  }
+
   /** Embedding DRIFT between two corpus slices — the model-ops monitor
     * (did a re-embed/backfill shift the space?): per-dimension means
     * in exact micro-quantized integers (truncating div — both engines

@@ -787,6 +787,19 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 9L, 10L), (2L, 8L, 100L), (2L, 9L, 0L)))
   }
 
+  test("annRecall: one-block IVF recovers the exact top-k (recall 1.0)") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+      (i, Seq((i % 5).toFloat + 1f, (i % 3).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.SimilarityOps
+      .annRecall(emb, "vec_id", "embedding", col("vec_id") < 3,
+        nCentroids = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(out.length == 3 && out.forall(_._2 == 1.0),
+      "a single block holds the full corpus, so IVF == exact")
+  }
+
   test("knnOutliers: the isolated vector ranks first by mean kNN sim") {
     import spark.implicits._
     val emb = Seq(

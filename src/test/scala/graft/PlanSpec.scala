@@ -206,7 +206,10 @@ class PlanSpec extends SparkSpec {
     //    chi-square statistic; marginals are broadcast equi-joins),
     //    q205 (the single corpus-horizon max-timestamp row the churn
     //    bit compares against),
-    //    q209 (the single corpus-total row of the duplication shares)
+    //    q209 (the single corpus-total row of the duplication shares),
+    //    q216/q217 (the BOUNDED query batch broadcasts — the serving
+    //    pattern's point is few queries against one corpus scan;
+    //    q217 additionally rides the ≤1024-row centroid seed table)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
@@ -222,7 +225,7 @@ class PlanSpec extends SparkSpec {
       "q91_vocab_coverage", "q170_benford", "q171_rfm",
       "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
-      "q209_dup_profile",
+      "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")
