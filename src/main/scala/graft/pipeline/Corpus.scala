@@ -536,6 +536,63 @@ object Corpus {
       .select(col("id").as(idCol))
   }
 
+  /** Stop-word discovery: terms whose document frequency exceeds
+    * `dfShare` of the corpus, with their share of the raw TOKEN stream
+    * — the data-driven stop list a retrieval/BM25 stack prunes (and
+    * the prefix-filter join's Zipf head made visible). One distinct-
+    * term aggregate + one occurrence aggregate + a broadcast totals
+    * row.
+    */
+  def stopwordProfile(df: DataFrame, textCol: String,
+                      dfShare: Double = 0.5): DataFrame = {
+    require(dfShare > 0 && dfShare <= 1, "dfShare in (0, 1]")
+    val n = df.count()
+    val dfCounts = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val occ = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
+    val tot = occ.agg(sum(col("n_occurrences")).as("__t"))
+    dfCounts.filter(col("doc_freq") >= (lit(dfShare) * n).cast("long"))
+      .join(occ, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("doc_freq"), col("n_occurrences"),
+        round(col("n_occurrences").cast("double") /
+          col("__t").cast("double"), 6).as("stream_share"))
+  }
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct terms vs
+    * cumulative tokens at fixed doc-id checkpoints — sub-linear growth
+    * is the healthy-corpus signature (a LINEAR curve means unbounded
+    * novelty: boilerplate ids, hashes, or noise). Exact at scale
+    * WITHOUT prefix re-scans: a term's first-occurrence doc
+    * (min doc id per term) makes "distinct terms by checkpoint c" one
+    * bounded comparison per term; token counts aggregate per doc once.
+    * Cost: one term aggregate + one doc aggregate + a
+    * |checkpoints|-row broadcast join.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  checkpointEvery: Long): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val firstDoc = df
+      .select(col(idCol).as("__id"), explode(array_distinct(
+        tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(min(col("__id")).as("__first"))
+    val docToks = df.select(col(idCol).as("__id"),
+      size(tokens(col(textCol))).cast("long").as("__nt"))
+    val cps = df.agg(max(col(idCol)).as("__mx"))
+      .select(explode(sequence(lit(checkpointEvery), col("__mx"),
+        lit(checkpointEvery))).as("checkpoint"))
+    val vocab = cps.join(firstDoc,
+        col("__first") <= col("checkpoint"), "left")
+      .groupBy(col("checkpoint"))
+      .agg(count(col("term")).as("distinct_terms"))
+    val toks = cps.join(docToks, col("__id") <= col("checkpoint"), "left")
+      .groupBy(col("checkpoint"))
+      .agg(coalesce(sum(col("__nt")), lit(0L)).as("total_tokens"))
+    vocab.join(toks, "checkpoint")
+  }
+
   /** Cluster labeling: the k most DISTINCTIVE terms per document
     * cluster — within-cluster term count × corpus idf (micro-nat
     * integers), ranked per cluster — the "what is this near-dup family

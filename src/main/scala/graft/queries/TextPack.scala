@@ -280,6 +280,21 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- stop-word discovery: df-share gate + token-stream share ----
+    "q218_stopwords" -> { (s, d) =>
+      graft.pipeline.Corpus.stopwordProfile(Tables.documents(s, d),
+          "text", dfShare = 0.5)
+        .orderBy(col("term"))
+    },
+
+    // ---- Heaps-law vocabulary growth at 50-doc checkpoints: exact
+    //      via per-term first-occurrence docs, no prefix re-scans ----
+    "q219_vocab_growth" -> { (s, d) =>
+      graft.pipeline.Corpus.vocabGrowth(Tables.documents(s, d),
+          "doc_id", "text", checkpointEvery = 50L)
+        .orderBy(col("checkpoint"))
+    },
+
     // ---- quality keepers: per near-dup cluster keep the LONGEST copy
     //      (ties to min id) — the production keeper rule, vs min-id ----
     "q215_quality_keepers" -> { (s, d) =>
@@ -445,6 +460,37 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q218_stopwords" ->
+        s"""WITH dfc AS (SELECT term, COUNT(*)::BIGINT AS doc_freq FROM (
+           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+           |  FROM documents) t GROUP BY term),
+           |occ AS (SELECT term, COUNT(*)::BIGINT AS n_occurrences FROM (
+           |  SELECT unnest($toksSql) AS term FROM documents) t
+           |  GROUP BY term),
+           |nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+           |tt AS (SELECT SUM(n_occurrences)::BIGINT AS t FROM occ)
+           |SELECT dfc.term, dfc.doc_freq, occ.n_occurrences,
+           |  ROUND(occ.n_occurrences::DOUBLE / tt.t::DOUBLE, 6)
+           |    AS stream_share
+           |FROM dfc JOIN occ USING (term), nn, tt
+           |WHERE dfc.doc_freq >= CAST(0.5 * nn.n AS BIGINT)
+           |ORDER BY term""".stripMargin,
+
+      "q219_vocab_growth" ->
+        s"""WITH fd AS (SELECT term, MIN(doc_id) AS fdoc FROM (
+           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+           |  FROM documents) t GROUP BY term),
+           |dt AS (SELECT doc_id, len($toksSql)::BIGINT AS nt
+           |  FROM documents),
+           |cps AS (SELECT unnest(range(50, (SELECT MAX(doc_id) FROM
+           |  documents) + 1, 50)) AS checkpoint)
+           |SELECT c.checkpoint,
+           |  (SELECT COUNT(*) FROM fd WHERE fd.fdoc <= c.checkpoint)::BIGINT
+           |    AS distinct_terms,
+           |  (SELECT COALESCE(SUM(nt), 0) FROM dt
+           |    WHERE dt.doc_id <= c.checkpoint)::BIGINT AS total_tokens
+           |FROM cps c ORDER BY c.checkpoint""".stripMargin,
 
       "q215_quality_keepers" -> {
         val jac = (a: String, b: String) =>

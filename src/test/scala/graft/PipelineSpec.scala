@@ -521,6 +521,29 @@ class PipelineSpec extends SparkSpec {
       (1L, 0, "a b c x"), (2L, 2, "z z a b c z z")))
   }
 
+  test("stopwordProfile: df gate and token-stream shares") {
+    import spark.implicits._
+    val docs = Seq("the cat", "the dog", "the bird", "rare term")
+      .toDF("text")
+    val out = graft.pipeline.Corpus.stopwordProfile(docs, "text", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("the", 3L, 3L, 0.375)),
+      "only 'the' clears the 50% df gate; 3 of 8 stream tokens")
+  }
+
+  test("vocabGrowth: cumulative distinct terms via first-occurrence docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus
+      .vocabGrowth(docs, "doc_id", "text", checkpointEvery = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 3L, 4L), (4L, 4L, 6L)),
+      "checkpoint 2: vocab {a,b,c} over 4 tokens; checkpoint 4: +d")
+  }
+
   test("clusterLabels: distinctive terms rank by count x idf") {
     import spark.implicits._
     val docs = Seq((1L, "zebra apple"), (2L, "zebra banana"),

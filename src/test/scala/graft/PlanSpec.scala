@@ -209,7 +209,10 @@ class PlanSpec extends SparkSpec {
     //    q209 (the single corpus-total row of the duplication shares),
     //    q216/q217 (the BOUNDED query batch broadcasts — the serving
     //    pattern's point is few queries against one corpus scan;
-    //    q217 additionally rides the ≤1024-row centroid seed table)
+    //    q217 additionally rides the ≤1024-row centroid seed table),
+    //    q218 (the single stream-total row of the stop-word shares),
+    //    q219 (the |checkpoints|-row broadcast the first-occurrence
+    //    comparisons join against — the calendar-periods analog)
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
@@ -226,6 +229,7 @@ class PlanSpec extends SparkSpec {
       "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
       "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
+      "q218_stopwords", "q219_vocab_growth",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")
