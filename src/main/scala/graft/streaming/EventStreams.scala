@@ -172,6 +172,23 @@ object EventStreams {
         depth, width).as("sketch"))
       .select(col("window.start").as("window_start"), col("sketch"))
 
+  /** Windowed KMV distinct-count sketch over the stream — the
+    * cardinality sibling of [[hourlySketch]]: one mergeable k-minimum-
+    * values state per hour window, so the streamed per-window
+    * distinct-user estimates are BIT-IDENTICAL to the batch sketch
+    * (the internal k-minima state is a set-union fold — associative
+    * and commutative across micro-batch partials; the surfaced value
+    * is the estimate). Requires `Graft.install`.
+    */
+  def hourlyDistinctSketch(events: DataFrame, k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.Graft.kmvSketch(
+        graft.functions.TextFunctions.md5Long(col("user_id").cast("string")),
+        k).as("est_distinct"))
+      .select(col("window.start").as("window_start"), col("est_distinct"))
+
   /** Stream-static incremental dedup — the streaming form of
     * `Dedup.crossCorpusDedup`'s exact probe: every micro-batch of
     * incoming documents is anti-joined against the STATIC corpus hash

@@ -99,6 +99,27 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty && s.head._2.exists(_ > 0), "sketch carries counts")
   }
 
+  test("windowed KMV sketch: micro-batch merged state == batch sketch") {
+    Graft.install(spark)
+    val dir = Files.createTempDirectory("evstream_kmv").toString
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch0.parquet"))
+    Files.copy(src, java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.hourlyDistinctSketch(
+        EventStreams.readEventStream(spark, dir)),
+      "kmv_stream_test", OutputMode.Complete())
+    val batchEvents = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventStreams.hourlyDistinctSketch(
+      batchEvents.union(batchEvents))
+    val s = streamed.orderBy("window_start").collect()
+      .map(r => (r.get(0).toString, r.getDouble(1))).toSeq
+    val b = batch.orderBy("window_start").collect()
+      .map(r => (r.get(0).toString, r.getDouble(1))).toSeq
+    assert(s == b, "KMV minima sets must union to the batch state")
+    assert(s.nonEmpty && s.forall(_._2 > 0), "estimates are positive")
+  }
+
   test("stream-static corpus dedup: overlapping batches screened against " +
        "the static corpus and each other") {
     import org.apache.spark.sql.types._
