@@ -280,6 +280,29 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- per-source corpus-health scorecard: docs, language spread,
+    //      exact avg length, token mass, exact-dup rate — the one
+    //      table a curation run reviews per ingest source ----
+    "q220_source_scorecard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keepers = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("__keeper"))
+      docs.join(keepers, md5(col("text")) === col("__h"))
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__nt"),
+          (col("doc_id") =!= col("__keeper")).as("__dup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(col("n_chars").cast("decimal(38,0)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_chars"),
+          sum(col("__nt")).as("total_tokens"),
+          sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_docs"))
+        .withColumn("dup_rate", round(col("dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6))
+        .orderBy(col("source"))
+    },
+
     // ---- stop-word discovery: df-share gate + token-stream share ----
     "q218_stopwords" -> { (s, d) =>
       graft.pipeline.Corpus.stopwordProfile(Tables.documents(s, d),
@@ -460,6 +483,23 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q220_source_scorecard" ->
+        s"""WITH k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+           |  FROM documents GROUP BY 1),
+           |j AS (SELECT d.source, d.lang, d.n_chars,
+           |    len($toksSql)::BIGINT AS nt,
+           |    d.doc_id <> k.keeper AS dup
+           |  FROM documents d JOIN k ON md5(d.text) = k.h)
+           |SELECT source, COUNT(*)::BIGINT AS n_docs,
+           |  COUNT(DISTINCT lang)::BIGINT AS n_langs,
+           |  ROUND(SUM(n_chars::HUGEINT)::DOUBLE / COUNT(*)::DOUBLE, 6)
+           |    AS avg_chars,
+           |  SUM(nt)::BIGINT AS total_tokens,
+           |  SUM(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+           |  ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END)::DOUBLE
+           |    / COUNT(*)::DOUBLE, 6) AS dup_rate
+           |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
       "q218_stopwords" ->
         s"""WITH dfc AS (SELECT term, COUNT(*)::BIGINT AS doc_freq FROM (
