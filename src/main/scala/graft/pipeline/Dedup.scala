@@ -239,6 +239,31 @@ object Dedup {
     // a.blk matches at most one of them per pair
   }
 
+  /** MinHash sketch ACCURACY audit — the q217-for-sketches: per
+    * LSH-candidate pair, the Jaccard ESTIMATE from signature agreement
+    * (matching minima / k) against the exact shingle-set Jaccard, with
+    * the absolute error — how much resemblance fidelity k=16 signatures
+    * actually buy before anyone tunes k. One signature equi-join onto
+    * the verified pair list; the agreement fold is a codegen'd HOF.
+    */
+  def minhashAccuracy(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .withColumn("est_jaccard", round(
+        expr("""aggregate(zip_with(__sa, __sb,
+             |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+             |  0, (a, b) -> a + b)""".stripMargin).cast("double") /
+          lit(k.toDouble), 6))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .select("id_a", "id_b", "jaccard", "est_jaccard", "abs_err")
+  }
+
   /** Quality-based keeper selection: per near-dup cluster, keep the
     * BEST copy (longest text, ties to the smallest id) instead of the
     * min-id convention — what a production dedup actually ships (the

@@ -280,6 +280,14 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- MinHash accuracy audit: signature-agreement Jaccard
+    //      estimate vs the exact value per candidate pair ----
+    "q221_minhash_accuracy" -> { (s, d) =>
+      Dedup.minhashAccuracy(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- per-source corpus-health scorecard: docs, language spread,
     //      exact avg length, token mass, exact-dup rate — the one
     //      table a curation run reviews per ingest source ----
@@ -483,6 +491,29 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q221_minhash_accuracy" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+           |sg AS (SELECT doc_id, ${minhashSql("ss", k)} AS sig FROM sh),
+           |banded AS (SELECT doc_id, unnest(${bandsSql(minhashSql("ss", k), bands, rowsPer)}) AS band_key FROM sh),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band_key = y.band_key
+           |  WHERE x.doc_id < y.doc_id),
+           |p AS (SELECT c.id_a, c.id_b,
+           |    ${jaccardSql("a.ss", "b.ss")} AS jaccard
+           |  FROM cand c JOIN sh a ON c.id_a = a.doc_id
+           |  JOIN sh b ON c.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5)
+           |SELECT p.id_a, p.id_b, p.jaccard,
+           |  ROUND(len(list_filter(list_zip(sa.sig, sb.sig),
+           |    z -> z[1] = z[2]))::DOUBLE / $k.0, 6) AS est_jaccard,
+           |  ROUND(ABS(len(list_filter(list_zip(sa.sig, sb.sig),
+           |    z -> z[1] = z[2]))::DOUBLE / $k.0 - p.jaccard), 6)
+           |    AS abs_err
+           |FROM p JOIN sg sa ON p.id_a = sa.doc_id
+           |JOIN sg sb ON p.id_b = sb.doc_id
+           |ORDER BY p.id_a, p.id_b""".stripMargin,
 
       "q220_source_scorecard" ->
         s"""WITH k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper

@@ -569,6 +569,23 @@ class PipelineSpec extends SparkSpec {
     assert((r.getDouble(0), r.getLong(1), r.getLong(2)) == (1.0, 0L, 0L))
   }
 
+  test("minhashAccuracy: identical docs estimate 1.0 with zero error") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c d f")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .minhashAccuracy(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    val exactPair = out.find(t => t._1 == 1L && t._2 == 2L).get
+    assert(exactPair._3 == 1.0 && exactPair._4 == 1.0 &&
+      exactPair._5 == 0.0,
+      "identical shingle sets: exact and estimated Jaccard both 1.0")
+    assert(out.forall(t => t._5 >= 0.0 && t._5 <= 1.0),
+      "errors are absolute and bounded")
+  }
+
   test("dupEvidence: shared count, jaccard and the sorted sample") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
