@@ -619,6 +619,26 @@ object EventAnalytics {
         (count(lit(1)) === 1).as("is_bounce"))
   }
 
+  /** Diurnal profile: per key, the hour-of-day activity histogram with
+    * within-key shares — the load-shape fingerprint (bots are flat,
+    * humans have a day) and the capacity-planning input. One 24-cell-
+    * per-key aggregate + a key-total equi-join; shares are one IEEE
+    * division, rounded 6 dp.
+    */
+  def diurnalProfile(events: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame = {
+    val cells = events
+      .groupBy(col(keyCol),
+        expr(s"($tsCol div ${3600L * 1000 * 1000 * 1000}) % 24")
+          .as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col(keyCol)).agg(sum(col("n")).as("__t"))
+    cells.join(tot, Seq(keyCol))
+      .select(col(keyCol), col("hour_of_day"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+  }
+
   /** CUSUM changepoint screen: per key, the period where the cumulative
     * deviation of the activity series from its own mean peaks — the
     * classic level-shift detector (did this source/type change behavior,

@@ -536,6 +536,38 @@ object Corpus {
       .select(col("id").as(idCol))
   }
 
+  /** Deterministic TF-IDF document tags: the k most distinctive terms
+    * per document (term count in doc × corpus idf, micro-nat
+    * integers) — the offline fallback/baseline for an LLM tagger (the
+    * reference's E6 enrichment generates tags by model call; this
+    * produces comparable keyword tags from corpus statistics alone,
+    * reproducibly). One explode + (doc, term) aggregate + vocabulary
+    * idf equi-join + a per-doc window over the doc's own terms.
+    */
+  def tfidfTags(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.count()
+    val terms = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val idf = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .withColumn("__idf_micro",
+        round(log((lit(n) + lit(1.0)).cast("double") /
+          (col("__df") + lit(1)).cast("double")) * lit(1e6)).cast("long"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy((col("__tf") * col("__idf_micro")).desc, col("term").asc)
+    tf.join(idf.select(col("term"), col("__idf_micro")), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"),
+        col("__tf").as("tf"),
+        (col("__tf") * col("__idf_micro")).as("score_micro"))
+  }
+
   /** Stop-word discovery: terms whose document frequency exceeds
     * `dfShare` of the corpus, with their share of the raw TOKEN stream
     * — the data-driven stop list a retrieval/BM25 stack prunes (and

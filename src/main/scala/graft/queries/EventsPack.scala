@@ -461,6 +461,13 @@ object EventsPack extends QueryPack {
       graft.pipeline.Stats.auc(ev, "score_cents", "label")
     },
 
+    // ---- diurnal profile: hour-of-day load shape per event type ----
+    "q223_diurnal" -> { (s, d) =>
+      graft.operators.EventAnalytics.diurnalProfile(Tables.events(s, d),
+          "event_type", "ts_ns")
+        .orderBy(col("event_type"), col("hour_of_day"))
+    },
+
     // ---- linear multi-touch attribution: every pre-conversion touch
     //      in the conversion's SESSION shares equal credit (the
     //      session scope bounds the pairing fan-out) ----
@@ -648,6 +655,18 @@ object EventsPack extends QueryPack {
         |  COUNT(*) = 1 AS is_bounce
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q223_diurnal" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(n)::BIGINT AS tt FROM c
+        |  GROUP BY event_type)
+        |SELECT c.event_type, c.hour_of_day, c.n,
+        |  ROUND(c.n::DOUBLE / t.tt::DOUBLE, 6) AS share
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, hour_of_day""".stripMargin,
 
     "q210_linear_attribution" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,

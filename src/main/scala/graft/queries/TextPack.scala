@@ -280,6 +280,15 @@ object TextPack extends QueryPack {
         "text", minCount = 5L, topK = 20)
     },
 
+    // ---- deterministic TF-IDF tags: top-3 distinctive terms per doc
+    //      (the offline baseline for the reference's E6 LLM tagger) ----
+    "q222_tfidf_tags" -> { (s, d) =>
+      graft.pipeline.Corpus.tfidfTags(
+          Tables.documents(s, d).filter(col("doc_id") < 50),
+          "doc_id", "text", k = 3)
+        .orderBy(col("id"), col("rank"))
+    },
+
     // ---- MinHash accuracy audit: signature-agreement Jaccard
     //      estimate vs the exact value per candidate pair ----
     "q221_minhash_accuracy" -> { (s, d) =>
@@ -491,6 +500,29 @@ object TextPack extends QueryPack {
         s"""SELECT doc_id, lang FROM documents
            |WHERE list_contains($toksSql, 'spark')
            |ORDER BY doc_id""".stripMargin,
+
+      "q222_tfidf_tags" ->
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id < 50),
+           |terms AS (SELECT doc_id AS id, unnest($toksSql) AS term
+           |  FROM d0),
+           |dterms AS (SELECT doc_id AS id, unnest(list_distinct($toksSql))
+           |  AS term FROM d0),
+           |nn AS (SELECT COUNT(*)::BIGINT AS n FROM d0),
+           |idf AS (SELECT term, COUNT(*)::BIGINT AS df FROM dterms
+           |  GROUP BY term),
+           |idfm AS (SELECT term,
+           |  ROUND(LN((n + 1.0) / (df + 1)::DOUBLE) * 1e6)::BIGINT AS im
+           |  FROM idf, nn),
+           |tf AS (SELECT id, term, COUNT(*)::BIGINT AS tf
+           |  FROM terms GROUP BY id, term),
+           |rk AS (SELECT id, term, tf, tf * im AS score,
+           |    ROW_NUMBER() OVER (PARTITION BY id
+           |      ORDER BY tf * im DESC, term ASC) AS rank
+           |  FROM tf JOIN idfm USING (term))
+           |SELECT id, rank::INT AS rank, term, tf,
+           |  score::BIGINT AS score_micro
+           |FROM rk WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
 
       "q221_minhash_accuracy" ->
         s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss

@@ -544,6 +544,31 @@ class PipelineSpec extends SparkSpec {
       "checkpoint 2: vocab {a,b,c} over 4 tokens; checkpoint 4: +d")
   }
 
+  test("tfidfTags: rare repeated terms out-rank corpus-wide commons") {
+    import spark.implicits._
+    val docs = Seq((1L, "zebra zebra common"), (2L, "common apple"),
+      (3L, "common pear")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.tfidfTags(docs, "doc_id", "text", k = 2)
+      .filter(col("id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.head == (1, "zebra", 2L),
+      "tf=2 on a df=1 term beats the df=3 'common'")
+    assert(out(1)._2 == "common")
+  }
+
+  test("diurnalProfile: hour buckets and within-key shares") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    val ev = Seq(("a", 0L), ("a", h / 2), ("a", 5 * h), ("a", 25 * h))
+      .toDF("k", "ts")
+    val out = graft.operators.EventAnalytics.diurnalProfile(ev, "k", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 2L, 0.5), (1L, 1L, 0.25), (5L, 1L, 0.25)),
+      "hour 25 wraps to hour 1; two events share hour 0")
+  }
+
   test("clusterLabels: distinctive terms rank by count x idf") {
     import spark.implicits._
     val docs = Seq((1L, "zebra apple"), (2L, "zebra banana"),
