@@ -229,9 +229,14 @@ object EventAnalytics {
       .withColumn("w_n", count(lit(1)).over(w))
       .withColumn("w_sum", sum(col("n")).over(w))
       .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
-    // var·w² = w·Σx² − (Σx)² — exact integers; z's numerator w·x − Σx too
+    // var·w² = w·Σx² − (Σx)² — exact integers; z's numerator w·x − Σx too.
+    // z_num/z_den2 carry those integers verbatim (z = z_num/√z_den2):
+    // the cross-engine contract compares THEM — int64-exact in any
+    // DuckDB/pyarrow version — while z stays for human consumption.
     val varw2 = col("w_n") * col("w_sumsq") - col("w_sum") * col("w_sum")
     scored.select(col(keyCol), col("period"), col("n"), col("w_n"), col("w_sum"),
+      (col("w_n") * col("n") - col("w_sum")).cast("long").as("z_num"),
+      varw2.cast("long").as("z_den2"),
       when(varw2 > 0,
         round((col("w_n") * col("n") - col("w_sum")).cast("double") /
           sqrt(varw2.cast("double")), 6))

@@ -249,11 +249,16 @@ object EventsPack extends QueryPack {
     },
 
     // ---- trailing-window anomaly z-scores on the daily per-type
-    //      activity series (exact integer window sums) ----
+    //      activity series (exact integer window sums). The contract
+    //      compares the integer z parts (z = z_num/√z_den2) — the
+    //      rounded-double z column was hash-red on the driver's newer
+    //      DuckDB in r5 and is for humans, not the gate ----
     "q130_daily_anomaly" -> { (s, d) =>
       graft.operators.EventAnalytics.rollingAnomaly(Tables.events(s, d),
           "event_type", "ts_ns", periodLength = 86400L * 1000 * 1000 * 1000,
           window = 7)
+        .select(col("event_type"), col("period"), col("n"), col("w_n"),
+          col("w_sum"), col("z_num"), col("z_den2"))
         .orderBy(col("event_type"), col("period"))
     },
 
@@ -1237,6 +1242,8 @@ object EventsPack extends QueryPack {
         |FROM c JOIN tot ON c.prev_type = tot.prev_type
         |ORDER BY c.prev_type, c.next_type""".stripMargin,
 
+    // every SUM-derived output carries ::BIGINT — DuckDB's HUGEINT
+    // (int128) canonicalizes differently across driver versions
     "q130_daily_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS period,
@@ -1245,16 +1252,14 @@ object EventsPack extends QueryPack {
         |w AS (
         |  SELECT event_type, period, n,
         |    COUNT(*) OVER tw AS w_n,
-        |    SUM(n) OVER tw AS w_sum,
-        |    SUM(n * n) OVER tw AS w_sumsq
+        |    CAST(SUM(n) OVER tw AS BIGINT) AS w_sum,
+        |    CAST(SUM(n * n) OVER tw AS BIGINT) AS w_sumsq
         |  FROM daily
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY period
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, period, n, w_n, w_sum,
-        |  CASE WHEN w_n * w_sumsq - w_sum * w_sum > 0 THEN
-        |    ROUND((w_n * n - w_sum)::DOUBLE /
-        |      sqrt((w_n * w_sumsq - w_sum * w_sum)::DOUBLE), 6)
-        |  END AS z
+        |  (w_n * n - w_sum)::BIGINT AS z_num,
+        |  (w_n * w_sumsq - w_sum * w_sum)::BIGINT AS z_den2
         |FROM w ORDER BY event_type, period""".stripMargin,
 
     // round-tripping pivot -> unpivot with zero-drop equals the plain

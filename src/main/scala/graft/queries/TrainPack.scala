@@ -64,7 +64,7 @@ object TrainPack extends QueryPack {
        |  FROM b JOIN u USING (b) GROUP BY b.doc_id),
        |ad AS (SELECT t.doc_id, t.tgt AS is_target,
        |    COALESCE(n_features, 0) AS n_features,
-       |    COALESCE(weight_units, 0) AS weight_units,
+       |    COALESCE(weight_units, 0)::BIGINT AS weight_units,
        |    ROUND(CASE WHEN COALESCE(n_features, 0) = 0 THEN 0.0
        |      ELSE (weight_units::DOUBLE / 1e9) / n_features::DOUBLE END, 6)
        |      AS avg_log_ratio
@@ -118,6 +118,8 @@ object TrainPack extends QueryPack {
     "q117_dsir_weights" -> { (s, d) =>
       Corpus.dsirWeights(Tables.documents(s, d), "doc_id", "text",
           targetPred = col("doc_id") % 10 === 0, n = 2, buckets = 1024)
+        .select(col("doc_id"), col("is_target"), col("n_features"),
+          col("weight_units"))
         .orderBy(col("doc_id"))
     },
 
@@ -633,12 +635,15 @@ object TrainPack extends QueryPack {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // n is SUM-derived: ::BIGINT keeps it off DuckDB's HUGEINT path,
+    // whose driver-side canonicalization made q158 hash-red in r5
     "q158_bpe_merges" ->
       s"""WITH $bpeCtes
-         |SELECT 1 AS round, a AS sym_a, b AS sym_b, n AS pair_count FROM r1
-         |UNION ALL SELECT 2, a, b, n FROM r2
-         |UNION ALL SELECT 3, a, b, n FROM r3
-         |UNION ALL SELECT 4, a, b, n FROM r4
+         |SELECT 1 AS round, a AS sym_a, b AS sym_b,
+         |  n::BIGINT AS pair_count FROM r1
+         |UNION ALL SELECT 2, a, b, n::BIGINT FROM r2
+         |UNION ALL SELECT 3, a, b, n::BIGINT FROM r3
+         |UNION ALL SELECT 4, a, b, n::BIGINT FROM r4
          |ORDER BY round""".stripMargin,
 
     "q185_bpe_encode" ->
@@ -1063,20 +1068,21 @@ object TrainPack extends QueryPack {
          |           ((2 * ki.i + 1) * hv.h + ki.i * ki.i + 98765)
          |             % 2147483647 % 32768 AS bit
          |         FROM hv, ki WHERE is_eval),
-         |tr AS (SELECT doc_id, h, row_number() OVER () AS rid
-         |       FROM hv WHERE NOT is_eval),
-         |pb AS (SELECT tr.doc_id, tr.rid,
+         |tr AS (SELECT doc_id, h, COUNT(*) AS m
+         |       FROM hv WHERE NOT is_eval GROUP BY doc_id, h),
+         |pb AS (SELECT tr.doc_id, tr.h, ANY_VALUE(tr.m) AS m,
          |         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nset
          |       FROM tr CROSS JOIN ki
          |       LEFT JOIN bits b
          |         ON ((2 * ki.i + 1) * tr.h + ki.i * ki.i + 98765)
          |              % 2147483647 % 32768 = b.bit
-         |       GROUP BY tr.doc_id, tr.rid),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
-         |          SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS n_flagged
+         |       GROUP BY tr.doc_id, tr.h),
+         |agg AS (SELECT doc_id, SUM(m)::BIGINT AS n_shingles,
+         |          SUM(CASE WHEN nset = 3 THEN m ELSE 0 END)::BIGINT
+         |            AS n_flagged
          |        FROM pb GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(a.n_shingles, 0) AS n_shingles,
-         |  COALESCE(a.n_flagged, 0) AS n_flagged,
+         |SELECT d.doc_id, COALESCE(a.n_shingles, 0)::BIGINT AS n_shingles,
+         |  COALESCE(a.n_flagged, 0)::BIGINT AS n_flagged,
          |  COALESCE(a.n_flagged, 0) > 0 AS flagged
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
@@ -1171,9 +1177,12 @@ object TrainPack extends QueryPack {
          |LEFT JOIN dup ON doc.doc_id = dup.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // integer-unit contract: weight_units IS the weight (nano-nats ×
+    // n_features); the rounded-double avg_log_ratio was hash-red on
+    // the driver's DuckDB in r5 and stays operator-only
     "q117_dsir_weights" ->
       s"""WITH $dsirAdCtes
-         |SELECT doc_id, is_target, n_features, weight_units, avg_log_ratio
+         |SELECT doc_id, is_target, n_features, weight_units
          |FROM ad ORDER BY doc_id""".stripMargin,
 
     "q123_dsir_resample" -> {

@@ -375,15 +375,17 @@ class PipelineSpec extends SparkSpec {
       .toDF("k", "ts_ns")
     val out = graft.operators.EventAnalytics
       .rollingAnomaly(ev, "k", "ts_ns", periodLength = 10L, window = 3)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+      .select("period", "n", "w_n", "w_sum", "z_num", "z_den2", "z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))
       .sortBy(_._1)
     // p0: w=[1] var 0 -> null; p1: w=[1,3] z=(2*3-4)/sqrt(2*10-16)=1.0;
     // p2: w=[1,3,2] z=(3*2-6)/sqrt(3*14-36)=0.0
     assert((out(0)._1, out(0)._2, out(0)._3, out(0)._4) == ((0L, 1L, 1L, 1L))
-      && out(0)._5.isNaN)
-    assert(out(1) == ((1L, 3L, 2L, 4L, 1.0)))
-    assert(out(2) == ((2L, 2L, 3L, 6L, 0.0)))
+      && out(0)._5 == 0L && out(0)._6 == 0L && out(0)._7.isNaN)
+    assert(out(1) == ((1L, 3L, 2L, 4L, 2L, 4L, 1.0)))
+    assert(out(2) == ((2L, 2L, 3L, 6L, 0L, 6L, 0.0)))
   }
 
   test("scd2History: repeats collapse; intervals chain; last row open") {
