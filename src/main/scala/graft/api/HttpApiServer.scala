@@ -425,7 +425,16 @@ class HttpApiServer(api: WhisperApi, bindPort: Int = 0) {
     Route("GET", "/api/tags", getTagBank),
     Route("GET", "/api/tags/:tag/nodes", nodesByTag),
     Route("POST", "/api/tags/link-all", linkAll),
+    Route("GET", "/api/clusters", getClusters),
   )
+
+  /** The (method, pattern) surface, in registration order — exposed so
+    * the spec can assert the table covers every reference entry point
+    * (main.cpp:125-726 registers 18; r5 shipped 17 because the
+    * finished getClusters handler was never wired in, and no test
+    * could see the omission).
+    */
+  def routeTable: Seq[(String, String)] = routes.map(r => (r.method, r.pattern))
 
   // Registration order matters for GET /api/nodes/count vs :id — count
   // must be tried first, exactly like the reference's insertion order

@@ -266,6 +266,74 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("GET /api/clusters: V8 summary over a live socket (main.cpp:699-726)") {
+    withServer() { (base, _) =>
+      val (es, eb) = send("GET", s"$base/api/clusters")
+      assert(es == 200 && jsonField(eb, "status") == "success")
+      assert(mapper.readTree(eb).get("count").asLong == 0, "empty DB: no clusters")
+
+      // two shared-tag pairs + one isolated node -> 3 components
+      send("POST", s"$base/api/nodes",
+        """{"title":"N1","author":"A","subject":"S","tags":["alpha","x1"]}""".getBytes)
+      send("POST", s"$base/api/nodes",
+        """{"title":"N2","author":"A","subject":"S","tags":["alpha","x2"]}""".getBytes)
+      send("POST", s"$base/api/nodes",
+        """{"title":"N3","author":"A","subject":"S","tags":["beta","y1"]}""".getBytes)
+      send("POST", s"$base/api/nodes",
+        """{"title":"N4","author":"A","subject":"S","tags":["beta","y2"]}""".getBytes)
+      send("POST", s"$base/api/nodes",
+        """{"title":"N5","author":"A","subject":"S","tags":["solo"]}""".getBytes)
+      val (ls, lb) = send("POST", s"$base/api/tags/link-all?threshold=0.3")
+      assert(ls == 200 && mapper.readTree(lb).get("linksCreated").asLong >= 2)
+
+      val (cs, cb) = send("GET", s"$base/api/clusters")
+      assert(cs == 200, cb)
+      val root = mapper.readTree(cb)
+      assert(root.get("status").asText == "success")
+      assert(root.get("count").asLong == 3, s"2 pairs + 1 singleton: $cb")
+      val clusters = root.get("clusters")
+      assert(clusters.size == 3)
+      // reference envelope per cluster: id, nodes, size, sharedTags
+      val first = clusters.get(0)
+      assert(first.has("id") && first.has("nodes") && first.has("size")
+        && first.has("sharedTags"))
+      assert(first.get("size").asLong == 2, "cluster_id assigned size-desc")
+      val byMember = (0 until clusters.size).map(clusters.get)
+        .map(c => ((0 until c.get("nodes").size).map(i =>
+          c.get("nodes").get(i).asLong).sorted, c))
+      val alphaCluster = byMember.find(_._1 == Seq(1L, 2L)).map(_._2)
+      assert(alphaCluster.isDefined, s"nodes 1,2 share 'alpha': $cb")
+      val sharedTags = alphaCluster.get.get("sharedTags")
+      assert((0 until sharedTags.size).map(sharedTags.get(_).asText)
+        .contains("alpha"))
+      assert(byMember.exists(_._1 == Seq(5L)), "isolated node is a singleton cluster")
+    }
+  }
+
+  test("route table covers all 18 reference entry points (main.cpp:125-726)") {
+    // the full §2.7 surface in the reference's registration order; a
+    // route dropped from the table (the r5 /api/clusters miss) fails here
+    val expected = Seq(
+      "GET" -> "/api/nodes", "GET" -> "/api/nodes/count",
+      "GET" -> "/api/nodes/:id", "POST" -> "/api/nodes",
+      "PUT" -> "/api/nodes/:id", "DELETE" -> "/api/nodes/:id",
+      "GET" -> "/api/nodes/:id/files", "POST" -> "/api/nodes/:id/files",
+      "GET" -> "/health", "POST" -> "/test",
+      "POST" -> "/api/cluster", "POST" -> "/api/nodes/:id/embedding",
+      "GET" -> "/api/nodes/:id/similar", "POST" -> "/api/nodes/:id/tags",
+      "GET" -> "/api/tags", "GET" -> "/api/tags/:tag/nodes",
+      "POST" -> "/api/tags/link-all", "GET" -> "/api/clusters")
+    val api = new WhisperApi(WhisperDB.empty(spark),
+      new EnrichService(new MockEmbedder(8), new MockTagger), None)
+    val table = new HttpApiServer(api).routeTable
+    assert(table.size == 18, s"18 reference endpoints, got ${table.size}")
+    assert(table.toSet == expected.toSet,
+      s"missing: ${expected.toSet -- table.toSet}; extra: ${table.toSet -- expected.toSet}")
+    // count-before-:id insertion-order quirk must survive any re-order
+    assert(table.indexOf("GET" -> "/api/nodes/count")
+      < table.indexOf("GET" -> "/api/nodes/:id"))
+  }
+
   test("similar/embedding routes: no-embedding 400, then end-to-end " +
        "similarity with generated embeddings") {
     withServer() { (base, _) =>
