@@ -109,6 +109,15 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
+    // ≤200-byte headline AFTER the full line: the driver's tail-capture
+    // parses the LAST JSON line it sees, and the full per-query map
+    // (~5.8 KB at 215 queries) overflowed the captured tail in r5
+    // (BENCH_r05.json parsed:null) — the headline always fits
+    val ok = results.map(_._2).filter(_ >= 0)
+    val median =
+      if (ok.isEmpty) 0.0
+      else { val s = ok.sorted; s(s.size / 2) }
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"median":${r4(median)},"failed":$failed,"n":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
     try spark.stop() catch { case _: Throwable => () }
   }

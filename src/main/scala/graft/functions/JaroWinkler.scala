@@ -34,13 +34,13 @@ case class JaroWinklerSim(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    Jw.sim(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    Jw.sim(a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.Jw.sim($a.toString(), $b.toString())")
+      (a, b) => s"graft.functions.Jw.sim($a.getBytes(), $b.getBytes())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerSim =
@@ -49,10 +49,21 @@ case class JaroWinklerSim(left: Expression, right: Expression)
 
 /** Static implementation (top-level object ⇒ static forwarder class,
   * callable from generated Java).
+  *
+  * Operates on UTF-8 BYTES, exactly like DuckDB's
+  * `jaro_winkler_similarity` — multi-byte codepoints change match
+  * windows and prefix lengths byte-wise on both engines identically
+  * (a UTF-16 char comparison would diverge from the oracle on
+  * non-ASCII input).
   */
 object Jw {
 
-  def sim(s: String, t: String): Double = {
+  /** Convenience overload for JVM-string callers (tests, API layer). */
+  def sim(s: String, t: String): Double =
+    sim(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def sim(s: Array[Byte], t: Array[Byte]): Double = {
     val ls = s.length; val lt = t.length
     if (ls == 0 || lt == 0) return 0.0
     val window = math.max(math.max(ls, lt) / 2 - 1, 0)
@@ -66,7 +77,7 @@ object Jw {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; m += 1; done = true
         }
         j += 1
@@ -80,7 +91,7 @@ object Jw {
     while (i < ls) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
+        if (s(i) != t(k)) trans += 1
         k += 1
       }
       i += 1
@@ -90,7 +101,7 @@ object Jw {
     if (j0 > 0.7) {
       var p = 0
       val maxP = math.min(4, math.min(ls, lt))
-      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      while (p < maxP && s(p) == t(p)) p += 1
       j0 + p * 0.1 * (1.0 - j0)
     } else j0
   }

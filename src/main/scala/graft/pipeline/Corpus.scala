@@ -547,14 +547,17 @@ object Corpus {
   def tfidfTags(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val n = df.count()
+    // corpus size rides as a broadcast single-row aggregate (the
+    // termDriftTopK idiom) — no driver-side action at plan-build time
+    val nRow = df.agg(count(lit(1)).as("__n"))
     val terms = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val idf = df
       .select(explode(array_distinct(tokens(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nRow))
       .withColumn("__idf_micro",
-        round(log((lit(n) + lit(1.0)).cast("double") /
+        round(log((col("__n") + lit(1)).cast("double") /
           (col("__df") + lit(1)).cast("double")) * lit(1e6)).cast("long"))
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("__tf"))
@@ -578,14 +581,20 @@ object Corpus {
   def stopwordProfile(df: DataFrame, textCol: String,
                       dfShare: Double = 0.5): DataFrame = {
     require(dfShare > 0 && dfShare <= 1, "dfShare in (0, 1]")
-    val n = df.count()
+    // the df gate is an explicit FLOOR on both engines: Spark's long
+    // cast truncates but DuckDB's CAST(x AS BIGINT) rounds-to-nearest,
+    // so a fractional dfShare·n (0.5 × odd corpus) would put the two
+    // gates one apart and flip boundary terms. n itself rides as a
+    // broadcast totals row — no driver-side action at plan-build.
+    val nRow = df.agg(count(lit(1)).as("__nn"))
     val dfCounts = df
       .select(explode(array_distinct(tokens(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val occ = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
     val tot = occ.agg(sum(col("n_occurrences")).as("__t"))
-    dfCounts.filter(col("doc_freq") >= (lit(dfShare) * n).cast("long"))
+    dfCounts.crossJoin(broadcast(nRow))
+      .filter(col("doc_freq") >= floor(lit(dfShare) * col("__nn")).cast("long"))
       .join(occ, Seq("term"))
       .crossJoin(broadcast(tot))
       .select(col("term"), col("doc_freq"), col("n_occurrences"),
@@ -612,9 +621,13 @@ object Corpus {
       .groupBy(col("term")).agg(min(col("__id")).as("__first"))
     val docToks = df.select(col(idCol).as("__id"),
       size(tokens(col(textCol))).cast("long").as("__nt"))
+    // guard: sequence(a, b, step) with b < a throws in Spark where
+    // DuckDB's range() returns empty — a corpus smaller than one
+    // checkpoint interval must yield zero rows, not a runtime error
     val cps = df.agg(max(col(idCol)).as("__mx"))
-      .select(explode(sequence(lit(checkpointEvery), col("__mx"),
-        lit(checkpointEvery))).as("checkpoint"))
+      .select(explode(when(col("__mx") >= checkpointEvery,
+        sequence(lit(checkpointEvery), col("__mx"), lit(checkpointEvery)))
+        .otherwise(typedLit(Array.empty[Long]))).as("checkpoint"))
     val vocab = cps.join(firstDoc,
         col("__first") <= col("checkpoint"), "left")
       .groupBy(col("checkpoint"))
@@ -717,7 +730,13 @@ object Corpus {
     * square rides DECIMAL(38,0) (O·n reaches n² — past int64 at
     * cluster scale) — then quantized to integer micro so the cell SUM
     * is order-independent (a raw double Σ would be partition-
-    * dependent). Output: one row (n, n_cells, dof, chi2_micro).
+    * dependent). The sum runs over the FULL kx·ky grid: an EMPTY
+    * cell's Pearson term (0−E)²/E = r·c/n is nonzero — and largest
+    * exactly when dependence is strongest — so summing observed cells
+    * only would understate χ² while dof still assumed the full grid.
+    * The grid is marginal × marginal (category-count-sized, never
+    * data-sized). Output: one row (n, n_cells, dof, chi2_micro) with
+    * n_cells = kx·ky.
     */
   def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol), col(yCol))
@@ -727,9 +746,9 @@ object Corpus {
     val tot = df.agg(count(lit(1)).as("__n"))
     val nx = mx.agg(count(lit(1)).as("__kx"))
     val ny = my.agg(count(lit(1)).as("__ky"))
-    cells
-      .join(broadcast(mx), Seq(xCol))
-      .join(broadcast(my), Seq(yCol))
+    mx.crossJoin(broadcast(my))
+      .join(cells, Seq(xCol, yCol), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("__d",
         col("__o").cast("decimal(38,0)") * col("__n") -

@@ -577,7 +577,7 @@ object TextPack extends QueryPack {
            |  ROUND(occ.n_occurrences::DOUBLE / tt.t::DOUBLE, 6)
            |    AS stream_share
            |FROM dfc JOIN occ USING (term), nn, tt
-           |WHERE dfc.doc_freq >= CAST(0.5 * nn.n AS BIGINT)
+           |WHERE dfc.doc_freq >= CAST(FLOOR(0.5 * nn.n) AS BIGINT)
            |ORDER BY term""".stripMargin,
 
       "q219_vocab_growth" ->
@@ -810,6 +810,8 @@ object TextPack extends QueryPack {
            |  LIKE '% slow hash batch %'
            |ORDER BY doc_id""".stripMargin,
 
+      // full kx·ky grid (empty cells contribute (0−E)²/E = r·c/n):
+      // grid = marginal CROSS JOIN marginal, observed LEFT-joined in
       "q198_chi_square" ->
         """WITH c AS (SELECT lang, source, COUNT(*)::BIGINT AS o
           |  FROM documents GROUP BY 1, 2),
@@ -821,8 +823,10 @@ object TextPack extends QueryPack {
           |kx AS (SELECT COUNT(*)::BIGINT AS nkx FROM mx),
           |ky AS (SELECT COUNT(*)::BIGINT AS nky FROM my),
           |terms AS (SELECT
-          |    (o::HUGEINT * n - cx::HUGEINT * cy) AS d, cx, cy, n
-          |  FROM c JOIN mx USING (lang) JOIN my USING (source), t)
+          |    (COALESCE(c.o, 0)::HUGEINT * n - mx.cx::HUGEINT * my.cy)
+          |      AS d, mx.cx, my.cy, n
+          |  FROM mx CROSS JOIN my
+          |  LEFT JOIN c ON c.lang = mx.lang AND c.source = my.source, t)
           |SELECT MAX(n)::BIGINT AS n, COUNT(*)::BIGINT AS n_cells,
           |  (SELECT (nkx - 1) * (nky - 1) FROM kx, ky)::BIGINT AS dof,
           |  SUM(ROUND((d * d)::DOUBLE / (cx::DOUBLE * cy::DOUBLE)

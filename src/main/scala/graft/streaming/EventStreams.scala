@@ -409,8 +409,18 @@ object EventStreams {
     @volatile var state = initialLabels.localCheckpoint()
     val fold: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
+        val b = batch.toDF()
+        // seed self-labels for endpoints first seen in THIS batch:
+        // incrementalComponents' inner label-join silently drops any
+        // edge whose endpoint has no label row, so a live crawl would
+        // otherwise lose every merge involving a brand-new vertex
+        val eps = b.select(col("src").as("id"))
+          .union(b.select(col("dst").as("id"))).distinct()
+        val seeded = state.union(
+          eps.join(state, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("component")))
         state = graft.graph.Components
-          .incrementalComponents(state, batch.toDF())
+          .incrementalComponents(seeded, b)
           .localCheckpoint()
       }
     val q = edges.writeStream

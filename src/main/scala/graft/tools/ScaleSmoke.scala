@@ -40,11 +40,15 @@ import org.apache.spark.sql.functions._
   *     dim 64. Graph degree stays constant as n grows: the curve in
   *     this mode is the engine's own scaling, not the workload's.
   *
-  * Usage: tools/scale_smoke.sh [sfDir] [copies] [mode]
+  * Usage: tools/scale_smoke.sh [sfDir] [copies] [mode] [only]
   *   copies=10  → ~sf1-equivalent  (20k vectors)
   *   copies=100 → ~sf10-equivalent (200k vectors, ~6M corpus shingle rows)
   *   mode = dense | constant (writes scale_smoke.json /
-  *     scale_smoke_constant.json respectively)
+  *     scale_smoke_constant.json; constant at copies≠100 stamps the
+  *     multiplier into the name, e.g. scale_smoke_constant_1000x.json)
+  *   only = optional comma list of sections (cc,pagerank,kmeans,lpa,
+  *     dedup,pq_adc,bloom,editdist,tfidfcos,curation) — a deep soak at
+  *     1000× runs just the dominant pipelines instead of all ten
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -52,6 +56,10 @@ object ScaleSmoke {
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val mode = args.drop(2).headOption.getOrElse("dense")
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
+    val only: Set[String] = args.drop(3).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def enabled(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -70,13 +78,15 @@ object ScaleSmoke {
       }
     })
 
+    val vectorSections =
+      Seq("cc", "pagerank", "kmeans", "lpa", "pq_adc").exists(enabled)
     val base = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val n0 = base.count()
+    val n0 = if (vectorSections) base.count() else 0L
     // deterministic copies: copy c shifts ids by c*n0 and perturbs
     // element i by ((i*31 + c*17) % 7 - 3) * 0.002 — neighborhoods
     // survive, copies stay distinct
-    val embN = (0 until copies).map { c =>
+    lazy val embN = (0 until copies).map { c =>
       val shiftedId = (col("vec_id") + lit(c.toLong * n0)).as("vec_id")
       val replica =
         if (mode == "constant")
@@ -92,12 +102,14 @@ object ScaleSmoke {
               .cast("float"))
       base.select(shiftedId, replica.as("embedding"))
     }.reduce(_ unionAll _).cache()
-    val n = embN.count()
+    val n = if (vectorSections) embN.count() else 0L
 
     // size the band-key space to the data: ~500 vectors per bucket per
     // band keeps the verify join linear in n (see scaladoc)
     val bitsPerBand = math.min(16, math.max(4,
-      (math.log(n / 500.0) / math.log(2)).ceil.toInt))
+      (math.log(math.max(n, 1L) / 500.0) / math.log(2)).ceil.toInt))
+
+    val fields = scala.collection.mutable.ListBuffer[String]()
 
     // stage-completed events arrive on the async listener bus AFTER the
     // action returns — poll the counter to stability before taking a
@@ -115,17 +127,37 @@ object ScaleSmoke {
       (a, dt, settleShuffle() - s0)
     }
 
-    // --- q74 shape: LSH candidate edges → RDD pointer-jumping CC ---
-    val (ccRows, ccSec, ccShuf) = timed {
-      val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
-        embN, "vec_id", "embedding", threshold = 0.4,
-        bands = 3, bitsPerBand = bitsPerBand)
-      graft.graph.Components.connectedComponentsFast(
-        embN.select("vec_id"), pairs.select("id_a", "id_b")).count()
+    // --- q74 shape: LSH candidate edges → RDD pointer-jumping CC.
+    // Fixed-point adequacy is MEASURED, not assumed (r5 verdict): after
+    // convergence every candidate edge must connect same-labeled
+    // vertices — a nonzero violation count means the loop stopped short
+    // and the run fails loudly ---
+    if (enabled("cc")) {
+      val ((ccRows, ccViol), ccSec, ccShuf) = timed {
+        val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
+            embN, "vec_id", "embedding", threshold = 0.4,
+            bands = 3, bitsPerBand = bitsPerBand)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint() // CC and the fixed-point audit both read it
+        val labels = graft.graph.Components.connectedComponentsFast(
+          embN.select("vec_id"), pairs).localCheckpoint()
+        val rows = labels.count()
+        val viol = pairs
+          .join(labels.select(col("id").as("id_a"),
+            col("component").as("__la")), Seq("id_a"))
+          .join(labels.select(col("id").as("id_b"),
+            col("component").as("__lb")), Seq("id_b"))
+          .filter(col("__la") =!= col("__lb")).count()
+        (rows, viol)
+      }
+      require(ccViol == 0L,
+        s"CC did NOT reach a fixed point: $ccViol cross-component edges")
+      fields += s""""cc_rows":$ccRows,"cc_label_violations":$ccViol,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf"""
     }
 
     // --- q98 shape: 3-iteration integer PageRank over the same graph ---
-    val (prRows, prSec, prShuf) = timed {
+    if (enabled("pagerank")) {
+      val (prRows, prSec, prShuf) = timed {
       val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
         embN, "vec_id", "embedding", threshold = 0.4,
         bands = 3, bitsPerBand = bitsPerBand)
@@ -134,32 +166,40 @@ object ScaleSmoke {
       val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
       // default 1e12 scale caps at ~9e4 vertices; micro-unit scale has
       // overflow headroom to ~9e10 (see PageRank scaladoc)
-      graft.graph.PageRank.run(embN.select("vec_id"), sym.toDF("src", "dst"),
-        iters = 3, scale = 1000000L).count()
+        graft.graph.PageRank.run(embN.select("vec_id"), sym.toDF("src", "dst"),
+          iters = 3, scale = 1000000L).count()
+      }
+      fields += s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf"""
     }
 
     // --- q118 shape: 2-round Lloyd k-means fit. Each round is one
     // scan × broadcast-k E-step + a (centroid, pos)-keyed partial-sum
     // shuffle of k×d rows — cost linear in n, model size constant ---
-    val (kmRows, kmSec, kmShuf) = timed {
-      graft.similarity.SimilarityOps.kmeansFit(
-        embN, "vec_id", "embedding", k = 256, iters = 2).count()
+    if (enabled("kmeans")) {
+      val (kmRows, kmSec, kmShuf) = timed {
+        graft.similarity.SimilarityOps.kmeansFit(
+          embN, "vec_id", "embedding", k = 256, iters = 2).count()
+      }
+      fields += s""""kmeans_rows":$kmRows,"kmeans_sec":${f"$kmSec%.2f"},"kmeans_shuffle_bytes":$kmShuf"""
     }
 
     // --- q122 shape: 2-round synchronous label propagation over the
     // LSH graph — per round one neighbor-label equi-join + the
     // packed-argmax HashAggregate; the loop shuffle carries only
     // (id, label) pairs ---
-    val (lpRows, lpSec, lpShuf) = timed {
-      val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
-        embN, "vec_id", "embedding", threshold = 0.4,
-        bands = 3, bitsPerBand = bitsPerBand)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
-      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      graft.graph.Components.labelPropagation(
-        embN.select(col("vec_id").as("id")), sym.toDF("src", "dst"),
-        iters = 2).count()
+    if (enabled("lpa")) {
+      val (lpRows, lpSec, lpShuf) = timed {
+        val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
+          embN, "vec_id", "embedding", threshold = 0.4,
+          bands = 3, bitsPerBand = bitsPerBand)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        graft.graph.Components.labelPropagation(
+          embN.select(col("vec_id").as("id")), sym.toDF("src", "dst"),
+          iters = 2).count()
+      }
+      fields += s""""lpa_rows":$lpRows,"lpa_sec":${f"$lpSec%.2f"},"lpa_shuffle_bytes":$lpShuf"""
     }
 
     // --- q92/q101 shape: incremental batch-vs-corpus dedup. Corpus =
@@ -167,19 +207,25 @@ object ScaleSmoke {
     // duplication pattern: every batch doc has `copies` exact twins);
     // batch = one near-dup copy (one token appended, so the MinHash band
     // probe must do real work, not just the md5 exact gate) ---
+    val corpusSections =
+      Seq("dedup", "bloom", "editdist", "tfidfcos", "curation").exists(enabled)
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    val d0 = docs.count()
-    val corpusN = (0 until copies).map { c =>
+    val d0 = if (corpusSections) docs.count() else 0L
+    lazy val corpusN = (0 until copies).map { c =>
       docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"), col("text"))
     }.reduce(_ unionAll _).cache()
-    val nCorpus = corpusN.count()
-    val batch = docs.select(
+    val nCorpus =
+      if (enabled("dedup") || enabled("bloom")) corpusN.count() else 0L
+    lazy val batch = docs.select(
       (col("doc_id") + lit(copies.toLong * d0)).as("doc_id"),
       concat(col("text"), lit(" smokebatch")).as("text"))
-    val (ddRows, ddSec, ddShuf) = timed {
-      graft.pipeline.Dedup.crossCorpusDedupLsh(
-        corpusN, batch, "doc_id", "text").count()
+    if (enabled("dedup")) {
+      val (ddRows, ddSec, ddShuf) = timed {
+        graft.pipeline.Dedup.crossCorpusDedupLsh(
+          corpusN, batch, "doc_id", "text").count()
+      }
+      fields += s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf"""
     }
 
     // --- q113 shape: PQ ADC search over the replicated vectors. Codes
@@ -187,10 +233,13 @@ object ScaleSmoke {
     // an ANN index ships; the LUT is broadcast and the probe is an
     // equi-join on (sub, code) + integer sums, so cost is one pass over
     // codes regardless of dimensionality ---
-    val (pqRows, pqSec, pqShuf) = timed {
-      graft.similarity.SimilarityOps.pqAdcTopK(
-        embN, "vec_id", "embedding", queryId = 0L,
-        m = 8, nCodes = 256, k = 10).count()
+    if (enabled("pq_adc")) {
+      val (pqRows, pqSec, pqShuf) = timed {
+        graft.similarity.SimilarityOps.pqAdcTopK(
+          embN, "vec_id", "embedding", queryId = 0L,
+          m = 8, nCodes = 256, k = 10).count()
+      }
+      fields += s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf"""
     }
 
     // --- q114 shape: Bloom decontamination. The eval side (the base
@@ -198,10 +247,13 @@ object ScaleSmoke {
     // sized to its ~n·50 shingles so kn/m stays ~0.2, and CONSTANT as
     // `copies` grows; the probe side (all replicas) grows with copies
     // but is pure map-side bit tests ---
-    val (blRows, blSec, blShuf) = timed {
-      graft.pipeline.Corpus.bloomDecontaminate(
-        corpusN.unionByName(batch), "doc_id", "text",
-        evalPred = col("doc_id") < d0, bits = 1 << 22).count()
+    if (enabled("bloom")) {
+      val (blRows, blSec, blShuf) = timed {
+        graft.pipeline.Corpus.bloomDecontaminate(
+          corpusN.unionByName(batch), "doc_id", "text",
+          evalPred = col("doc_id") < d0, bits = 1 << 22).count()
+      }
+      fields += s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf"""
     }
 
     // --- q133 shape: FastSS edit-distance-1 join over replicated
@@ -211,16 +263,19 @@ object ScaleSmoke {
     // indexes one digit apart — candidate degree stays ~CONSTANT as
     // copies grow (the engine-scaling mode), and the variant equi-join
     // is the thing being measured ---
-    val cust = graft.Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_name"))
-    val c0 = cust.count()
-    val custN = (0 until copies).map { c =>
-      cust.select((col("c_custkey") + lit(c.toLong * c0)).as("c_custkey"),
-        concat(lit(f"$c%03d-"), col("c_name")).as("c_name"))
-    }.reduce(_ unionAll _)
-    val (edRows, edSec, edShuf) = timed {
-      graft.pipeline.Dedup.editDistancePairs(custN, "c_custkey", "c_name")
-        .count()
+    if (enabled("editdist")) {
+      val cust = graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))
+      val c0 = cust.count()
+      val custN = (0 until copies).map { c =>
+        cust.select((col("c_custkey") + lit(c.toLong * c0)).as("c_custkey"),
+          concat(lit(f"$c%03d-"), col("c_name")).as("c_name"))
+      }.reduce(_ unionAll _)
+      val (edRows, edSec, edShuf) = timed {
+        graft.pipeline.Dedup.editDistancePairs(custN, "c_custkey", "c_name")
+          .count()
+      }
+      fields += s""""editdist_rows":$edRows,"editdist_sec":${f"$edSec%.2f"},"editdist_shuffle_bytes":$edShuf"""
     }
 
     // --- q146 shape: sparse TF-IDF cosine all-pairs via the inverted
@@ -230,13 +285,16 @@ object ScaleSmoke {
     // df (and so the Σ df² join fan-out) stays constant as copies
     // grow. The term equi-join + integer dot aggregate is the thing
     // being measured ---
-    val corpusTagged = (0 until copies).map { c =>
+    lazy val corpusTagged = (0 until copies).map { c =>
       docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"))
     }.reduce(_ unionAll _)
-    val (tcRows, tcSec, tcShuf) = timed {
-      graft.pipeline.Corpus.tfidfCosinePairs(
-        corpusTagged, "doc_id", "text", n = 3, threshold = 0.5).count()
+    if (enabled("tfidfcos")) {
+      val (tcRows, tcSec, tcShuf) = timed {
+        graft.pipeline.Corpus.tfidfCosinePairs(
+          corpusTagged, "doc_id", "text", n = 3, threshold = 0.5).count()
+      }
+      fields += s""""tfidfcos_rows":$tcRows,"tfidfcos_sec":${f"$tcSec%.2f"},"tfidfcos_shuffle_bytes":$tcShuf"""
     }
 
     // --- q200 shape: the full curation DECISION TABLE — exact keeper
@@ -246,43 +304,40 @@ object ScaleSmoke {
     // constant in copies) + a verbatim re-append of copy 0, so every
     // copy-0 doc gains exactly ONE exact twin (the crawl-duplicate
     // pattern) and all three gates do real work ---
-    val curInput = corpusTagged.unionAll(
-      corpusTagged.filter(col("doc_id") < d0)
-        .select((col("doc_id") + lit((copies.toLong + 1) * d0)).as("doc_id"),
-          col("text")))
-    val (cuRows, cuSec, cuShuf) = timed {
-      val exact = curInput.groupBy(md5(col("text")).as("__h"))
-        .agg(min(col("doc_id")).as("__keeper"))
-      val near = graft.pipeline.Dedup.minhashLshPairs(curInput,
-          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-        .withColumn("__near", lit(true))
-      curInput.join(exact, md5(col("text")) === col("__h"))
-        .join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (col("doc_id") =!= col("__keeper")).as("exact_dup"),
-          coalesce(col("__near"), lit(false)).as("near_dup"),
-          (length(col("text")) < 100).as("too_short"))
-        .count()
+    if (enabled("curation")) {
+      val curInput = corpusTagged.unionAll(
+        corpusTagged.filter(col("doc_id") < d0)
+          .select((col("doc_id") + lit((copies.toLong + 1) * d0)).as("doc_id"),
+            col("text")))
+      val (cuRows, cuSec, cuShuf) = timed {
+        val exact = curInput.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("__keeper"))
+        val near = graft.pipeline.Dedup.minhashLshPairs(curInput,
+            "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("__near", lit(true))
+        curInput.join(exact, md5(col("text")) === col("__h"))
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") =!= col("__keeper")).as("exact_dup"),
+            coalesce(col("__near"), lit(false)).as("near_dup"),
+            (length(col("text")) < 100).as("too_short"))
+          .count()
+      }
+      fields += s""""curation_rows":$cuRows,"curation_sec":${f"$cuSec%.2f"},"curation_shuffle_bytes":$cuShuf"""
     }
 
     val json =
       s"""{"metric":"scale_smoke","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
+        s""""sections":"${if (only.isEmpty) "all" else only.toSeq.sorted.mkString("+")}",""" +
         s""""n_vectors":$n,"n_corpus_docs":$nCorpus,"bits_per_band":$bitsPerBand,""" +
-        s""""cc_rows":$ccRows,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf,""" +
-        s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf,""" +
-        s""""kmeans_rows":$kmRows,"kmeans_sec":${f"$kmSec%.2f"},"kmeans_shuffle_bytes":$kmShuf,""" +
-        s""""lpa_rows":$lpRows,"lpa_sec":${f"$lpSec%.2f"},"lpa_shuffle_bytes":$lpShuf,""" +
-        s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf,""" +
-        s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf,""" +
-        s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf,""" +
-        s""""editdist_rows":$edRows,"editdist_sec":${f"$edSec%.2f"},"editdist_shuffle_bytes":$edShuf,""" +
-        s""""tfidfcos_rows":$tcRows,"tfidfcos_sec":${f"$tcSec%.2f"},"tfidfcos_shuffle_bytes":$tcShuf,""" +
-        s""""curation_rows":$cuRows,"curation_sec":${f"$cuSec%.2f"},"curation_shuffle_bytes":$cuShuf,""" +
+        fields.map(_ + ",").mkString +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     val outFile =
-      if (mode == "constant") "scale_smoke_constant.json" else "scale_smoke.json"
+      if (mode == "constant" && copies != 100) s"scale_smoke_constant_${copies}x.json"
+      else if (mode == "constant") "scale_smoke_constant.json"
+      else "scale_smoke.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)

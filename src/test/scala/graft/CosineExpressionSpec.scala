@@ -57,7 +57,15 @@ class CosineExpressionSpec extends SparkSpec {
       ("abcdef", "abzzzz", 0.5555555555555555),  // j <= 0.7: NO boost
       ("ab", "ba", 0.0),                          // window 0, no matches
       ("", "abc", 0.0),                           // empty -> 0 (DuckDB)
-      ("a", "a", 1.0))
+      ("a", "a", 1.0),
+      // non-ASCII: DuckDB compares UTF-8 BYTES, so multi-byte
+      // codepoints change match windows/prefix lengths byte-wise —
+      // the expression must agree on those too (r5 ADVICE: the UTF-16
+      // char walk diverged here)
+      ("café", "cafe", 0.8483333333333334),
+      ("über", "uber", 0.7833333333333333),
+      ("naïve", "naive", 0.8577777777777779),
+      ("東京都", "東京市", 0.8666666666666666))
     val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
       .select(Graft.jaroWinkler(col("a"), col("b")).as("jw"))
     assert(df.collect().map(_.getDouble(0)).toSeq == cases.map(_._3),

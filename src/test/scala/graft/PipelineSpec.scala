@@ -534,6 +534,27 @@ class PipelineSpec extends SparkSpec {
       "only 'the' clears the 50% df gate; 3 of 8 stream tokens")
   }
 
+  test("stopwordProfile: fractional df gate FLOORS (odd corpus × 0.5)") {
+    import spark.implicits._
+    // n=3, dfShare=0.5 -> gate floor(1.5)=1 on BOTH engines; a
+    // round-to-nearest gate (2) would drop the df=1 terms
+    val docs = Seq("the cat", "the dog", "the").toDF("text")
+    val out = graft.pipeline.Corpus.stopwordProfile(docs, "text", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("cat", 1L), ("dog", 1L), ("the", 3L)))
+  }
+
+  test("vocabGrowth: corpus smaller than one checkpoint yields 0 rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    // max(doc_id)=2 < checkpointEvery=10: Spark's sequence(10, 2, 10)
+    // would throw 'Illegal sequence boundaries'; the guard returns the
+    // DuckDB range() semantics — an empty checkpoint set
+    assert(graft.pipeline.Corpus
+      .vocabGrowth(docs, "doc_id", "text", checkpointEvery = 10L)
+      .count() == 0L)
+  }
+
   test("vocabGrowth: cumulative distinct terms via first-occurrence docs") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d"), (4L, "a"))
@@ -981,6 +1002,19 @@ class PipelineSpec extends SparkSpec {
     val r = graft.pipeline.Corpus.chiSquare(indep, "x", "y").collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       (4L, 4L, 1L, 0L))
+  }
+
+  test("chiSquare: empty cells contribute their r·c/n expected term") {
+    import spark.implicits._
+    // perfect association: (a,c),(b,d) observed; (a,d),(b,c) EMPTY.
+    // Each of the 4 grid cells contributes (O·n−r·c)²/(r·c·n) = 0.5,
+    // so χ² = n = 2 — an observed-cells-only sum would halve it to 1
+    // exactly where dependence is strongest (the r5 ADVICE finding)
+    val assoc = Seq(("a", "c"), ("b", "d")).toDF("x", "y")
+    val r = graft.pipeline.Corpus.chiSquare(assoc, "x", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 4L, 1L, 2000000L),
+      "n_cells is the FULL kx·ky grid; chi2 = 2.0 in micro units")
   }
 
   test("periodChanges: calendar lag, not positional — gaps give NULL") {

@@ -313,6 +313,30 @@ class StreamingSpec extends SparkSpec {
       streamed.count(_._2 == 100L) == 3, "chain -> 0, triangle -> 100")
   }
 
+  test("streaming incremental CC seeds vertices first seen in a batch") {
+    import spark.implicits._
+    // initial labels know ONLY vertex 0; every other vertex arrives
+    // with the edge stream (the live-crawl case: a new page links an
+    // old one). Batch 0 even brings an edge whose BOTH endpoints are
+    // new (10-11) — before the seeding fix those merges were silently
+    // dropped by the label inner-join.
+    val dir = Files.createTempDirectory("edge_stream_seed").toString
+    Seq((0L, 1L), (10L, 11L)).toDF("src", "dst").coalesce(1)
+      .write.parquet(s"$dir/b0.parquet.d")
+    Seq((1L, 2L), (11L, 12L)).toDF("src", "dst").coalesce(1)
+      .write.parquet(s"$dir/b1.parquet.d")
+    val schema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*.d")
+    val init = Seq((0L, 0L)).toDF("id", "component")
+    val labels = EventStreams.incrementalCcStream(stream, init)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(labels.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 10L), (11L, 10L), (12L, 10L)),
+      s"new vertices self-seed then merge: ${labels.toSeq}")
+  }
+
   test("streaming incremental checksum equals the batch table checksum") {
     val dir = Files.createTempDirectory("evstream_ck").toString
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
