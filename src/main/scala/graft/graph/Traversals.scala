@@ -287,4 +287,37 @@ object Traversals {
       .select(col("id"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Degree-mixing (assortativity) sufficient statistics: one row of
+    * exact BIGINT sums over the SYMMETRIZED edge list from which
+    * Newman's degree assortativity coefficient is one division —
+    * r = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with x the source degree and
+    * y the destination degree of each directed orientation (so
+    * Σx = Σy and Σxx = Σyy; only the independent sums ship). A hubby
+    * crawl graph (hubs linking leaves) goes negative; a near-dup
+    * cluster graph (cliques) goes positive — a cheap one-row shape
+    * audit before anyone runs community detection.
+    *
+    * Input: canonical distinct pairs (id_a < id_b). Shape: one degree
+    * aggregate (vertex-sized), two vertex-sized equi-joins to label
+    * edge endpoints, one global sum — never pairwise; the single-row
+    * output is the broadcast-totals idiom. Degrees are bounded by the
+    * LSH bucket cap so the BIGINT products hold far past test scale.
+    */
+  def degreeMixing(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("id_a", "id_b")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct()
+      .localCheckpoint() // degree aggregate + endpoint labeling both read it
+    val deg = p.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    p.join(deg.select(col("id").as("id_a"), col("deg").as("__da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("__db")), "id_b")
+      .agg(
+        (lit(2L) * count(lit(1))).as("n_endpoints"),
+        sum(col("__da") + col("__db")).as("sum_x"),
+        sum(col("__da") * col("__da") + col("__db") * col("__db"))
+          .as("sum_xx"),
+        (lit(2L) * sum(col("__da") * col("__db"))).as("sum_xy"))
+  }
 }

@@ -329,4 +329,36 @@ object TextAnalysis {
         .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double")), 6)
         .as("repetition_ratio"))
   }
+
+  /** Readability profile (Flesch-style complexity gate for curation):
+    * sentence count ([.!?]+ runs, floored at 1 so a fragment counts as
+    * one sentence), word count, vowel-group count (the classic
+    * syllable estimate: maximal [aeiouy]+ runs, case-insensitive), and
+    * the two Flesch ratios + score in MILLI units via floored integer
+    * division — `floor` on non-negative ratios is engine-identical
+    * (DuckDB `//`), where round(x, 6) doubles were the r5 hash-red
+    * class. flesch_milli = 206835 − ⌊1015·w/s⌋ − ⌊84600·v/w⌋ (each
+    * term floored, then exact integer subtraction). Pure column
+    * expressions — at 100 TB this runs at scan speed, shuffle-free.
+    */
+  def readabilityProfile(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val w = size(tokens(col(textCol))).cast("long")
+    val s = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val v = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    val wps = floor(lit(1000L) * w / s).cast("long")
+    val vpw = when(w === 0, lit(0L))
+      .otherwise(floor(lit(1000L) * v / w)).cast("long")
+    val flesch = lit(206835L) - floor(lit(1015L) * w / s).cast("long") -
+      when(w === 0, lit(0L)).otherwise(floor(lit(84600L) * v / w).cast("long"))
+    df.select(
+      col(idCol),
+      s.as("n_sentences"),
+      w.as("n_words"),
+      v.as("n_vowel_groups"),
+      wps.as("words_per_sentence_milli"),
+      vpw.as("vowels_per_word_milli"),
+      flesch.as("flesch_milli"))
+  }
 }

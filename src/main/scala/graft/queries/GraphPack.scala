@@ -206,6 +206,34 @@ object GraphPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // ---- partition QUALITY of the q122 LPA communities: per-cluster
+    //      size, intra-edge count, degree mass, cut edges — modularity
+    //      and conductance are one division away, but the contract
+    //      ships only engine-proof BIGINT counts ----
+    "q224_partition_quality" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // LPA and the quality table both read it
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      val labels = Components.labelPropagation(
+        emb.select(col("vec_id").as("id")), sym.toDF("src", "dst"), iters = 2)
+      Components.partitionQuality(labels, pairs).orderBy(col("label"))
+    },
+
+    // ---- degree assortativity sufficient statistics (one exact-
+    //      integer row): is the similarity graph hubby (r<0) or
+    //      clique-like (r>0)? The shape audit before community
+    //      detection ----
+    "q226_assortativity" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      Traversals.degreeMixing(pairs)
+    },
+
     // ---- HITS hubs & authorities over the DIRECTED (low-id → high-id)
     //      LSH similarity graph: integer micro-unit scores with L∞
     //      normalization, two rounds; edges materialized once ----
@@ -386,6 +414,35 @@ object GraphPack extends QueryPack {
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold""".stripMargin
   }
 
+  /** Two synchronous LPA rounds over the q122 LSH graph — the CTE
+    * chain `p` (edges), `sym`, `l0`..`l2` (labels per round) shared by
+    * the q122 and q224 oracles so the replay can never diverge between
+    * them. Min-label tie-break via ROW_NUMBER(c DESC, label ASC),
+    * matching `Components.labelPropagation`'s packed-argmax exactly.
+    */
+  private def lpa2Ctes: String =
+    s"""p AS ($lshEdgesSql),
+       |sym AS (SELECT ia AS src, ib AS dst FROM p
+       |        UNION ALL SELECT ib, ia FROM p),
+       |l0 AS (SELECT vec_id AS id, CAST(vec_id AS BIGINT) AS label
+       |       FROM embeddings),
+       |n1 AS (SELECT s.dst AS id, l.label, COUNT(*) AS c
+       |       FROM sym s JOIN l0 l ON s.src = l.id GROUP BY s.dst, l.label),
+       |b1 AS (SELECT id, label FROM (
+       |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+       |           ORDER BY c DESC, label ASC) AS rn FROM n1) t
+       |       WHERE rn = 1),
+       |l1 AS (SELECT l0.id, COALESCE(b1.label, l0.label) AS label
+       |       FROM l0 LEFT JOIN b1 USING (id)),
+       |n2 AS (SELECT s.dst AS id, l.label, COUNT(*) AS c
+       |       FROM sym s JOIN l1 l ON s.src = l.id GROUP BY s.dst, l.label),
+       |b2 AS (SELECT id, label FROM (
+       |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+       |           ORDER BY c DESC, label ASC) AS rn FROM n2) t
+       |       WHERE rn = 1),
+       |l2 AS (SELECT l1.id, COALESCE(b2.label, l1.label) AS label
+       |       FROM l1 LEFT JOIN b2 USING (id))""".stripMargin
+
   /** Full 40-bit md5 fold (first 10 hex chars, no modulus) — the
     * DuckDB replay of `Traversals.deterministicWalks`' neighbor hash.
     */
@@ -454,28 +511,44 @@ object GraphPack extends QueryPack {
       (ccSql(lshEdgesSql, "embeddings", "vec_id") + "\nORDER BY id"),
 
     "q122_label_propagation" ->
-      s"""WITH p AS ($lshEdgesSql),
-         |sym AS (SELECT ia AS src, ib AS dst FROM p
-         |        UNION ALL SELECT ib, ia FROM p),
-         |l0 AS (SELECT vec_id AS id, CAST(vec_id AS BIGINT) AS label
-         |       FROM embeddings),
-         |n1 AS (SELECT s.dst AS id, l.label, COUNT(*) AS c
-         |       FROM sym s JOIN l0 l ON s.src = l.id GROUP BY s.dst, l.label),
-         |b1 AS (SELECT id, label FROM (
-         |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
-         |           ORDER BY c DESC, label ASC) AS rn FROM n1) t
-         |       WHERE rn = 1),
-         |l1 AS (SELECT l0.id, COALESCE(b1.label, l0.label) AS label
-         |       FROM l0 LEFT JOIN b1 USING (id)),
-         |n2 AS (SELECT s.dst AS id, l.label, COUNT(*) AS c
-         |       FROM sym s JOIN l1 l ON s.src = l.id GROUP BY s.dst, l.label),
-         |b2 AS (SELECT id, label FROM (
-         |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
-         |           ORDER BY c DESC, label ASC) AS rn FROM n2) t
-         |       WHERE rn = 1),
-         |l2 AS (SELECT l1.id, COALESCE(b2.label, l1.label) AS label
-         |       FROM l1 LEFT JOIN b2 USING (id))
+      s"""WITH $lpa2Ctes
          |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+
+    // partition-quality replay: label q122's edge set with its LPA-2
+    // labels, then the three keyed counts; ::BIGINT everywhere a SUM/
+    // COUNT ships (the r5 HUGEINT lesson)
+    "q224_partition_quality" ->
+      s"""WITH $lpa2Ctes,
+         |le AS (SELECT x.label AS la, y.label AS lb
+         |       FROM p JOIN l2 x ON p.ia = x.id JOIN l2 y ON p.ib = y.id),
+         |intra AS (SELECT la AS label, COUNT(*)::BIGINT AS intra_edges
+         |          FROM le WHERE la = lb GROUP BY la),
+         |degm AS (SELECT label, COUNT(*)::BIGINT AS degree_sum FROM (
+         |           SELECT la AS label FROM le
+         |           UNION ALL SELECT lb FROM le) u GROUP BY label),
+         |sz AS (SELECT label, COUNT(*)::BIGINT AS n_nodes
+         |       FROM l2 GROUP BY label)
+         |SELECT sz.label, sz.n_nodes,
+         |  COALESCE(i.intra_edges, 0)::BIGINT AS intra_edges,
+         |  COALESCE(d.degree_sum, 0)::BIGINT AS degree_sum,
+         |  (COALESCE(d.degree_sum, 0) - 2 * COALESCE(i.intra_edges, 0))::BIGINT
+         |    AS boundary_edges
+         |FROM sz LEFT JOIN degm d USING (label)
+         |LEFT JOIN intra i USING (label)
+         |ORDER BY label""".stripMargin,
+
+    // assortativity sufficient statistics: exact integer sums over the
+    // symmetrized edge list (both orientations ride one directed scan)
+    "q226_assortativity" ->
+      s"""WITH p AS ($lshEdgesSql),
+         |d AS (SELECT id, COUNT(*)::BIGINT AS deg FROM (
+         |        SELECT ia AS id FROM p UNION ALL SELECT ib FROM p) u
+         |      GROUP BY id)
+         |SELECT (2 * COUNT(*))::BIGINT AS n_endpoints,
+         |  SUM(da.deg + db.deg)::BIGINT AS sum_x,
+         |  SUM(da.deg * da.deg + db.deg * db.deg)::BIGINT AS sum_xx,
+         |  (2 * SUM(da.deg * db.deg))::BIGINT AS sum_xy
+         |FROM p JOIN d da ON p.ia = da.id JOIN d db ON p.ib = db.id""".stripMargin,
 
     "q111_lsh_degree" ->
       s"""WITH p AS (${lshEdgesSqlAt(0.3)}),

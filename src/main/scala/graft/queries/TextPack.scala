@@ -118,6 +118,14 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Flesch-style readability profile: sentence/word/vowel-group
+    //      counts + milli-unit ratios via floored integer division
+    //      (engine-identical, no rounded doubles in the contract) ----
+    "q225_readability" -> { (s, d) =>
+      TextAnalysis.readabilityProfile(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- character-entropy compressibility gate (nano-nat exact) ----
     "q125_char_entropy" -> { (s, d) =>
       TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
@@ -726,6 +734,25 @@ object TextPack extends QueryPack {
            |FROM sh a, sh b
            |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // floored integer division (//) on non-negative operands matches
+      // Spark's floor(1000*x/y) exactly; the fragment floor (s >= 1)
+      // matches greatest(regexp_count, 1)
+      "q225_readability" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  len($toksSql)::BIGINT AS w,
+           |  GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+           |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS v
+           |  FROM documents)
+           |SELECT doc_id, s AS n_sentences, w AS n_words,
+           |  v AS n_vowel_groups,
+           |  ((1000 * w) // s)::BIGINT AS words_per_sentence_milli,
+           |  (CASE WHEN w = 0 THEN 0 ELSE (1000 * v) // w END)::BIGINT
+           |    AS vowels_per_word_milli,
+           |  (206835 - (1015 * w) // s
+           |    - CASE WHEN w = 0 THEN 0 ELSE (84600 * v) // w END)::BIGINT
+           |    AS flesch_milli
+           |FROM t ORDER BY doc_id""".stripMargin,
 
       "q125_char_entropy" ->
         s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

@@ -1004,6 +1004,26 @@ class PipelineSpec extends SparkSpec {
       (4L, 4L, 1L, 0L))
   }
 
+  test("readabilityProfile: hand-counted sentences/words/vowel groups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world. It is good?"), // s=2, w=5, v=6 (e,o|o|i|i|oo)
+      (2L, ""),                          // fragment floor: s=1, w=0, v=0
+      (3L, "abc def"))                   // s=1, w=2, v=2 (a|e)
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .readabilityProfile(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      // flesch_milli = 206835 - (1015*w)//s - (84600*v)//w, all floored
+      (1L, 2L, 5L, 6L, 2500L, 1200L, 206835L - 2537L - 101520L),
+      (2L, 1L, 0L, 0L, 0L, 0L, 206835L),
+      (3L, 1L, 2L, 2L, 2000L, 1000L, 206835L - 2030L - 84600L)))
+  }
+
   test("chiSquare: empty cells contribute their r·c/n expected term") {
     import spark.implicits._
     // perfect association: (a,c),(b,d) observed; (a,d),(b,c) EMPTY.

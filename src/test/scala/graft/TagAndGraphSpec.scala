@@ -346,4 +346,58 @@ class TagAndGraphSpec extends SparkSpec {
       .sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("partitionQuality: two bridged triangles; modularity reconstructs") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; labels = the
+    // obvious 2-cluster partition. m = 7 edges. Per cluster: 3 nodes,
+    // 3 intra edges, degree mass 2+2+3 = 7, cut = 7 - 2*3 = 1.
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "label")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.graph.Components.partitionQuality(labels, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((10L, 3L, 3L, 7L, 1L), (20L, 3L, 3L, 7L, 1L)))
+    // Newman modularity from the shipped integers:
+    // Q = sum_c (4*m*m_c - d_c^2) / (4*m^2) = (35 + 35) / 196
+    val m = out.map(_._4).sum / 2
+    val qNum = out.map { case (_, _, mc, dc, _) => 4 * m * mc - dc * dc }.sum
+    assert(m == 7L && qNum == 70L && 4 * m * m == 196L)
+  }
+
+  test("partitionQuality: labels with no edges get zero-count rows") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
+    val pairs = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).filter(lit(false))
+    val out = graft.graph.Components.partitionQuality(labels, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 0L, 0L, 0L), (2L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("degreeMixing: path of three is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // path 1-2-3: degrees (1, 2, 1); symmetrized endpoint pairs
+    // (1,2),(2,1),(2,1),(1,2) -> n=4, sum_x=6, sum_xx=10, sum_xy=8
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = graft.graph.Traversals.degreeMixing(pairs).collect()(0)
+    val (n, sx, sxx, sxy) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((n, sx, sxx, sxy) == (4L, 6L, 10L, 8L))
+    // Pearson over the symmetrized multiset: (n*sxy - sx^2)/(n*sxx - sx^2)
+    assert((n * sxy - sx * sx).toDouble / (n * sxx - sx * sx) == -1.0)
+    // a triangle (regular graph) has zero variance -> 0/0 guard stays
+    // the CALLER's division; the sums themselves are well-defined
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val t = graft.graph.Traversals.degreeMixing(tri).collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) ==
+      (6L, 12L, 24L, 24L))
+  }
 }
