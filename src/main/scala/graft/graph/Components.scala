@@ -316,6 +316,33 @@ object Components {
       .select("cluster_id", "cluster_size", "member_ids", "shared_tags")
   }
 
+  /** Cluster correspondence between two labelings of (partly) shared
+    * vertices — the incremental-crawl stability audit: one row per
+    * (old_component, new_component) pair that shares members, with the
+    * shared count and both cluster sizes. `n_shared < old_size` on
+    * every row of an old cluster ⇒ it SPLIT; two old components mapping
+    * to one new ⇒ they MERGED; `old_size = new_size = n_shared` ⇒
+    * stable. All-BIGINT output. Shape: one vertex-sized equi-join +
+    * one keyed count + two size aggregates joined back — never
+    * pairwise, cost two shuffles of the label tables at any scale.
+    */
+  def clusterEvolution(oldCc: DataFrame, newCc: DataFrame): DataFrame = {
+    val o = oldCc.toDF("id", "component")
+    val n = newCc.toDF("id", "component")
+    val oldSz = o.groupBy(col("component").as("old_component"))
+      .agg(count(lit(1)).as("old_size"))
+    val newSz = n.groupBy(col("component").as("new_component"))
+      .agg(count(lit(1)).as("new_size"))
+    o.select(col("id"), col("component").as("old_component"))
+      .join(n.select(col("id"), col("component").as("new_component")), "id")
+      .groupBy(col("old_component"), col("new_component"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(oldSz, "old_component")
+      .join(newSz, "new_component")
+      .select(col("old_component"), col("new_component"), col("n_shared"),
+        col("old_size"), col("new_size"))
+  }
+
   /** Per-cluster partition-quality table for an undirected graph and a
     * vertex labeling (LPA or CC output): cluster size, intra-cluster
     * edge count, degree mass, and boundary (cut) edges. Newman

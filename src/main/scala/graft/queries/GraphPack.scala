@@ -222,6 +222,30 @@ object GraphPack extends QueryPack {
       Components.partitionQuality(labels, pairs).orderBy(col("label"))
     },
 
+    // ---- cluster EVOLUTION between corpus snapshots: CC labels of
+    //      the old half (vec_id % 2 = 0) vs the grown corpus, joined
+    //      into a (old_cluster, new_cluster, shared, sizes)
+    //      correspondence table — the incremental-crawl stability
+    //      audit (did clusters survive, merge, or split?). ONE
+    //      materialized candidate set feeds both snapshots: sign-LSH
+    //      band keys are per-vector, so the old snapshot's candidate
+    //      pairs are exactly the full set restricted to old
+    //      endpoints — no second LSH pass ----
+    "q227_cluster_evolution" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // both snapshots' CC read it
+      val oldCc = Components.connectedComponentsFast(
+        emb.select("vec_id").filter(col("vec_id") % 2 === 0),
+        pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0))
+      val newCc = Components.connectedComponentsFast(
+        emb.select("vec_id"), pairs)
+      Components.clusterEvolution(oldCc, newCc)
+        .orderBy(col("old_component"), col("new_component"))
+    },
+
     // ---- degree assortativity sufficient statistics (one exact-
     //      integer row): is the similarity graph hubby (r<0) or
     //      clique-like (r>0)? The shape audit before community
@@ -536,6 +560,30 @@ object GraphPack extends QueryPack {
          |FROM sz LEFT JOIN degm d USING (label)
          |LEFT JOIN intra i USING (label)
          |ORDER BY label""".stripMargin,
+
+    // snapshot CCs nest as CTE bodies (a CTE body may carry its own
+    // WITH RECURSIVE); old edges = full candidate set restricted to
+    // old endpoints, exactly like the Spark side's filter
+    "q227_cluster_evolution" -> {
+      val oldEdges =
+        s"SELECT * FROM ($lshEdgesSql) le WHERE ia % 2 = 0 AND ib % 2 = 0"
+      val oldVerts = "(SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) vo"
+      s"""WITH oldcc AS MATERIALIZED (
+         |${ccSql(oldEdges, oldVerts, "vec_id")}),
+         |newcc AS MATERIALIZED (
+         |${ccSql(lshEdgesSql, "embeddings", "vec_id")}),
+         |os AS (SELECT component AS old_component, COUNT(*)::BIGINT AS old_size
+         |       FROM oldcc GROUP BY 1),
+         |ns AS (SELECT component AS new_component, COUNT(*)::BIGINT AS new_size
+         |       FROM newcc GROUP BY 1),
+         |pr AS (SELECT o.component AS old_component,
+         |         n.component AS new_component, COUNT(*)::BIGINT AS n_shared
+         |       FROM oldcc o JOIN newcc n USING (id) GROUP BY 1, 2)
+         |SELECT pr.old_component, pr.new_component, pr.n_shared,
+         |  os.old_size, ns.new_size
+         |FROM pr JOIN os USING (old_component) JOIN ns USING (new_component)
+         |ORDER BY old_component, new_component""".stripMargin
+    },
 
     // assortativity sufficient statistics: exact integer sums over the
     // symmetrized edge list (both orientations ride one directed scan)

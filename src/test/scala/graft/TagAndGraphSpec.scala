@@ -382,6 +382,25 @@ class TagAndGraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 0L, 0L, 0L), (2L, 1L, 0L, 0L, 0L)))
   }
 
+  test("clusterEvolution: detects merges, splits and stable clusters") {
+    import spark.implicits._
+    // old snapshot (evens): {0}, {2}, {4,6}; grown corpus: odd vertex 1
+    // bridges 0 and 2 into {0,1,2}, {4,6} survives verbatim
+    val oldCc = Seq((0L, 0L), (2L, 2L), (4L, 4L), (6L, 4L))
+      .toDF("id", "component")
+    val newCc = Seq((0L, 0L), (1L, 0L), (2L, 0L), (4L, 4L), (6L, 4L))
+      .toDF("id", "component")
+    val out = graft.graph.Components.clusterEvolution(oldCc, newCc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L, 1L, 3L),  // old {0} absorbed into the merged {0,1,2}
+      (2L, 0L, 1L, 1L, 3L),  // old {2} merged into the same new cluster
+      (4L, 4L, 2L, 2L, 2L))) // {4,6} stable: shared == old == new size
+  }
+
   test("degreeMixing: path of three is perfectly disassortative (r = -1)") {
     import spark.implicits._
     // path 1-2-3: degrees (1, 2, 1); symmetrized endpoint pairs
