@@ -804,6 +804,40 @@ object Corpus {
       .select(col("x"), col("y"), col("c_xy"), col("pmi_nano"))
   }
 
+  /** Skip-gram co-occurrence counts (the GloVe / word2vec count
+    * table): for every token position, the ordered (center, context)
+    * pairs within a forward window of `window` positions, aggregated
+    * to (w_a, w_b, n_pairs) and gated by `minCount`. Forward-only
+    * pairs keep every unordered co-occurrence counted exactly once at
+    * each distance (the symmetric table is the union with the swap —
+    * a reader's one-line derivation, not a second scan).
+    *
+    * Shape: positions ride one explode; the window offsets ride a
+    * second explode of a `window`-element literal sequence (map-side,
+    * NO cross join); context lookup is an equi-join on
+    * (doc, position) — vocabulary² never materializes, only observed
+    * pairs. One keyed count ends it. At 100 TB: token-count × window
+    * rows through one shuffle on (doc, pos), then one on (w_a, w_b) —
+    * both linear in corpus size.
+    */
+  def skipgramCooccurrence(df: DataFrame, idCol: String, textCol: String,
+                           window: Int = 2, minCount: Long = 1): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val pos = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
+      .select(col("__id"), explode(transform(col("__tk"),
+        (t, i) => struct((i + lit(1)).as("p"), t.as("w")))).as("__e"))
+      .select(col("__id"), col("__e.p").as("__p"), col("__e.w").as("__w"))
+    val centers = pos.select(col("__id"), col("__w").as("w_a"),
+        explode(sequence(col("__p") + lit(1),
+          col("__p") + lit(window))).as("__p"))
+    centers
+      .join(pos.select(col("__id"), col("__p"), col("__w").as("w_b")),
+        Seq("__id", "__p"))
+      .groupBy(col("w_a"), col("w_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   /** Pointwise mutual-information cells between two categorical
     * columns — the feature-association / corpus-composition profile
     * (is `lang` independent of `source`? which cells drive the

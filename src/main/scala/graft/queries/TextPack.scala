@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, TextAnalysis}
 
 /** Training-data text-pipeline operators over `documents`: token stats,
   * tag-style membership / overlap semi-joins (SURVEY §2.4 T3-T6 shapes),
@@ -116,6 +116,14 @@ object TextPack extends QueryPack {
     "q49_quality_score" -> { (s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- skip-gram co-occurrence counts (the GloVe/word2vec count
+    //      table): forward-window word pairs, observed pairs only ----
+    "q228_skipgram" -> { (s, d) =>
+      Corpus.skipgramCooccurrence(Tables.documents(s, d), "doc_id", "text",
+          window = 2, minCount = 3)
+        .orderBy(col("w_a"), col("w_b"))
     },
 
     // ---- Flesch-style readability profile: sentence/word/vowel-group
@@ -734,6 +742,20 @@ object TextPack extends QueryPack {
            |FROM sh a, sh b
            |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // the k offsets are a bounded 2-row set (window size), not data
+      "q228_skipgram" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |pos AS (SELECT doc_id, u.p AS p, u.w AS w FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+           |    i -> {'p': i, 'w': tk[i]})) AS u FROM t)),
+           |k AS (SELECT unnest(range(1, 3)) AS k),
+           |pr AS (SELECT a.w AS w_a, b.w AS w_b
+           |  FROM pos a CROSS JOIN k
+           |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + k.k)
+           |SELECT w_a, w_b, COUNT(*)::BIGINT AS n_pairs
+           |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 3
+           |ORDER BY w_a, w_b""".stripMargin,
 
       // floored integer division (//) on non-negative operands matches
       // Spark's floor(1000*x/y) exactly; the fragment floor (s >= 1)

@@ -1004,6 +1004,23 @@ class PipelineSpec extends SparkSpec {
       (4L, 4L, 1L, 0L))
   }
 
+  test("skipgramCooccurrence: forward-window pairs, hand-traced") {
+    import spark.implicits._
+    // "a b c a" with window 2: forward pairs are
+    // (a,b),(a,c) from pos1, (b,c),(b,a) from pos2, (c,a) from pos3
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus
+      .skipgramCooccurrence(docs, "doc_id", "text", window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 1L), ("b", "c", 1L), ("c", "a", 1L)))
+    // window never crosses documents: two one-token docs -> no pairs
+    val split = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(graft.pipeline.Corpus
+      .skipgramCooccurrence(split, "doc_id", "text", 2, 1).count() == 0L)
+  }
+
   test("readabilityProfile: hand-counted sentences/words/vowel groups") {
     import spark.implicits._
     val docs = Seq(
