@@ -812,28 +812,27 @@ object Corpus {
     * each distance (the symmetric table is the union with the swap —
     * a reader's one-line derivation, not a second scan).
     *
-    * Shape: positions ride one explode; the window offsets ride a
-    * second explode of a `window`-element literal sequence (map-side,
-    * NO cross join); context lookup is an equi-join on
-    * (doc, position) — vocabulary² never materializes, only observed
-    * pairs. One keyed count ends it. At 100 TB: token-count × window
-    * rows through one shuffle on (doc, pos), then one on (w_a, w_b) —
-    * both linear in corpus size.
+    * Shape: pairs are built MAP-SIDE — per offset k one
+    * `zip_with(slice(tk, 1, n−k), slice(tk, 1+k, n−k), pair)` (the
+    * [[collocationsTopK]] bigram idiom generalized to a window), the
+    * `window` branch arrays concatenated and exploded in place — so
+    * the corpus is scanned ONCE, there is no join at all, and the
+    * single shuffle is the final (w_a, w_b) count. Vocabulary² never
+    * materializes, only observed pairs. At 100 TB: token-count ×
+    * window rows through one keyed aggregate, linear in corpus size.
     */
-  def skipgramCooccurrence(df: DataFrame, idCol: String, textCol: String,
+  def skipgramCooccurrence(df: DataFrame, textCol: String,
                            window: Int = 2, minCount: Long = 1): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val pos = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
-      .select(col("__id"), explode(transform(col("__tk"),
-        (t, i) => struct((i + lit(1)).as("p"), t.as("w")))).as("__e"))
-      .select(col("__id"), col("__e.p").as("__p"), col("__e.w").as("__w"))
-    val centers = pos.select(col("__id"), col("__w").as("w_a"),
-        explode(sequence(col("__p") + lit(1),
-          col("__p") + lit(window))).as("__p"))
-    centers
-      .join(pos.select(col("__id"), col("__p"), col("__w").as("w_b")),
-        Seq("__id", "__p"))
-      .groupBy(col("w_a"), col("w_b"))
+    val branches = (1 to window).map { k =>
+      expr(
+        s"""zip_with(slice(__tk, 1, greatest(size(__tk) - $k, 0)),
+           |  slice(__tk, ${k + 1}, greatest(size(__tk) - $k, 0)),
+           |  (a, b) -> named_struct('x', a, 'y', b))""".stripMargin)
+    }
+    df.select(tokens(col(textCol)).as("__tk"))
+      .select(explode(concat(branches: _*)).as("__b"))
+      .groupBy(col("__b.x").as("w_a"), col("__b.y").as("w_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .filter(col("n_pairs") >= minCount)
   }

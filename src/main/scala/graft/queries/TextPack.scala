@@ -121,7 +121,7 @@ object TextPack extends QueryPack {
     // ---- skip-gram co-occurrence counts (the GloVe/word2vec count
     //      table): forward-window word pairs, observed pairs only ----
     "q228_skipgram" -> { (s, d) =>
-      Corpus.skipgramCooccurrence(Tables.documents(s, d), "doc_id", "text",
+      Corpus.skipgramCooccurrence(Tables.documents(s, d), "text",
           window = 2, minCount = 3)
         .orderBy(col("w_a"), col("w_b"))
     },

@@ -1010,7 +1010,7 @@ class PipelineSpec extends SparkSpec {
     // (a,b),(a,c) from pos1, (b,c),(b,a) from pos2, (c,a) from pos3
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
     val out = graft.pipeline.Corpus
-      .skipgramCooccurrence(docs, "doc_id", "text", window = 2, minCount = 1)
+      .skipgramCooccurrence(docs, "text", window = 2, minCount = 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     assert(out.toSeq == Seq(("a", "b", 1L), ("a", "c", 1L),
@@ -1018,7 +1018,7 @@ class PipelineSpec extends SparkSpec {
     // window never crosses documents: two one-token docs -> no pairs
     val split = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(graft.pipeline.Corpus
-      .skipgramCooccurrence(split, "doc_id", "text", 2, 1).count() == 0L)
+      .skipgramCooccurrence(split, "text", 2, 1).count() == 0L)
   }
 
   test("readabilityProfile: hand-counted sentences/words/vowel groups") {
