@@ -94,4 +94,37 @@ class PropertySpec extends SparkSpec {
       assert(r.getSeq[Long](0).length == 16)
     }
   }
+
+  test("partitionQuality + degreeMixing invariants on the real LSH graph") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = graft.similarity.SimilarityOps
+      .lshCandidatePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, bands = 3, bitsPerBand = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val m = pairs.count()
+    val nV = emb.count()
+    val labels = graft.graph.Components.connectedComponentsFast(
+      emb.select("vec_id"), pairs)
+    val pq = graft.graph.Components.partitionQuality(labels, pairs)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // conservation laws, partition-independent: sizes cover V, degree
+    // mass covers both endpoints of every edge, intra + half the cut
+    // edges cover E
+    assert(pq.map(_._1).sum == nV, "sum(n_nodes) == |V|")
+    assert(pq.map(_._3).sum == 2 * m, "sum(degree_sum) == 2|E|")
+    assert(pq.map(_._2).sum + pq.map(_._4).sum / 2 == m,
+      "sum(intra) + sum(boundary)/2 == |E|")
+    // CC labels put every edge inside a cluster: zero cut edges
+    assert(pq.forall(_._4 == 0L), "CC partition has no boundary edges")
+    val dm = graft.graph.Traversals.degreeMixing(pairs).collect()(0)
+    val (n, sx, sxx, sxy) =
+      (dm.getLong(0), dm.getLong(1), dm.getLong(2), dm.getLong(3))
+    assert(n == 2 * m, "one (x, y) observation per edge orientation")
+    // Cauchy-Schwarz keeps the assortativity coefficient in [-1, 1]
+    val num = (n * sxy - sx * sx).toDouble
+    val den = (n * sxx - sx * sx).toDouble
+    assert(den >= 0 && (den == 0 || math.abs(num / den) <= 1.0 + 1e-9))
+  }
 }
