@@ -114,9 +114,15 @@ object Bench {
     // (~5.8 KB at 215 queries) overflowed the captured tail in r5
     // (BENCH_r05.json parsed:null) — the headline always fits
     val ok = results.map(_._2).filter(_ >= 0)
+    // true median: average the two middle values on even counts (the
+    // upper-middle element alone would bias cross-round comparisons)
     val median =
       if (ok.isEmpty) 0.0
-      else { val s = ok.sorted; s(s.size / 2) }
+      else {
+        val s = ok.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"median":${r4(median)},"failed":$failed,"n":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
     try spark.stop() catch { case _: Throwable => () }

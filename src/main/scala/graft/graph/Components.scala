@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.storage.StorageLevel
@@ -361,10 +361,21 @@ object Components {
     */
   def partitionQuality(labels: DataFrame, pairs: DataFrame): DataFrame = {
     val l = labels.toDF("id", "label")
+    // a label table that misses an edge endpoint must fail LOUDLY: an
+    // inner join would silently drop the edge and every derived count
+    // (intra/degree/cut — and any modularity computed from them) would
+    // be wrong while looking internally consistent
+    def req(c: Column, side: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"partitionQuality: edge endpoint ($side) has no label row")))
+        .otherwise(c)
     val labeled = pairs.toDF("id_a", "id_b")
-      .join(l.select(col("id").as("id_a"), col("label").as("__la")), "id_a")
-      .join(l.select(col("id").as("id_b"), col("label").as("__lb")), "id_b")
-      .select(col("__la"), col("__lb"))
+      .join(l.select(col("id").as("id_a"), col("label").as("__la")),
+        Seq("id_a"), "left")
+      .join(l.select(col("id").as("id_b"), col("label").as("__lb")),
+        Seq("id_b"), "left")
+      .select(req(col("__la"), "id_a").as("__la"),
+        req(col("__lb"), "id_b").as("__lb"))
       .localCheckpoint()
     val intra = labeled.filter(col("__la") === col("__lb"))
       .groupBy(col("__la").as("label"))

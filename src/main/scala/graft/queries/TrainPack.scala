@@ -124,13 +124,18 @@ object TrainPack extends QueryPack {
     },
 
     // ---- the execution half of DSIR: importance-resampling hash gate
-    //      with acceptance ∝ exp(weight), integer-exact normalizer ----
+    //      with acceptance ∝ exp(weight), integer-exact normalizer.
+    //      Contract ships integer columns only (weight_units, not the
+    //      rounded-double avg_log_ratio — the r5 hash-red class q117
+    //      was cured of; the double stays operator-internal as the
+    //      exp() input) ----
     "q123_dsir_resample" -> { (s, d) =>
       val w = Corpus.dsirWeights(Tables.documents(s, d), "doc_id", "text",
           targetPred = col("doc_id") % 10 === 0, n = 2, buckets = 1024)
-        .select(col("doc_id"), col("avg_log_ratio"))
+        .select(col("doc_id"), col("weight_units"), col("avg_log_ratio"))
       Sampling.importanceResample(w, col("doc_id"), "avg_log_ratio",
           targetPermille = 300)
+        .select(col("doc_id"), col("weight_units"), col("keep_permille"))
         .orderBy(col("doc_id"))
     },
 
@@ -1189,13 +1194,13 @@ object TrainPack extends QueryPack {
       val bucket =
         s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000)"
       s"""WITH $dsirAdCtes,
-         |e AS (SELECT doc_id, avg_log_ratio,
+         |e AS (SELECT doc_id, weight_units,
          |    CAST(ROUND(EXP(LEAST(GREATEST(avg_log_ratio, -5.0), 5.0)) * 1e6)
          |      AS BIGINT) AS ev
          |  FROM ad),
          |st AS (SELECT CAST(SUM(ev) AS BIGINT) AS se, COUNT(*) AS n FROM e)
-         |SELECT doc_id, avg_log_ratio,
-         |  LEAST(1000, (300 * ev) // (se // n)) AS keep_permille
+         |SELECT doc_id, weight_units,
+         |  LEAST(1000, (300 * ev) // (se // n))::BIGINT AS keep_permille
          |FROM e, st
          |WHERE $bucket < LEAST(1000, (300 * ev) // (se // n))
          |ORDER BY doc_id""".stripMargin

@@ -56,9 +56,16 @@ object ScaleSmoke {
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val mode = args.drop(2).headOption.getOrElse("dense")
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
+    val SectionNames = Set("cc", "pagerank", "kmeans", "lpa", "dedup",
+      "pq_adc", "bloom", "editdist", "tfidfcos", "curation")
     val only: Set[String] = args.drop(3).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // a typo'd section name must fail HERE, not silently disable every
+    // section and waste an hours-long soak window
+    val unknown = only -- SectionNames
+    require(unknown.isEmpty,
+      s"unknown sections $unknown — valid: ${SectionNames.toSeq.sorted.mkString(",")}")
     def enabled(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -215,8 +222,12 @@ object ScaleSmoke {
     lazy val corpusN = (0 until copies).map { c =>
       docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"), col("text"))
     }.reduce(_ unionAll _).cache()
-    val nCorpus =
-      if (enabled("dedup") || enabled("bloom")) corpusN.count() else 0L
+    // the replicated corpus size is copies×d0 by construction — record
+    // it whenever ANY corpus section ran (a tfidfcos-only run must not
+    // stamp 0 docs into the scaling-curve record); the count() below is
+    // only the cache materialization for the sections that reuse corpusN
+    val nCorpus = if (corpusSections) copies.toLong * d0 else 0L
+    if (enabled("dedup") || enabled("bloom")) corpusN.count()
     lazy val batch = docs.select(
       (col("doc_id") + lit(copies.toLong * d0)).as("doc_id"),
       concat(col("text"), lit(" smokebatch")).as("text"))
@@ -334,10 +345,15 @@ object ScaleSmoke {
         fields.map(_ + ",").mkString +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
+    // partial runs get their sections stamped into the NAME so they can
+    // never clobber the canonical all-sections artifact for that scale
+    val suffix =
+      if (only.isEmpty) "" else "_" + only.toSeq.sorted.mkString("_")
     val outFile =
-      if (mode == "constant" && copies != 100) s"scale_smoke_constant_${copies}x.json"
-      else if (mode == "constant") "scale_smoke_constant.json"
-      else "scale_smoke.json"
+      if (mode == "constant" && copies != 100)
+        s"scale_smoke_constant_${copies}x$suffix.json"
+      else if (mode == "constant") s"scale_smoke_constant$suffix.json"
+      else s"scale_smoke$suffix.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -369,6 +369,20 @@ class TagAndGraphSpec extends SparkSpec {
     assert(m == 7L && qNum == 70L && 4 * m * m == 196L)
   }
 
+  test("partitionQuality: an unlabeled edge endpoint fails loudly") {
+    import spark.implicits._
+    // vertex 3 has an edge but no label row: a silent inner-join drop
+    // would yield a consistent-looking but wrong quality table
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "label")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ex = intercept[Exception] {
+      graft.graph.Components.partitionQuality(labels, pairs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("has no label row")), ex.getMessage)
+  }
+
   test("partitionQuality: labels with no edges get zero-count rows") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
