@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, JaroWinklerSim, KmvSketch}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, JaroWinklerSim, KmvSketch}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.byteHistogramDescriptor)
     ext.injectFunction(Graft.bloomSketchDescriptor)
     ext.injectFunction(Graft.jaroWinklerDescriptor)
+    ext.injectFunction(Graft.exifOrientationDescriptor)
   }
 }
 
@@ -98,11 +99,20 @@ object Graft {
       JaroWinklerSim(children.head, children(1))
     })
 
+  private[graft] val exifOrientationDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("exif_orientation"),
+    new ExpressionInfo(classOf[ExifOrientationExpr].getName, "exif_orientation"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "exif_orientation expects 1 argument")
+      ExifOrientationExpr(children.head)
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
         byteHistogramDescriptor, bloomSketchDescriptor,
-        jaroWinklerDescriptor).foreach {
+        jaroWinklerDescriptor, exifOrientationDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -141,6 +151,12 @@ object Graft {
   /** Jaro-Winkler string similarity (native codegen expression). */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+
+  /** EXIF orientation (1–8) of a JPEG binary column; NULL when absent
+    * (native codegen expression, pure header byte walk).
+    */
+  def exifOrientation(bin: Column): Column =
+    call_function("exif_orientation", bin)
 
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =

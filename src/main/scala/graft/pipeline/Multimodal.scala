@@ -138,6 +138,18 @@ object Multimodal {
       }, schema)
   }
 
+  /** EXIF orientation (1–8) for JPEG payloads, NULL otherwise — the
+    * flag every crop/resize must honor before touching pixels (a
+    * rotated-by-metadata photo is silently transposed otherwise). A
+    * REAL header parse via the native `exif_orientation` codegen
+    * expression (SOI → APP1 `Exif\0\0` → TIFF IFD0 tag 0x0112): pure
+    * column work, O(header) per blob, stays inside whole-stage
+    * codegen. Requires `Graft.install` on the session.
+    */
+  def withExifOrientation(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("exif_orientation",
+      graft.Graft.exifOrientation(col(binCol)))
+
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("channels", IntegerType),

@@ -346,4 +346,78 @@ class MultimodalSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSet ==
       Set("path", "modificationTime", "length", "content"))
   }
+
+  /** Minimal JPEG carrying an EXIF APP1 with one IFD0 entry: the
+    * orientation SHORT. Assembled byte-by-byte so the parser is tested
+    * against the real wire layout (both TIFF byte orders), not a
+    * library's idea of it.
+    */
+  private def exifJpeg(orientation: Int, littleEndian: Boolean): Array[Byte] = {
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (littleEndian) { w16(v & 0xffff); w16(v >>> 16) }
+      else { w16(v >>> 16); w16(v & 0xffff) }
+    tiff.write(if (littleEndian) 'I' else 'M')
+    tiff.write(if (littleEndian) 'I' else 'M')
+    w16(42); w32(8)           // magic, IFD0 at offset 8
+    w16(1)                    // one entry
+    w16(0x0112); w16(3); w32(1) // tag, SHORT, count 1
+    w16(orientation); w16(0)  // value in first two bytes of the field
+    w32(0)                    // next-IFD pointer: none
+    val t = tiff.toByteArray
+    val app1Len = 2 + 6 + t.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)          // SOI
+    out.write(0xff); out.write(0xe1)          // APP1
+    out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(t)
+    out.write(0xff); out.write(0xd9)          // EOI
+    out.toByteArray
+  }
+
+  test("exif_orientation: hand-assembled APP1 in both byte orders") {
+    import spark.implicits._
+    Graft.install(spark)
+    // a real encoder JPEG (no EXIF) and a PNG must both yield NULL
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> exifJpeg(6, littleEndian = true),   // 90° CW, II
+      2L -> exifJpeg(3, littleEndian = false),  // 180°, MM
+      3L -> enc("jpg"),                          // JPEG without EXIF
+      4L -> enc("png"),                          // not a JPEG
+      5L -> Array[Byte](0x12, 0x34, 0x56),       // garbage
+      6L -> exifJpeg(6, littleEndian = true).take(9)) // truncated APP1
+    val out = Multimodal.withExifOrientation(
+        rows.toDF("id", "content"), "content")
+      .select(col("id"), col("exif_orientation"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(1L -> Some(6), 2L -> Some(3), 3L -> None,
+      4L -> None, 5L -> None, 6L -> None))
+    // the expression stays inside whole-stage codegen (no fallback);
+    // repartition first — on a bare local relation the optimizer
+    // constant-folds the whole projection away (ConvertToLocalRelation)
+    val dist = Multimodal.withExifOrientation(
+        rows.toDF("id", "content").repartition(2), "content")
+      .filter(col("exif_orientation").isNotNull)
+    // collect THIS df (count() would execute a different plan): AQE
+    // finalizes (and codegen-compiles) the plan only on execution;
+    // '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert(dist.collect().length == 2, "codegen path agrees with folded")
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined &&
+      plan.contains("exif_orientation"),
+      s"expected the expression inside a codegen stage:\n$plan")
+  }
 }
