@@ -117,8 +117,47 @@ object Multimodal {
   /** Metadata for one blob: real ImageIO header decode when a reader
     * recognizes the payload, deterministic stub otherwise.
     */
+  /** Real WebP header decode — the crawl web's most common format the
+    * JDK has NO reader for, and exactly the case where a pure byte
+    * walk suffices: RIFF container sniff, then per-variant dimension
+    * fields — VP8X extended header (24-bit canvas w−1/h−1), VP8L
+    * lossless (14-bit packed w−1/h−1 after the 0x2f signature), VP8
+    * lossy (14-bit w/h after the 0x9d012a start code). O(header),
+    * None (→ stub) on anything malformed.
+    */
+  def decodeWebp(bytes: Array[Byte]): Option[Row] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    if (bytes == null || bytes.length < 30) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+        bytes(10) == 'B' && bytes(11) == 'P')) return None
+    val tag = new String(bytes, 12, 4, "US-ASCII")
+    val p = 20 // first chunk payload
+    tag match {
+      case "VP8X" =>
+        // canvas size: 24-bit little-endian minus-one fields at +4/+7
+        val w = 1 + (u8(p + 4) | (u8(p + 5) << 8) | (u8(p + 6) << 16))
+        val h = 1 + (u8(p + 7) | (u8(p + 8) << 8) | (u8(p + 9) << 16))
+        Some(Row("webp", w, h, bytes.length.toLong))
+      case "VP8L" if u8(p) == 0x2f =>
+        val b = (u8(p + 1) | (u8(p + 2) << 8) | (u8(p + 3) << 16) |
+          (u8(p + 4) << 24)).toLong
+        val w = 1 + (b & 0x3fff).toInt
+        val h = 1 + ((b >> 14) & 0x3fff).toInt
+        Some(Row("webp", w, h, bytes.length.toLong))
+      case "VP8 " if u8(p + 3) == 0x9d && u8(p + 4) == 0x01 &&
+          u8(p + 5) == 0x2a =>
+        val w = (u8(p + 6) | (u8(p + 7) << 8)) & 0x3fff
+        val h = (u8(p + 8) | (u8(p + 9) << 8)) & 0x3fff
+        Some(Row("webp", w, h, bytes.length.toLong))
+      case _ => None
+    }
+  }
+
   def decodeMediaMeta(bytes: Array[Byte]): Row =
-    decodeImage(bytes).getOrElse(decodeStub(bytes))
+    decodeImage(bytes)
+      .orElse(decodeWebp(bytes))
+      .getOrElse(decodeStub(bytes))
 
   /** Attach the decoded metadata struct — batch-iterator operator.
     * Real image formats (PNG/JPEG/GIF/BMP/… — whatever readers the JVM
@@ -195,6 +234,42 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** Real MP3 frame-header decode — the most common compressed audio
+    * format, which javax.sound has no provider for; another
+    * bytes-suffice case: optional ID3v2 skip (syncsafe 28-bit size),
+    * then the 4-byte MPEG audio frame header (11-bit sync, version,
+    * Layer III check, sample-rate index, channel mode). Only fields
+    * the header truly states are surfaced: format/channels/rate;
+    * bit depth, frame count and duration stay NULL (a lossy stream
+    * has no PCM depth, and frame count/duration need a full-file scan
+    * under VBR — claiming them from one header would be a guess).
+    * O(header); None (→ stub) on anything malformed or non-Layer-III.
+    */
+  def decodeMp3(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null || bytes.length < 14) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    // skip ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>
+    val off =
+      if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+        10 + sz
+      } else 0
+    if (off < 0 || off + 4 > bytes.length) return None
+    if (u8(off) != 0xff || (u8(off + 1) & 0xe0) != 0xe0) return None
+    val versionBits = (u8(off + 1) >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+    val layerBits = (u8(off + 1) >> 1) & 3   // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None
+    val rateIdx = (u8(off + 2) >> 2) & 3
+    if (rateIdx == 3) return None
+    val rate = versionBits match {
+      case 3 => Array(44100f, 48000f, 32000f)(rateIdx)
+      case 2 => Array(22050f, 24000f, 16000f)(rateIdx)
+      case _ => Array(11025f, 12000f, 8000f)(rateIdx)
+    }
+    val channels = if (((u8(off + 3) >> 6) & 3) == 3) 1 else 2
+    Some(Row("mp3", channels, rate, null, null, null, bytes.length.toLong))
+  }
+
   /** Deterministic fake audio header for payloads javax.sound does not
     * recognize (or when the module is absent): pure byte arithmetic,
     * clearly fake values, total over any input.
@@ -223,7 +298,8 @@ object Multimodal {
       df.rdd.mapPartitions { it =>
         it.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(r.toSeq :+ decodeAudio(bytes).getOrElse(audioStub(bytes)))
+          Row.fromSeq(r.toSeq :+ decodeAudio(bytes)
+            .orElse(decodeMp3(bytes)).getOrElse(audioStub(bytes)))
         }
       }, schema)
   }

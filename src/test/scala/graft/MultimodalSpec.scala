@@ -379,6 +379,77 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("webp: real dims from hand-assembled VP8X / VP8L / VP8 headers") {
+    import spark.implicits._
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val sz = 4 + 8 + payload.length
+      out.write(sz & 0xff); out.write((sz >> 8) & 0xff)
+      out.write((sz >> 16) & 0xff); out.write((sz >> 24) & 0xff)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+      out.write((payload.length >> 16) & 0xff)
+      out.write((payload.length >> 24) & 0xff)
+      out.write(payload)
+      out.toByteArray
+    }
+    // VP8X: flags(4) + 24-bit LE (w-1, h-1): 640x480
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      (639 & 0xff).toByte, ((639 >> 8) & 0xff).toByte, 0,
+      (479 & 0xff).toByte, ((479 >> 8) & 0xff).toByte, 0))
+    // VP8L: 0x2f then 14-bit packed (w-1)=99, (h-1)=49: 100x50
+    val p = 99L | (49L << 14)
+    val vp8l = riff("VP8L", Array(0x2f.toByte, (p & 0xff).toByte,
+      ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte,
+      ((p >> 24) & 0xff).toByte, 0, 0, 0, 0, 0))
+    // VP8 lossy: 3 tag bytes, start code 9d 01 2a, 14-bit w=320 h=240
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, ((320 >> 8) & 0xff).toByte,
+      (240 & 0xff).toByte, ((240 >> 8) & 0xff).toByte, 0, 0, 0, 0))
+    val out = Multimodal.withMediaMeta(
+        Seq((1L, vp8x), (2L, vp8l), (3L, vp8)).toDF("id", "content"),
+        "content")
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "webp", 640, 480), (2L, "webp", 100, 50),
+      (3L, "webp", 320, 240)))
+    // a RIFF that is not WEBP (plain WAV) must NOT claim webp
+    assert(Multimodal.decodeWebp(
+      "RIFF    WAVEfmt ................".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("mp3: real frame-header decode, with and without ID3v2") {
+    import spark.implicits._
+    // MPEG1 Layer III, 44100 Hz, stereo: FF FB 90 00 (+ filler)
+    val bare = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](20)(0x55)
+    // same frame behind a 32-byte ID3v2 tag (syncsafe size = 22)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 22) ++
+      Array.fill[Byte](22)(0) ++ bare
+    // MPEG2 Layer III 16000 Hz mono: FF F3 88 C0 (rateIdx 2, mode 3)
+    val mono16k = Array[Byte](0xff.toByte, 0xf3.toByte, 0x88.toByte,
+      0xc0.toByte) ++ Array.fill[Byte](20)(0x55)
+    val out = Multimodal.withAudioMeta(
+        Seq((1L, bare), (2L, id3), (3L, mono16k)).toDF("id", "content"),
+        "content")
+      .select(col("id"), col("audio_meta.format"), col("audio_meta.channels"),
+        col("audio_meta.sample_rate"), col("audio_meta.bits_per_sample"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getFloat(3), r.isNullAt(4))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "mp3", 2, 44100f, true),
+      (2L, "mp3", 2, 44100f, true), (3L, "mp3", 1, 16000f, true)),
+      s"got ${out.toSeq}")
+    // Layer II (not mp3) and garbage fall through to the stub
+    val layer2 = Array[Byte](0xff.toByte, 0xfd.toByte, 0x90.toByte, 0) ++
+      Array.fill[Byte](20)(0)
+    assert(Multimodal.decodeMp3(layer2).isEmpty)
+    assert(Multimodal.decodeMp3(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("exif_orientation: hand-assembled APP1 in both byte orders") {
     import spark.implicits._
     Graft.install(spark)
