@@ -270,6 +270,39 @@ object Multimodal {
     Some(Row("mp3", channels, rate, null, null, null, bytes.length.toLong))
   }
 
+  /** Real FLAC STREAMINFO decode — unlike MP3, FLAC's mandatory first
+    * metadata block states EVERYTHING: 20-bit sample rate, channels,
+    * bit depth, and the exact 36-bit total-sample count, so exact
+    * duration comes from the header with no stream scan. Pure byte
+    * walk ("fLaC" magic + STREAMINFO block type 0), O(header), None
+    * (→ stub) on anything malformed.
+    */
+  def decodeFlac(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+        bytes(3) == 'C')) return None
+    // first block must be STREAMINFO (type 0; bit 7 = last-block flag)
+    if ((u8(4) & 0x7f) != 0) return None
+    val len = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    if (len < 34) return None
+    val p = 8 + 10 // skip min/max block size (4) + min/max frame size (6)
+    // 64 bits at p: rate(20) channels-1(3) bits-1(5) totalSamples(36)
+    val rate = (u8(p) << 12) | (u8(p + 1) << 4) | (u8(p + 2) >> 4)
+    if (rate == 0) return None // 0 is invalid per spec
+    val channels = ((u8(p + 2) >> 1) & 0x07) + 1
+    val bits = (((u8(p + 2) & 0x01) << 4) | (u8(p + 3) >> 4)) + 1
+    val samples = ((u8(p + 3) & 0x0f).toLong << 32) |
+      (u8(p + 4).toLong << 24) | (u8(p + 5).toLong << 16) |
+      (u8(p + 6).toLong << 8) | u8(p + 7).toLong
+    // totalSamples = 0 legally means "unknown" — surface null, not 0
+    val frames: Any = if (samples > 0) samples else null
+    val duration: Any =
+      if (samples > 0) samples.toDouble / rate.toDouble else null
+    Some(Row("flac", channels, rate.toFloat, bits, frames, duration,
+      bytes.length.toLong))
+  }
+
   /** Deterministic fake audio header for payloads javax.sound does not
     * recognize (or when the module is absent): pure byte arithmetic,
     * clearly fake values, total over any input.
@@ -299,6 +332,7 @@ object Multimodal {
         it.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
           Row.fromSeq(r.toSeq :+ decodeAudio(bytes)
+            .orElse(decodeFlac(bytes))
             .orElse(decodeMp3(bytes)).getOrElse(audioStub(bytes)))
         }
       }, schema)

@@ -450,6 +450,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp3(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("flac: STREAMINFO states rate/channels/bits/samples exactly") {
+    import spark.implicits._
+    // 44100 Hz stereo 16-bit, 220500 samples (5.0 s exactly)
+    def flac(rate: Int, channels: Int, bits: Int, samples: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(0x80); out.write(0); out.write(0); out.write(34) // last, type 0, len 34
+      out.write(Array.fill[Byte](10)(0)) // min/max block+frame sizes
+      // rate(20) ch-1(3) bits-1(5) samples(36) packed big-endian
+      val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+        ((bits - 1).toLong << 36) | samples
+      (7 to 0 by -1).foreach(i => out.write(((packed >> (8 * i)) & 0xff).toInt))
+      out.write(Array.fill[Byte](16)(0)) // md5 signature
+      out.toByteArray
+    }
+    val out = Multimodal.withAudioMeta(
+        Seq((1L, flac(44100, 2, 16, 220500L)),
+          (2L, flac(48000, 1, 24, 0L))).toDF("id", "content"), "content")
+      .select(col("id"), col("audio_meta.format"), col("audio_meta.channels"),
+        col("audio_meta.sample_rate"), col("audio_meta.bits_per_sample"),
+        col("audio_meta.n_frames"), col("audio_meta.duration_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getFloat(3),
+        r.getInt(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "flac", 2, 44100f, 16, 220500L, 5.0),
+      // totalSamples 0 legally means unknown: frames/duration NULL
+      (2L, "flac", 1, 48000f, 24, -1L, -1.0)), s"got ${out.toSeq}")
+    // wrong magic / non-STREAMINFO first block fall through
+    assert(Multimodal.decodeFlac("fLaX".getBytes ++
+      Array.fill[Byte](40)(0)).isEmpty)
+    val wrongBlock = "fLaC".getBytes ++ Array[Byte](4, 0, 0, 34) ++
+      Array.fill[Byte](40)(0)
+    assert(Multimodal.decodeFlac(wrongBlock).isEmpty)
+  }
+
   test("exif_orientation: hand-assembled APP1 in both byte orders") {
     import spark.implicits._
     Graft.install(spark)
