@@ -75,4 +75,33 @@ object Chunking {
         expr(s"__before div ${budget}L").as("seq_id"),
         (col("__before") % budget).as("offset_in_seq"))
   }
+
+  /** Packing-efficiency audit for [[packSequences]]' layout: per shard,
+    * chunk and token mass, sequences consumed (the token stream covers
+    * [0, total), so ⌈total/budget⌉ fixed-size sequences), the fill of
+    * the final partial sequence, and utilization in FLOORED milli
+    * units — a packing run that silently wastes capacity shows up here
+    * as a number, not a guess (the "no silent caps" audit of the
+    * training-export path). All-integer outputs; one keyed aggregate
+    * over the shard assignment, no window — cheaper than the packer it
+    * audits, linear at any corpus size.
+    */
+  def packingStats(chunks: DataFrame, idCol: String, tokCountCol: String,
+                   budget: Int = 256, numShards: Int = 4): DataFrame = {
+    require(budget > 0 && numShards > 0, "budget and numShards must be > 0")
+    chunks
+      .withColumn("shard",
+        pmod(md5Long(col(idCol).cast("string")), lit(numShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(tokCountCol)).cast("long").as("n_tokens"))
+      .withColumn("n_sequences",
+        expr(s"(n_tokens + ${budget - 1}L) div ${budget}L"))
+      .withColumn("last_fill",
+        when(col("n_tokens") % budget === 0 && col("n_tokens") > 0,
+          lit(budget.toLong)).otherwise(col("n_tokens") % budget))
+      .withColumn("utilization_milli",
+        when(col("n_sequences") === 0, lit(0L))
+          .otherwise(expr(s"(1000L * n_tokens) div (n_sequences * ${budget}L)")))
+  }
 }

@@ -206,6 +206,17 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // ---- packing-efficiency audit of q90's layout: per shard, the
+    //      token mass, sequences consumed and floored-milli
+    //      utilization — waste as a number, not a guess ----
+    "q229_packing_stats" -> { (s, d) =>
+      val chunks = Chunking.tokenChunks(Tables.documents(s, d), "doc_id",
+        "text", chunkSize = 32, stride = 32)
+      Chunking.packingStats(chunks, "doc_id", "n_chunk_tokens",
+          budget = 256, numShards = 4)
+        .orderBy(col("shard"))
+    },
+
     // ---- top-k vocabulary with cumulative coverage ----
     "q91_vocab_coverage" -> { (s, d) =>
       Corpus.vocabCoverage(Tables.documents(s, d), "doc_id", "text", k = 100)
@@ -1229,6 +1240,27 @@ object TrainPack extends QueryPack {
          |    AS removed_fraction,
          |  COALESCE(array_to_string(kept, ' '), '') AS text_clean
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // same t/c/ch chunk+shard replay as q90, then one keyed aggregate;
+    // integer div (//) floors on both engines
+    "q229_packing_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start
+         |      FROM t WHERE len(tk) > 0),
+         |ch AS (SELECT doc_id,
+         |       LEAST(32, len(tk) - start)::BIGINT AS n_tok,
+         |       ${md5LongSql("doc_id::VARCHAR")} % 4 AS shard FROM c),
+         |g AS (SELECT shard, COUNT(*)::BIGINT AS n_chunks,
+         |        SUM(n_tok)::BIGINT AS n_tokens FROM ch GROUP BY shard),
+         |s AS (SELECT shard, n_chunks, n_tokens,
+         |        ((n_tokens + 255) // 256)::BIGINT AS n_sequences FROM g)
+         |SELECT shard, n_chunks, n_tokens, n_sequences,
+         |  (CASE WHEN n_tokens % 256 = 0 AND n_tokens > 0 THEN 256
+         |        ELSE n_tokens % 256 END)::BIGINT AS last_fill,
+         |  (CASE WHEN n_sequences = 0 THEN 0
+         |        ELSE (1000 * n_tokens) // (n_sequences * 256) END)::BIGINT
+         |    AS utilization_milli
+         |FROM s ORDER BY shard""".stripMargin,
 
     "q90_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -1004,6 +1004,27 @@ class PipelineSpec extends SparkSpec {
       (4L, 4L, 1L, 0L))
   }
 
+  test("packingStats: sequences, last fill and utilization, hand-traced") {
+    import spark.implicits._
+    // one shard (numShards=1): chunks of 10+10+5 tokens, budget 8:
+    // total 25 -> ceil(25/8)=4 sequences, last fill 25%8=1,
+    // utilization floor(1000*25/32)=781
+    val chunks = Seq((1L, 0, 10L), (1L, 1, 10L), (2L, 0, 5L))
+      .toDF("doc_id", "chunk_idx", "n")
+    val r = graft.pipeline.Chunking
+      .packingStats(chunks, "doc_id", "n", budget = 8, numShards = 1)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == (3L, 25L, 4L, 1L, 781L))
+    // exact multiple: 16 tokens, budget 8 -> 2 sequences, last fill 8
+    // (a full final sequence must not report 0), utilization 1000
+    val exact = Seq((1L, 0, 16L)).toDF("doc_id", "chunk_idx", "n")
+    val e = graft.pipeline.Chunking
+      .packingStats(exact, "doc_id", "n", budget = 8, numShards = 1)
+      .collect()(0)
+    assert((e.getLong(3), e.getLong(4), e.getLong(5)) == (2L, 8L, 1000L))
+  }
+
   test("skipgramCooccurrence: forward-window pairs, hand-traced") {
     import spark.implicits._
     // "a b c a" with window 2: forward pairs are
