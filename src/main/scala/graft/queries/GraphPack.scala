@@ -246,6 +246,38 @@ object GraphPack extends QueryPack {
         .orderBy(col("old_component"), col("new_component"))
     },
 
+    // ---- split-LEAKAGE audit: cross-split LSH edges under q180's
+    //      cluster-respecting split (ZERO by construction — every
+    //      candidate edge lies inside a component) vs a naive per-item
+    //      hash split (positive) — the numeric proof that eval
+    //      contamination comes from splitting near-dup families, and
+    //      that the group split closes it ----
+    "q230_split_leakage" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // CC and both leakage counts read it
+      val cc = Components.connectedComponentsFast(emb.select("vec_id"), pairs)
+      val splits = Seq(("train", 800), ("val", 100), ("test", 100))
+      val grouped = graft.pipeline.Sampling.groupSplit(
+        cc.toDF("vec_id", "component"), "component", splits)
+      val naive = graft.pipeline.Sampling.groupSplit(
+        emb.select("vec_id"), "vec_id", splits)
+      def leakage(assign: DataFrame, scheme: String) = pairs
+        .join(assign.select(col("vec_id").as("id_a"),
+          col("split").as("__sa")), "id_a")
+        .join(assign.select(col("vec_id").as("id_b"),
+          col("split").as("__sb")), "id_b")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .as("n_cross_edges"))
+        .select(lit(scheme).as("scheme"), col("n_edges"),
+          col("n_cross_edges"))
+      leakage(grouped, "group").unionAll(leakage(naive, "naive"))
+        .orderBy(col("scheme"))
+    },
+
     // ---- degree assortativity sufficient statistics (one exact-
     //      integer row): is the similarity graph hubby (r<0) or
     //      clique-like (r>0)? The shape audit before community
@@ -757,6 +789,34 @@ object GraphPack extends QueryPack {
          |       WHEN $bucket < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM cc ORDER BY vec_id""".stripMargin
+    },
+
+    // group split: md5 bucket of the CC component (q180's rule);
+    // naive split: same rule on the item id — cross edges then counted
+    // over the same candidate set
+    "q230_split_leakage" -> {
+      def bucket(e: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 1000"
+      def splitCase(e: String) =
+        s"""CASE WHEN ${bucket(e)} < 800 THEN 'train'
+           |     WHEN ${bucket(e)} < 900 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH cc AS MATERIALIZED (
+         |${ccSql(lshEdgesSql, "embeddings", "vec_id")}),
+         |p AS MATERIALIZED ($lshEdgesSql),
+         |ga AS (SELECT id AS vec_id, ${splitCase("component::VARCHAR")} AS split
+         |       FROM cc),
+         |na AS (SELECT vec_id, ${splitCase("vec_id::VARCHAR")} AS split
+         |       FROM embeddings)
+         |SELECT 'group' AS scheme, COUNT(*)::BIGINT AS n_edges,
+         |  SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_cross_edges
+         |FROM p JOIN ga a ON p.ia = a.vec_id JOIN ga b ON p.ib = b.vec_id
+         |UNION ALL
+         |SELECT 'naive', COUNT(*)::BIGINT,
+         |  SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)::BIGINT
+         |FROM p JOIN na a ON p.ia = a.vec_id JOIN na b ON p.ib = b.vec_id
+         |ORDER BY scheme""".stripMargin
     },
 
     "q178_hits" -> {

@@ -396,6 +396,23 @@ class TagAndGraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 0L, 0L, 0L), (2L, 1L, 0L, 0L, 0L)))
   }
 
+  test("q230 structural pin: the group split can NEVER leak an LSH edge") {
+    // every candidate edge lies inside one connected component and the
+    // group split assigns whole components — zero cross edges is a
+    // THEOREM of the construction, so pin it on the real data, while
+    // the naive per-item split must leak on any graph with edges
+    val out = graft.SparkEntry
+      .queries("q230_split_leakage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (gScheme, gEdges, gCross) = out(0)
+    val (nScheme, nEdges, nCross) = out(1)
+    assert(gScheme == "group" && nScheme == "naive" && gEdges == nEdges)
+    assert(gCross == 0L, "group split leaked a candidate edge")
+    assert(gEdges > 0L && nCross > 0L,
+      "a non-degenerate graph must make the naive split leak")
+  }
+
   test("clusterEvolution: detects merges, splits and stable clusters") {
     import spark.implicits._
     // old snapshot (evens): {0}, {2}, {4,6}; grown corpus: odd vertex 1
