@@ -84,7 +84,9 @@ object Exif {
     while (i + 4 <= b.length) {
       if (u8(b, i) != 0xff) return null
       val m = u8(b, i + 1)
-      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+      if (m == 0xff) {
+        i += 1 // spec-legal fill byte (T.81 B.1.1.2): 0xFF padding
+      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         i += 2 // standalone markers carry no length
       } else if (m == 0xd9 || m == 0xda) {
         return null

@@ -89,12 +89,21 @@ object Chunking {
   def packingStats(chunks: DataFrame, idCol: String, tokCountCol: String,
                    budget: Int = 256, numShards: Int = 4): DataFrame = {
     require(budget > 0 && numShards > 0, "budget and numShards must be > 0")
-    chunks
+    val agg = chunks
       .withColumn("shard",
         pmod(md5Long(col(idCol).cast("string")), lit(numShards.toLong)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col(tokCountCol)).cast("long").as("n_tokens"))
+    // every shard gets a row: an IDLE shard is itself capacity waste —
+    // exactly what this audit exists to expose — and must show up as
+    // zeros, not be silently absent (the numShards dimension is a
+    // bounded literal range, not data)
+    chunks.sparkSession.range(numShards).select(col("id").as("shard"))
+      .join(agg, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .withColumn("n_sequences",
         expr(s"(n_tokens + ${budget - 1}L) div ${budget}L"))
       .withColumn("last_fill",

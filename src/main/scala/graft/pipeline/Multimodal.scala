@@ -127,25 +127,34 @@ object Multimodal {
     */
   def decodeWebp(bytes: Array[Byte]): Option[Row] = {
     def u8(i: Int) = bytes(i) & 0xff
-    if (bytes == null || bytes.length < 30) return None
+    // 25 bytes = RIFF header (12) + chunk header (8) + minimal VP8L
+    // payload (5) — the 1×1 tracking-pixel shape; VP8X/VP8 minimums
+    // are enforced per-variant below against the DECLARED chunk size
+    if (bytes == null || bytes.length < 25) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
         bytes(10) == 'B' && bytes(11) == 'P')) return None
     val tag = new String(bytes, 12, 4, "US-ASCII")
     val p = 20 // first chunk payload
+    // the chunk's declared size must cover every field we read AND fit
+    // the buffer — a truncated chunk yields None, never garbage dims
+    val chunkSize = (u8(16) | (u8(17) << 8) | (u8(18) << 16) |
+      (u8(19).toLong << 24))
+    def fits(need: Int): Boolean =
+      chunkSize >= need && p + need <= bytes.length
     tag match {
-      case "VP8X" =>
+      case "VP8X" if fits(10) =>
         // canvas size: 24-bit little-endian minus-one fields at +4/+7
         val w = 1 + (u8(p + 4) | (u8(p + 5) << 8) | (u8(p + 6) << 16))
         val h = 1 + (u8(p + 7) | (u8(p + 8) << 8) | (u8(p + 9) << 16))
         Some(Row("webp", w, h, bytes.length.toLong))
-      case "VP8L" if u8(p) == 0x2f =>
+      case "VP8L" if fits(5) && u8(p) == 0x2f =>
         val b = (u8(p + 1) | (u8(p + 2) << 8) | (u8(p + 3) << 16) |
           (u8(p + 4) << 24)).toLong
         val w = 1 + (b & 0x3fff).toInt
         val h = 1 + ((b >> 14) & 0x3fff).toInt
         Some(Row("webp", w, h, bytes.length.toLong))
-      case "VP8 " if u8(p + 3) == 0x9d && u8(p + 4) == 0x01 &&
+      case "VP8 " if fits(10) && u8(p + 3) == 0x9d && u8(p + 4) == 0x01 &&
           u8(p + 5) == 0x2a =>
         val w = (u8(p + 6) | (u8(p + 7) << 8)) & 0x3fff
         val h = (u8(p + 8) | (u8(p + 9) << 8)) & 0x3fff
@@ -155,8 +164,12 @@ object Multimodal {
   }
 
   def decodeMediaMeta(bytes: Array[Byte]): Row =
-    decodeImage(bytes)
-      .orElse(decodeWebp(bytes))
+    // WebP first: the 12-byte magic sniff is ~free, where a futile
+    // ImageIO provider search (stream setup + per-provider probes)
+    // would otherwise run per-row on the crawl web's most common
+    // format before falling through to the byte walk
+    decodeWebp(bytes)
+      .orElse(decodeImage(bytes))
       .getOrElse(decodeStub(bytes))
 
   /** Attach the decoded metadata struct — batch-iterator operator.
@@ -248,19 +261,53 @@ object Multimodal {
   def decodeMp3(bytes: Array[Byte]): Option[Row] = {
     if (bytes == null || bytes.length < 14) return None
     def u8(i: Int) = bytes(i) & 0xff
-    // skip ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>
+    // skip ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>; the
+    // footer flag (bit 4) appends 10 more bytes after the tag body
     val off =
       if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
         val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
-        10 + sz
+        10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
       } else 0
-    if (off < 0 || off + 4 > bytes.length) return None
-    if (u8(off) != 0xff || (u8(off + 1) & 0xe0) != 0xe0) return None
-    val versionBits = (u8(off + 1) >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
-    val layerBits = (u8(off + 1) >> 1) & 3   // 1 = Layer III
-    if (versionBits == 1 || layerBits != 1) return None
+    // validate a Layer III frame header at `i`; returns the frame
+    // length in bytes, or -1. The sync alone is only ~18 signature
+    // bits (1-in-8k random bytes pass), so the caller ALSO verifies
+    // the next frame lands on another valid header when the buffer
+    // reaches that far — the standard two-frame MP3 sniff
+    def frameLen(i: Int): Int = {
+      if (i < 0 || i + 4 > bytes.length) return -1
+      if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return -1
+      val version = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+      val layer = (u8(i + 1) >> 1) & 3   // 1 = Layer III
+      if (version == 1 || layer != 1) return -1
+      val brIdx = (u8(i + 2) >> 4) & 15
+      if (brIdx == 0 || brIdx == 15) return -1 // free-format / invalid
+      val rIdx = (u8(i + 2) >> 2) & 3
+      if (rIdx == 3) return -1
+      val kbps =
+        if (version == 3)
+          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+            256, 320)(brIdx)
+        else
+          Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+            160)(brIdx)
+      val rate = version match {
+        case 3 => Array(44100, 48000, 32000)(rIdx)
+        case 2 => Array(22050, 24000, 16000)(rIdx)
+        case _ => Array(11025, 12000, 8000)(rIdx)
+      }
+      val coef = if (version == 3) 144 else 72
+      val pad = (u8(i + 2) >> 1) & 1
+      coef * kbps * 1000 / rate + pad
+    }
+    val len1 = frameLen(off)
+    if (len1 <= 0) return None
+    // two-frame verification whenever the buffer can hold the second
+    // header (a header-only prefix is still accepted — it cannot be
+    // disproven); same version/layer family is implied by frameLen
+    if (off + len1 + 4 <= bytes.length && frameLen(off + len1) <= 0)
+      return None
+    val versionBits = (u8(off + 1) >> 3) & 3
     val rateIdx = (u8(off + 2) >> 2) & 3
-    if (rateIdx == 3) return None
     val rate = versionBits match {
       case 3 => Array(44100f, 48000f, 32000f)(rateIdx)
       case 2 => Array(22050f, 24000f, 16000f)(rateIdx)

@@ -1252,8 +1252,12 @@ object TrainPack extends QueryPack {
          |       ${md5LongSql("doc_id::VARCHAR")} % 4 AS shard FROM c),
          |g AS (SELECT shard, COUNT(*)::BIGINT AS n_chunks,
          |        SUM(n_tok)::BIGINT AS n_tokens FROM ch GROUP BY shard),
+         |sh AS (SELECT unnest(range(0, 4)) AS shard),
+         |gf AS (SELECT sh.shard, COALESCE(g.n_chunks, 0)::BIGINT AS n_chunks,
+         |         COALESCE(g.n_tokens, 0)::BIGINT AS n_tokens
+         |       FROM sh LEFT JOIN g USING (shard)),
          |s AS (SELECT shard, n_chunks, n_tokens,
-         |        ((n_tokens + 255) // 256)::BIGINT AS n_sequences FROM g)
+         |        ((n_tokens + 255) // 256)::BIGINT AS n_sequences FROM gf)
          |SELECT shard, n_chunks, n_tokens, n_sequences,
          |  (CASE WHEN n_tokens % 256 = 0 AND n_tokens > 0 THEN 256
          |        ELSE n_tokens % 256 END)::BIGINT AS last_fill,

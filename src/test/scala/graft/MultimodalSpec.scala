@@ -422,6 +422,54 @@ class MultimodalSpec extends SparkSpec {
       "RIFF    WAVEfmt ................".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("webp: declared-size and minimal-file edges") {
+    def riff2(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val sz = 4 + 8 + payload.length
+      out.write(sz & 0xff); out.write((sz >> 8) & 0xff)
+      out.write((sz >> 16) & 0xff); out.write((sz >> 24) & 0xff)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+      out.write((payload.length >> 16) & 0xff)
+      out.write((payload.length >> 24) & 0xff)
+      out.write(payload)
+      out.toByteArray
+    }
+    // a truncated VP8 chunk (declared size 4 < the 10 header bytes we
+    // read) must yield None even if padding happens to hold the start
+    // code -- never garbage dims from beyond the declared payload
+    val truncated = riff2("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01,
+      0x2a, 0x40, 0x01, 0xf0.toByte, 0, 0, 0, 0, 0))
+    truncated(16) = 4 // overwrite the declared chunk size
+    assert(Multimodal.decodeWebp(truncated).isEmpty)
+    // the 25-byte minimal VP8L (the 1x1 tracking-pixel shape) decodes
+    val onePix = riff2("VP8L", Array(0x2f.toByte, 0, 0, 0, 0))
+    assert(onePix.length == 25)
+    val r1 = Multimodal.decodeWebp(onePix).get
+    assert((r1.getString(0), r1.getInt(1), r1.getInt(2)) == ("webp", 1, 1))
+  }
+
+  test("mp3: two-frame verification kills sync-only false positives") {
+    // 128 kbps MPEG1 Layer III 44100: frame length 417 bytes. A buffer
+    // long enough to HOLD the second header must have one there...
+    val hdr = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)
+    val good = hdr ++ Array.fill[Byte](413)(0x55) ++ hdr ++
+      Array.fill[Byte](4)(0)
+    assert(Multimodal.decodeMp3(good).isDefined)
+    // ...and random bytes at the computed offset reject the payload
+    val bad = hdr ++ Array.fill[Byte](413)(0x55) ++
+      Array[Byte](0x12, 0x34, 0x56, 0x78) ++ Array.fill[Byte](4)(0)
+    assert(Multimodal.decodeMp3(bad).isEmpty)
+    // ID3v2 with the footer flag (bit 4): tag body + 10 footer bytes
+    val id3f = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 12) ++
+      Array.fill[Byte](12)(0) ++ Array.fill[Byte](10)(0x33) ++
+      hdr ++ Array.fill[Byte](20)(0x55)
+    val rf = Multimodal.decodeMp3(id3f)
+    assert(rf.isDefined && rf.get.getString(0) == "mp3")
+  }
+
   test("mp3: real frame-header decode, with and without ID3v2") {
     import spark.implicits._
     // MPEG1 Layer III, 44100 Hz, stereo: FF FB 90 00 (+ filler)
@@ -514,6 +562,11 @@ class MultimodalSpec extends SparkSpec {
       .sortBy(_._1)
     assert(out.toSeq == Seq(1L -> Some(6), 2L -> Some(3), 3L -> None,
       4L -> None, 5L -> None, 6L -> None))
+    // spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must
+    // not derail the walk
+    val fj = exifJpeg(6, littleEndian = true)
+    val filled = fj.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ fj.drop(2)
+    assert(graft.functions.Exif.orientation(filled) == 6)
     // the expression stays inside whole-stage codegen (no fallback);
     // repartition first — on a bare local relation the optimizer
     // constant-folds the whole projection away (ConvertToLocalRelation)

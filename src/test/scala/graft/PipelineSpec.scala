@@ -1023,6 +1023,14 @@ class PipelineSpec extends SparkSpec {
       .packingStats(exact, "doc_id", "n", budget = 8, numShards = 1)
       .collect()(0)
     assert((e.getLong(3), e.getLong(4), e.getLong(5)) == (2L, 8L, 1000L))
+    // an IDLE shard is capacity waste and must appear as a zero row,
+    // not be silently absent: one doc, four shards -> 4 rows, 3 empty
+    val one = Seq((1L, 0, 5L)).toDF("doc_id", "chunk_idx", "n")
+    val all = graft.pipeline.Chunking
+      .packingStats(one, "doc_id", "n", budget = 8, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(all.length == 4 && all.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(all.count(_._2 == 0L) == 3 && all.map(_._2).sum == 5L)
   }
 
   test("skipgramCooccurrence: forward-window pairs, hand-traced") {
