@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout VERBATIM: the bench driver
+// parses the last JSON line of `sbt "runMain graft.Bench"`, and sbt's
+// default LoggedOutput strategy prefixes every forked line with
+// "[info] ", which broke BENCH_r05/r06 parsing ("parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
   * the tag lives in the first few KB, so this is a pure HEADER byte
   * walk (reference multimodal story: real where bytes suffice, no
   * codec): SOI marker scan → APP1 `Exif\0\0` → TIFF header (II/MM,
-  * magic 42) → IFD0 entry tag 0x0112 type SHORT. O(header) per blob,
+  * magic 42) → IFD0 entry tag 0x0112 (type SHORT or LONG). O(header),
   * inside whole-stage codegen via the static parser, total on any
   * input (malformed/truncated segments simply yield NULL).
   */
@@ -105,7 +105,7 @@ object Exif {
   }
 
   /** Parse the TIFF structure inside [base, limit): byte-order mark,
-    * magic 42, IFD0, entry 0x0112 (SHORT). The SHORT value sits in the
+    * magic 42, IFD0, entry 0x0112 (SHORT or LONG). The SHORT value sits in the
     * first two bytes of the entry's 4-byte value field, in TIFF byte
     * order.
     */
@@ -126,9 +126,16 @@ object Exif {
     while (e < n) {
       val entry = ifd + 2 + 12 * e
       if (entry + 12 > limit) return null
-      if (u16(b, entry, le) == 0x0112 && u16(b, entry + 2, le) == 3) {
-        val v = u16(b, entry + 8, le)
-        return if (v >= 1 && v <= 8) Integer.valueOf(v) else null
+      if (u16(b, entry, le) == 0x0112) {
+        // type 3 = SHORT (the spec's type for 0x0112); some writers
+        // emit type 4 = LONG — both fit inline in the 4-byte value
+        // field, SHORT in its first two bytes, LONG in all four
+        val v = u16(b, entry + 2, le) match {
+          case 3 => u16(b, entry + 8, le).toLong
+          case 4 => u32(b, entry + 8, le)
+          case _ => -1L
+        }
+        return if (v >= 1 && v <= 8) Integer.valueOf(v.toInt) else null
       }
       e += 1
     }

@@ -18,6 +18,14 @@ import graft.functions.TextFunctions._
   */
 object Chunking {
 
+  /** The ONE shard-assignment expression shared by [[packSequences]]
+    * (which lays out the data) and [[packingStats]] (which audits the
+    * layout) — factored so the audit can never silently measure a
+    * different layout than the packer produces (ADVICE r6).
+    */
+  private def shardExpr(idCol: String, numShards: Int) =
+    pmod(md5Long(col(idCol).cast("string")), lit(numShards.toLong))
+
   /** One row per (document, chunk): `chunk_idx` (0-based), the chunk
     * text, and its token count. Start offsets are 0, stride, 2·stride, …
     * strictly below the token count, so trailing tokens always appear in
@@ -66,8 +74,7 @@ object Chunking {
       .orderBy(col(idCol).asc, col(idxCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     chunks
-      .withColumn("shard",
-        pmod(md5Long(col(idCol).cast("string")), lit(numShards.toLong)))
+      .withColumn("shard", shardExpr(idCol, numShards))
       .withColumn("__before", coalesce(sum(col(tokCountCol)).over(w), lit(0L)))
       .select(
         col(idCol), col(idxCol), col("shard"),
@@ -90,8 +97,7 @@ object Chunking {
                    budget: Int = 256, numShards: Int = 4): DataFrame = {
     require(budget > 0 && numShards > 0, "budget and numShards must be > 0")
     val agg = chunks
-      .withColumn("shard",
-        pmod(md5Long(col(idCol).cast("string")), lit(numShards.toLong)))
+      .withColumn("shard", shardExpr(idCol, numShards))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col(tokCountCol)).cast("long").as("n_tokens"))

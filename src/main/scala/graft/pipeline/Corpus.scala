@@ -655,11 +655,14 @@ object Corpus {
     require(k >= 1, "k must be >= 1")
     val terms = df.select(col(idCol).as("id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
-    val n = df.count()
+    // corpus size rides as a broadcast single-row aggregate (the
+    // tfidfTags idiom) — no driver-side action at plan-build time
+    val nRow = df.agg(count(lit(1)).as("__n"))
     val idf = terms.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nRow))
       .withColumn("__idf_micro",
-        round(log((lit(n) + lit(1.0)).cast("double") /
+        round(log((col("__n") + lit(1)).cast("double") /
           (col("__df") + lit(1)).cast("double")) * lit(1e6)).cast("long"))
     val ct = terms.join(clusters, Seq("id"))
       .groupBy(col("component"), col("term"))
@@ -739,11 +742,16 @@ object Corpus {
     * n_cells = kx·ky.
     */
   def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cells = df.groupBy(col(xCol), col(yCol))
+    // NULL categories are excluded up front: a NULL cell can never
+    // match the (x, y) equi-join below, so it would inflate the
+    // marginals and n while its observed count read as 0, skewing
+    // every expected term (ADVICE r6)
+    val d0 = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val cells = d0.groupBy(col(xCol), col(yCol))
       .agg(count(lit(1)).as("__o"))
-    val mx = df.groupBy(col(xCol)).agg(count(lit(1)).as("__cx"))
-    val my = df.groupBy(col(yCol)).agg(count(lit(1)).as("__cy"))
-    val tot = df.agg(count(lit(1)).as("__n"))
+    val mx = d0.groupBy(col(xCol)).agg(count(lit(1)).as("__cx"))
+    val my = d0.groupBy(col(yCol)).agg(count(lit(1)).as("__cy"))
+    val tot = d0.agg(count(lit(1)).as("__n"))
     val nx = mx.agg(count(lit(1)).as("__kx"))
     val ny = my.agg(count(lit(1)).as("__ky"))
     mx.crossJoin(broadcast(my))

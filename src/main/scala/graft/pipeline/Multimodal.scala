@@ -301,9 +301,13 @@ object Multimodal {
     }
     val len1 = frameLen(off)
     if (len1 <= 0) return None
+    // a real MP3 holds at least one COMPLETE frame: a bare header the
+    // buffer can't back with its own payload is far more likely a
+    // random sync collision (~1-in-8k) than audio, so it falls to the
+    // stub instead of shadowing decodeAudio-recognized formats
+    if (off + len1 > bytes.length) return None
     // two-frame verification whenever the buffer can hold the second
-    // header (a header-only prefix is still accepted — it cannot be
-    // disproven); same version/layer family is implied by frameLen
+    // header; same version/layer family is implied by frameLen
     if (off + len1 + 4 <= bytes.length && frameLen(off + len1) <= 0)
       return None
     val versionBits = (u8(off + 1) >> 3) & 3

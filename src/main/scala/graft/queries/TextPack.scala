@@ -862,13 +862,15 @@ object TextPack extends QueryPack {
       // full kx·ky grid (empty cells contribute (0−E)²/E = r·c/n):
       // grid = marginal CROSS JOIN marginal, observed LEFT-joined in
       "q198_chi_square" ->
-        """WITH c AS (SELECT lang, source, COUNT(*)::BIGINT AS o
-          |  FROM documents GROUP BY 1, 2),
+        """WITH src AS (SELECT lang, source FROM documents
+          |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+          |c AS (SELECT lang, source, COUNT(*)::BIGINT AS o
+          |  FROM src GROUP BY 1, 2),
           |mx AS (SELECT lang, COUNT(*)::BIGINT AS cx
-          |  FROM documents GROUP BY 1),
+          |  FROM src GROUP BY 1),
           |my AS (SELECT source, COUNT(*)::BIGINT AS cy
-          |  FROM documents GROUP BY 1),
-          |t AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+          |  FROM src GROUP BY 1),
+          |t AS (SELECT COUNT(*)::BIGINT AS n FROM src),
           |kx AS (SELECT COUNT(*)::BIGINT AS nkx FROM mx),
           |ky AS (SELECT COUNT(*)::BIGINT AS nky FROM my),
           |terms AS (SELECT

@@ -3,12 +3,22 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.{Graft, SparkEntry}
 
-/** Dev tool: run one named query, print timing + formatted plan. */
+/** Dev tool: run one named query, print timing + formatted plan.
+  * `--runs N` repeats the timed run N times after the warm-up and
+  * prints the warm MEDIAN — the bench-drift adjudication protocol
+  * (r6 verdict item 4: driver-vs-local deltas must be proven noise
+  * with warm medians, not eyeballed single runs).
+  */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val sfDir = if (args.length > 1 && !args(1).startsWith("--"))
+      args(1) else "/root/testdata/sf0.1"
     val explain = args.contains("--explain")
+    val runs = args.indexOf("--runs") match {
+      case -1 => 1
+      case i  => args(i + 1).toInt
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -22,12 +32,21 @@ object QueryProbe {
     // warm-up run then timed run; evict leftover storage between runs
     // exactly like Bench so run2 measures a cold query, not a session
     // with run1's checkpoint blocks still resident
-    (1 to 2).foreach { i =>
+    val times = (1 to 1 + runs).map { i =>
       Graft.evictAll(spark)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val n = df.count()
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name run$i: $dt%.2fs rows=$n")
+      dt
+    }
+    if (runs > 1) {
+      val warm = times.drop(1).sorted
+      val med =
+        if (warm.size % 2 == 1) warm(warm.size / 2)
+        else (warm(warm.size / 2 - 1) + warm(warm.size / 2)) / 2.0
+      println(f"[probe] $name warm_median($runs): $med%.2fs")
     }
     if (explain) fn(spark, sfDir).explain("formatted")
     spark.stop()

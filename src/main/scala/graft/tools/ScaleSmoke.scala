@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   *     dim 64. Graph degree stays constant as n grows: the curve in
   *     this mode is the engine's own scaling, not the workload's.
   *
-  * Usage: tools/scale_smoke.sh [sfDir] [copies] [mode] [only]
+  * Usage: tools/scale_smoke.sh [sfDir] [copies] [mode] [only] [bits]
   *   copies=10  → ~sf1-equivalent  (20k vectors)
   *   copies=100 → ~sf10-equivalent (200k vectors, ~6M corpus shingle rows)
   *   mode = dense | constant (writes scale_smoke.json /
@@ -49,6 +49,13 @@ import org.apache.spark.sql.functions._
   *   only = optional comma list of sections (cc,pagerank,kmeans,lpa,
   *     dedup,pq_adc,bloom,editdist,tfidfcos,curation) — a deep soak at
   *     1000× runs just the dominant pipelines instead of all ten
+  *   bits = optional bitsPerBand OVERRIDE for the LSH band key. The
+  *     default sizes the key space to n (constant bucket occupancy —
+  *     what production does), but a cross-decade shuffle-ratio
+  *     comparison needs both points at the SAME width: the r6 soak's
+  *     300× point (11 bits) vs 1000× point (12 bits) left the CC curve
+  *     ambiguous. Overridden runs stamp `_b<bits>` into the filename
+  *     so they never clobber the natural-width artifacts.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -58,9 +65,15 @@ object ScaleSmoke {
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
     val SectionNames = Set("cc", "pagerank", "kmeans", "lpa", "dedup",
       "pq_adc", "bloom", "editdist", "tfidfcos", "curation")
+    // "all" = run every section (the explicit spelling lets the shell
+    // pass a bits override without the positional slot shifting)
     val only: Set[String] = args.drop(3).headOption
+      .filter(_ != "all")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    val bitsOverride: Option[Int] = args.drop(4).headOption.map(_.toInt)
+    bitsOverride.foreach(b => require(b >= 4 && b <= 16,
+      s"bits override $b outside the sane band-key range [4,16]"))
     // a typo'd section name must fail HERE, not silently disable every
     // section and waste an hours-long soak window
     val unknown = only -- SectionNames
@@ -113,8 +126,8 @@ object ScaleSmoke {
 
     // size the band-key space to the data: ~500 vectors per bucket per
     // band keeps the verify join linear in n (see scaladoc)
-    val bitsPerBand = math.min(16, math.max(4,
-      (math.log(math.max(n, 1L) / 500.0) / math.log(2)).ceil.toInt))
+    val bitsPerBand = bitsOverride.getOrElse(math.min(16, math.max(4,
+      (math.log(math.max(n, 1L) / 500.0) / math.log(2)).ceil.toInt)))
 
     val fields = scala.collection.mutable.ListBuffer[String]()
 
@@ -348,7 +361,8 @@ object ScaleSmoke {
     // partial runs get their sections stamped into the NAME so they can
     // never clobber the canonical all-sections artifact for that scale
     val suffix =
-      if (only.isEmpty) "" else "_" + only.toSeq.sorted.mkString("_")
+      (if (only.isEmpty) "" else "_" + only.toSeq.sorted.mkString("_")) +
+        bitsOverride.fold("")(b => s"_b$b")
     val outFile =
       if (mode == "constant" && copies != 100)
         s"scale_smoke_constant_${copies}x$suffix.json"

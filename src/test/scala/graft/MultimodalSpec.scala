@@ -352,7 +352,8 @@ class MultimodalSpec extends SparkSpec {
     * against the real wire layout (both TIFF byte orders), not a
     * library's idea of it.
     */
-  private def exifJpeg(orientation: Int, littleEndian: Boolean): Array[Byte] = {
+  private def exifJpeg(orientation: Int, littleEndian: Boolean,
+                       tiffType: Int = 3): Array[Byte] = {
     val tiff = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
@@ -364,8 +365,9 @@ class MultimodalSpec extends SparkSpec {
     tiff.write(if (littleEndian) 'I' else 'M')
     w16(42); w32(8)           // magic, IFD0 at offset 8
     w16(1)                    // one entry
-    w16(0x0112); w16(3); w32(1) // tag, SHORT, count 1
-    w16(orientation); w16(0)  // value in first two bytes of the field
+    w16(0x0112); w16(tiffType); w32(1) // tag, type, count 1
+    if (tiffType == 4) w32(orientation)  // LONG fills the value field
+    else { w16(orientation); w16(0) }    // SHORT: first two bytes
     w32(0)                    // next-IFD pointer: none
     val t = tiff.toByteArray
     val app1Len = 2 + 6 + t.length
@@ -462,25 +464,31 @@ class MultimodalSpec extends SparkSpec {
     val bad = hdr ++ Array.fill[Byte](413)(0x55) ++
       Array[Byte](0x12, 0x34, 0x56, 0x78) ++ Array.fill[Byte](4)(0)
     assert(Multimodal.decodeMp3(bad).isEmpty)
-    // ID3v2 with the footer flag (bit 4): tag body + 10 footer bytes
+    // ID3v2 with the footer flag (bit 4): tag body + 10 footer bytes;
+    // the payload must back one COMPLETE 417-byte frame — decodeMp3
+    // rejects bare-header prefixes as probable sync collisions
     val id3f = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 12) ++
       Array.fill[Byte](12)(0) ++ Array.fill[Byte](10)(0x33) ++
-      hdr ++ Array.fill[Byte](20)(0x55)
+      hdr ++ Array.fill[Byte](413)(0x55)
     val rf = Multimodal.decodeMp3(id3f)
     assert(rf.isDefined && rf.get.getString(0) == "mp3")
+    // a valid sync whose buffer can't hold its own frame is rejected
+    // (the ADVICE-flagged 1-in-8k random-short-binary false positive)
+    assert(Multimodal.decodeMp3(hdr ++ Array.fill[Byte](20)(0x55)).isEmpty)
   }
 
   test("mp3: real frame-header decode, with and without ID3v2") {
     import spark.implicits._
-    // MPEG1 Layer III, 44100 Hz, stereo: FF FB 90 00 (+ filler)
+    // MPEG1 Layer III, 44100 Hz, stereo: FF FB 90 00 + one full
+    // 417-byte frame of payload (header-only prefixes are rejected)
     val bare = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
-      Array.fill[Byte](20)(0x55)
+      Array.fill[Byte](413)(0x55)
     // same frame behind a 32-byte ID3v2 tag (syncsafe size = 22)
     val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 22) ++
       Array.fill[Byte](22)(0) ++ bare
     // MPEG2 Layer III 16000 Hz mono: FF F3 88 C0 (rateIdx 2, mode 3)
     val mono16k = Array[Byte](0xff.toByte, 0xf3.toByte, 0x88.toByte,
-      0xc0.toByte) ++ Array.fill[Byte](20)(0x55)
+      0xc0.toByte) ++ Array.fill[Byte](284)(0x55) // 288-byte frame
     val out = Multimodal.withAudioMeta(
         Seq((1L, bare), (2L, id3), (3L, mono16k)).toDF("id", "content"),
         "content")
@@ -567,6 +575,17 @@ class MultimodalSpec extends SparkSpec {
     val fj = exifJpeg(6, littleEndian = true)
     val filled = fj.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ fj.drop(2)
     assert(graft.functions.Exif.orientation(filled) == 6)
+    // type 4 (LONG) writers are real in the wild (ADVICE r6): the
+    // 32-bit value field is read whole, in either byte order
+    assert(graft.functions.Exif.orientation(
+      exifJpeg(8, littleEndian = true, tiffType = 4)) == 8)
+    assert(graft.functions.Exif.orientation(
+      exifJpeg(2, littleEndian = false, tiffType = 4)) == 2)
+    // out-of-range LONG and unknown types still yield NULL
+    assert(graft.functions.Exif.orientation(
+      exifJpeg(9, littleEndian = true, tiffType = 4)) == null)
+    assert(graft.functions.Exif.orientation(
+      exifJpeg(6, littleEndian = true, tiffType = 2)) == null)
     // the expression stays inside whole-stage codegen (no fallback);
     // repartition first — on a bare local relation the optimizer
     // constant-folds the whole projection away (ConvertToLocalRelation)

@@ -214,7 +214,10 @@ class PlanSpec extends SparkSpec {
     //    q219 (the |checkpoints|-row broadcast the first-occurrence
     //    comparisons join against — the calendar-periods analog),
     //    q222 (the single corpus-count row the idf expression reads —
-    //    replaced the former eager df.count() at plan-build, r5 verdict)
+    //    replaced the former eager df.count() at plan-build, r5 verdict),
+    //    q212 (the SAME single corpus-count row in clusterLabels — the
+    //    r6-verdict sibling of the q222 fix; PlanBuildJobsSpec pins
+    //    that neither runs a job at plan-build time),
     //  - the ≤1024-row centroid seed table (assignToCentroids and
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
@@ -231,7 +234,8 @@ class PlanSpec extends SparkSpec {
       "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
       "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
-      "q218_stopwords", "q219_vocab_growth", "q222_tfidf_tags",
+      "q212_cluster_labels", "q218_stopwords", "q219_vocab_growth",
+      "q222_tfidf_tags",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
       "q94_semantic_dedup", "q107_hard_negatives", "q110_blocked_knn",
       "q118_kmeans_fit", "q155_mutual_knn", "q165_label_consistency")

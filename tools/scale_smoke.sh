@@ -3,7 +3,7 @@
 # LSH-CC, PageRank, k-means fit, label propagation, incremental dedup,
 # PQ ADC search, Bloom decontamination, FastSS edit-distance join,
 # TF-IDF cosine all-pairs, and the q200 curation decision table.
-# Usage: tools/scale_smoke.sh [sfDir] [copies] [mode] [only]
+# Usage: tools/scale_smoke.sh [sfDir] [copies] [mode] [only] [bits]
 # mode: dense (default, densifying worst case) | constant (constant-degree)
 # only: optional comma list of sections for a targeted deep soak
 set -e
@@ -11,6 +11,7 @@ SF=${1:-/root/testdata/sf0.1}
 COPIES=${2:-10}
 MODE=${3:-dense}
 ONLY=${4:-}
+BITS=${5:-}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -23,4 +24,4 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 exec java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.tools.ScaleSmoke "$SF" "$COPIES" "$MODE" $ONLY
+  graft.tools.ScaleSmoke "$SF" "$COPIES" "$MODE" $ONLY $BITS
