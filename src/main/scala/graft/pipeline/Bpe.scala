@@ -79,6 +79,37 @@ object Bpe {
         sum(col("__len")).as("n_bpe_tokens"))
   }
 
+  /** Per-language tokenizer FERTILITY — the multilingual-tokenizer
+    * audit every training run wants (Rust et al., ACL 2021: how many
+    * subword tokens a tokenizer spends per word, by language; a
+    * vocabulary trained on English-heavy data "taxes" other languages
+    * with higher fertility). Composes [[encodeDocs]] (per-doc BPE token
+    * counts under the corpus's own learned merges) with the
+    * `TextAnalysis.languageId` heuristic, then aggregates per predicted
+    * language. Output: (pred_lang, n_docs, n_words, n_bpe_tokens,
+    * fertility_milli) — fertility in FLOORED milli tokens/word
+    * (integer-exact in both engines; no round(x,6) doubles).
+    *
+    * Scale shape: the encode is the vocabulary equi-join of
+    * [[encodeDocs]] (docs never re-folded); the language join keys on
+    * the doc id; the final aggregate is |languages| rows. Docs with
+    * zero tokens have no words to encode and drop out of the join, so
+    * every surviving group has n_words ≥ 1 — the division is total.
+    */
+  def fertilityByLang(df: DataFrame, idCol: String, textCol: String,
+                      rounds: Int): DataFrame = {
+    val enc = encodeDocs(df, idCol, textCol, rounds)
+    val lang = TextAnalysis.languageId(df, idCol, textCol)
+      .select(col(idCol), col("pred_lang"))
+    enc.join(lang, Seq(idCol))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility_milli",
+        expr("(1000L * n_bpe_tokens) div n_words"))
+  }
+
   /** Shared trainer loop: returns (learned rules, the word-count table
     * re-symbolized by all of them).
     */

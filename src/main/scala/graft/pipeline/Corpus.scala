@@ -93,6 +93,48 @@ object Corpus {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination REPORTING — the reviewer-facing counterpart of
+    * [[decontaminate]] (which gates TRAIN docs): per EVAL document, how
+    * many of its distinct word 13-grams collide with ANY training
+    * document — the GPT-3-appendix audit (Brown et al. 2020, App. C
+    * measure eval/train overlap with 13-gram collisions) that tells a
+    * curation reviewer HOW contaminated a benchmark is, not just which
+    * training rows to drop. Output per eval doc: (id, n_grams,
+    * n_dirty, dirty_permille) — permille via floored integer division,
+    * engine-identical (no round(x,6) doubles).
+    *
+    * Shape: one shingle explode over the whole corpus, the train side
+    * reduced to its distinct shingle vocabulary, then a shingle-keyed
+    * LEFT SEMI equi-join from the eval side — both shuffles key on the
+    * shingle value (the q89 span-dup scaffold with the grouping
+    * flipped to the eval doc). Never pairwise; at 100 TB the train
+    * vocabulary dominates and partitions by shingle hash.
+    */
+  def evalOverlapReport(df: DataFrame, idCol: String, textCol: String,
+                        evalPred: org.apache.spark.sql.Column,
+                        n: Int = 13): DataFrame = {
+    val sh = df.select(col(idCol), evalPred.as("__is_eval"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("__s"))
+    val trainShingles = sh.filter(!col("__is_eval"))
+      .select(col("__s")).distinct()
+    val evalSh = sh.filter(col("__is_eval"))
+    val total = evalSh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val dirty = evalSh.join(trainShingles, Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dirty"))
+    df.filter(evalPred)
+      .select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(dirty, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"))
+      .withColumn("dirty_permille",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("(1000L * n_dirty) div n_grams")))
+  }
+
   /** Bloom-filter decontamination — the 100 TB form of `decontaminate`:
     * the eval set's n-gram shingles compress into ONE fixed-size bit
     * array (`functions.BloomSketch`, default 32768 bits = 4 KiB

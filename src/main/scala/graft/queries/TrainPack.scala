@@ -104,6 +104,16 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- contamination REPORTING: per EVAL doc, distinct 13-gram
+    //      collisions with the training corpus (the GPT-3-appendix
+    //      audit) — q81's equi-join scaffold with the grouping flipped
+    //      to the eval side, permille via floored integer division ----
+    "q231_eval_overlap" -> { (s, d) =>
+      Corpus.evalOverlapReport(Tables.documents(s, d), "doc_id", "text",
+          evalPred = col("doc_id") % 10 === 0, n = 13)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Bloom-filter decontamination: eval shingles -> one 4 KiB
     //      broadcast bit array, train shingles probe it map-side ----
     "q114_bloom_decontaminate" -> { (s, d) =>
@@ -559,6 +569,15 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-language tokenizer fertility (tokens/word by predicted
+    //      language under the corpus's own 4 learned merges — the
+    //      multilingual-tokenizer audit; floored milli units) ----
+    "q232_tokenizer_fertility" -> { (s, d) =>
+      graft.pipeline.Bpe.fertilityByLang(Tables.documents(s, d),
+          "doc_id", "text", rounds = 4)
+        .orderBy(col("pred_lang"))
+    },
+
     // ---- rendezvous (HRW) sharding: per-shard sizes + the fraction
     //      that MOVES when the cluster grows 8 → 9 shards (the
     //      minimal-movement property mod-sharding lacks) ----
@@ -670,6 +689,28 @@ object TrainPack extends QueryPack {
          |  SUM(l)::BIGINT AS n_bpe_tokens
          |FROM dw JOIN wl USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays q185's encode CTEs + q50's language heuristic; fertility
+    // via floored integer division (// on BIGINTs), final ::BIGINT
+    // keeps SUM-derived columns off the HUGEINT path
+    "q232_tokenizer_fertility" ->
+      s"""WITH $bpeCtes,
+         |wl AS (SELECT w, len(syms)::BIGINT AS l FROM s4),
+         |dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |enc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+         |    SUM(l)::BIGINT AS n_bpe_tokens
+         |  FROM dw JOIN wl USING (w) GROUP BY doc_id),
+         |lg AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN 'unknown'
+         |    WHEN len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE / len(tk) >= 0.05
+         |      THEN 'en' ELSE 'other' END AS pred_lang
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)
+         |SELECT lg.pred_lang, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(enc.n_words)::BIGINT AS n_words,
+         |  SUM(enc.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+         |  ((1000 * SUM(enc.n_bpe_tokens)) // SUM(enc.n_words))::BIGINT
+         |    AS fertility_milli
+         |FROM enc JOIN lg USING (doc_id)
+         |GROUP BY lg.pred_lang ORDER BY lg.pred_lang""".stripMargin,
 
     "q163_bpe_vocab" ->
       s"""WITH $bpeCtes
@@ -1072,6 +1113,30 @@ object TrainPack extends QueryPack {
          |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // the q81 scaffold with the grouping flipped to the EVAL side:
+    // distinct 13-grams per eval doc, collisions vs the train shingle
+    // vocabulary, permille by floored integer division
+    "q231_eval_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+         |    unnest(list_distinct(${shingleSql("tk", 13)})) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |tr AS (SELECT DISTINCT s FROM sh WHERE NOT is_eval),
+         |tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams
+         |        FROM sh WHERE is_eval GROUP BY doc_id),
+         |dr AS (SELECT sh.doc_id, COUNT(*)::BIGINT AS n_dirty
+         |       FROM sh JOIN tr USING (s) WHERE sh.is_eval
+         |       GROUP BY sh.doc_id)
+         |SELECT d.doc_id, COALESCE(tot.n_grams, 0)::BIGINT AS n_grams,
+         |  COALESCE(dr.n_dirty, 0)::BIGINT AS n_dirty,
+         |  (CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0
+         |    ELSE (1000 * COALESCE(dr.n_dirty, 0)) // tot.n_grams
+         |    END)::BIGINT AS dirty_permille
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN dr ON d.doc_id = dr.doc_id
+         |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
 
     "q114_bloom_decontaminate" ->
       s"""WITH sh AS (

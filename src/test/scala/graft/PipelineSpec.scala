@@ -1412,6 +1412,23 @@ class PipelineSpec extends SparkSpec {
       "one merge leaves abab as [ab, ab]")
   }
 
+  test("bpe fertilityByLang: per-language tokens/word in floored milli " +
+    "units; zero-token docs drop out") {
+    import spark.implicits._
+    // words: "the" x2 (en markers), "zz" x3; one merge learns (z,z)
+    // -> "the" stays 3 symbols, "zz" collapses to 1
+    val docs = Seq((1L, "the the"), (2L, "zz zz zz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Bpe
+      .fertilityByLang(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("en", 1L, 2L, 6L, 3000L),   // "the" = [t,h,e]: 3 tokens/word
+      ("other", 1L, 3L, 3L, 1000L) // "zz" merged: 1 token/word
+    ), s"unexpected fertility table: $out")
+  }
+
   test("termDriftTopK: drift ranks terms over-represented in slice A; " +
     "balanced terms score near zero") {
     import spark.implicits._

@@ -52,6 +52,28 @@ class TrainPipelineSpec extends SparkSpec {
     assert(!out.exists(_._1 == 10L), "eval rows are excluded from output")
   }
 
+  test("evalOverlapReport: per-EVAL-doc collision counts; eval-eval " +
+    "sharing does not count; short docs use the whole-doc window") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // eval, 3 5-grams
+      (20L, "clean eval doc nothing shared here at all"), // eval, 4 5-grams
+      (40L, "clean eval doc nothing shared here at all"), // eval copy of 20
+      (30L, "tiny"),                                      // eval, < n tokens
+      (1L, "alpha beta gamma delta epsilon zeta eta"),    // train copy of 10
+      (2L, "one two three four five six seven")           // clean train
+    ).toDF("doc_id", "text")
+    val out = Corpus.evalOverlapReport(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, 3L, 3L, 1000L), // every 5-gram collides with train doc 1
+      (20L, 4L, 0L, 0L),    // shared only with eval doc 40: not dirty
+      (30L, 1L, 0L, 0L),    // whole-doc window, no train hit
+      (40L, 4L, 0L, 0L)),
+      s"unexpected report: $out")
+  }
+
   test("scrubPii: emails then phones, counted and replaced") {
     val df = Seq(
       (1L, "mail a.user+tag@example.co.uk or call +1-555-123-4567 today"),
