@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, JaroWinklerSim, KmvSketch}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, KmvSketch, Mp3Header}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.bloomSketchDescriptor)
     ext.injectFunction(Graft.jaroWinklerDescriptor)
     ext.injectFunction(Graft.exifOrientationDescriptor)
+    ext.injectFunction(Graft.flacStreaminfoDescriptor)
+    ext.injectFunction(Graft.mp3HeaderDescriptor)
   }
 }
 
@@ -108,11 +110,30 @@ object Graft {
       ExifOrientationExpr(children.head)
     })
 
+  private[graft] val flacStreaminfoDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("flac_streaminfo"),
+    new ExpressionInfo(classOf[FlacStreaminfo].getName, "flac_streaminfo"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "flac_streaminfo expects 1 argument")
+      FlacStreaminfo(children.head)
+    })
+
+  private[graft] val mp3HeaderDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mp3_header"),
+    new ExpressionInfo(classOf[Mp3Header].getName, "mp3_header"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "mp3_header expects 1 argument")
+      Mp3Header(children.head)
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
         byteHistogramDescriptor, bloomSketchDescriptor,
-        jaroWinklerDescriptor, exifOrientationDescriptor).foreach {
+        jaroWinklerDescriptor, exifOrientationDescriptor,
+        flacStreaminfoDescriptor, mp3HeaderDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -157,6 +178,19 @@ object Graft {
     */
   def exifOrientation(bin: Column): Column =
     call_function("exif_orientation", bin)
+
+  /** FLAC STREAMINFO struct (channels, sample_rate, bits_per_sample,
+    * total_samples, duration_micros) of a binary column; NULL when the
+    * payload is not FLAC (native codegen expression, header byte walk).
+    */
+  def flacStreaminfo(bin: Column): Column =
+    call_function("flac_streaminfo", bin)
+
+  /** MP3 frame-header struct (channels, sample_rate) of a binary
+    * column; NULL when not accepted as MP3 (native codegen expression,
+    * two-frame sniff shared with `Multimodal.decodeMp3`).
+    */
+  def mp3Header(bin: Column): Column = call_function("mp3_header", bin)
 
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =

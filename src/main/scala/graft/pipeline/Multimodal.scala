@@ -258,68 +258,14 @@ object Multimodal {
     * under VBR — claiming them from one header would be a guess).
     * O(header); None (→ stub) on anything malformed or non-Layer-III.
     */
-  def decodeMp3(bytes: Array[Byte]): Option[Row] = {
-    if (bytes == null || bytes.length < 14) return None
-    def u8(i: Int) = bytes(i) & 0xff
-    // skip ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>; the
-    // footer flag (bit 4) appends 10 more bytes after the tag body
-    val off =
-      if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
-        val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
-        10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
-      } else 0
-    // validate a Layer III frame header at `i`; returns the frame
-    // length in bytes, or -1. The sync alone is only ~18 signature
-    // bits (1-in-8k random bytes pass), so the caller ALSO verifies
-    // the next frame lands on another valid header when the buffer
-    // reaches that far — the standard two-frame MP3 sniff
-    def frameLen(i: Int): Int = {
-      if (i < 0 || i + 4 > bytes.length) return -1
-      if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return -1
-      val version = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
-      val layer = (u8(i + 1) >> 1) & 3   // 1 = Layer III
-      if (version == 1 || layer != 1) return -1
-      val brIdx = (u8(i + 2) >> 4) & 15
-      if (brIdx == 0 || brIdx == 15) return -1 // free-format / invalid
-      val rIdx = (u8(i + 2) >> 2) & 3
-      if (rIdx == 3) return -1
-      val kbps =
-        if (version == 3)
-          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-            256, 320)(brIdx)
-        else
-          Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
-            160)(brIdx)
-      val rate = version match {
-        case 3 => Array(44100, 48000, 32000)(rIdx)
-        case 2 => Array(22050, 24000, 16000)(rIdx)
-        case _ => Array(11025, 12000, 8000)(rIdx)
-      }
-      val coef = if (version == 3) 144 else 72
-      val pad = (u8(i + 2) >> 1) & 1
-      coef * kbps * 1000 / rate + pad
+  def decodeMp3(bytes: Array[Byte]): Option[Row] =
+    // the byte walk lives in functions.AudioWire (ONE parser shared
+    // with the `mp3_header` codegen expression, so the columnar twin
+    // can never drift from this row-level decoder)
+    Option(graft.functions.AudioWire.mp3Fields(bytes)).map { f =>
+      Row("mp3", f(0).toInt, f(1).toFloat, null, null, null,
+        bytes.length.toLong)
     }
-    val len1 = frameLen(off)
-    if (len1 <= 0) return None
-    // a real MP3 holds at least one COMPLETE frame: a bare header the
-    // buffer can't back with its own payload is far more likely a
-    // random sync collision (~1-in-8k) than audio, so it falls to the
-    // stub instead of shadowing decodeAudio-recognized formats
-    if (off + len1 > bytes.length) return None
-    // two-frame verification whenever the buffer can hold the second
-    // header; same version/layer family is implied by frameLen
-    if (off + len1 + 4 <= bytes.length && frameLen(off + len1) <= 0)
-      return None
-    val versionBits = (u8(off + 1) >> 3) & 3
-    val rateIdx = (u8(off + 2) >> 2) & 3
-    val rate = versionBits match {
-      case 3 => Array(44100f, 48000f, 32000f)(rateIdx)
-      case 2 => Array(22050f, 24000f, 16000f)(rateIdx)
-      case _ => Array(11025f, 12000f, 8000f)(rateIdx)
-    }
-    val channels = if (((u8(off + 3) >> 6) & 3) == 3) 1 else 2
-    Some(Row("mp3", channels, rate, null, null, null, bytes.length.toLong))
-  }
 
   /** Real FLAC STREAMINFO decode — unlike MP3, FLAC's mandatory first
     * metadata block states EVERYTHING: 20-bit sample rate, channels,
@@ -328,31 +274,18 @@ object Multimodal {
     * walk ("fLaC" magic + STREAMINFO block type 0), O(header), None
     * (→ stub) on anything malformed.
     */
-  def decodeFlac(bytes: Array[Byte]): Option[Row] = {
-    if (bytes == null || bytes.length < 4 + 4 + 34) return None
-    def u8(i: Int) = bytes(i) & 0xff
-    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
-        bytes(3) == 'C')) return None
-    // first block must be STREAMINFO (type 0; bit 7 = last-block flag)
-    if ((u8(4) & 0x7f) != 0) return None
-    val len = (u8(5) << 16) | (u8(6) << 8) | u8(7)
-    if (len < 34) return None
-    val p = 8 + 10 // skip min/max block size (4) + min/max frame size (6)
-    // 64 bits at p: rate(20) channels-1(3) bits-1(5) totalSamples(36)
-    val rate = (u8(p) << 12) | (u8(p + 1) << 4) | (u8(p + 2) >> 4)
-    if (rate == 0) return None // 0 is invalid per spec
-    val channels = ((u8(p + 2) >> 1) & 0x07) + 1
-    val bits = (((u8(p + 2) & 0x01) << 4) | (u8(p + 3) >> 4)) + 1
-    val samples = ((u8(p + 3) & 0x0f).toLong << 32) |
-      (u8(p + 4).toLong << 24) | (u8(p + 5).toLong << 16) |
-      (u8(p + 6).toLong << 8) | u8(p + 7).toLong
-    // totalSamples = 0 legally means "unknown" — surface null, not 0
-    val frames: Any = if (samples > 0) samples else null
-    val duration: Any =
-      if (samples > 0) samples.toDouble / rate.toDouble else null
-    Some(Row("flac", channels, rate.toFloat, bits, frames, duration,
-      bytes.length.toLong))
-  }
+  def decodeFlac(bytes: Array[Byte]): Option[Row] =
+    // byte walk shared with the `flac_streaminfo` codegen expression
+    // via functions.AudioWire — one parser, two surfaces
+    Option(graft.functions.AudioWire.flacFields(bytes)).map { f =>
+      val samples = f(3)
+      // totalSamples = 0 legally means "unknown" — surface null, not 0
+      val frames: Any = if (samples > 0) samples else null
+      val duration: Any =
+        if (samples > 0) samples.toDouble / f(1).toDouble else null
+      Row("flac", f(0).toInt, f(1).toFloat, f(2).toInt, frames, duration,
+        bytes.length.toLong)
+    }
 
   /** Deterministic fake audio header for payloads javax.sound does not
     * recognize (or when the module is absent): pure byte arithmetic,

@@ -544,6 +544,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFlac(wrongBlock).isEmpty)
   }
 
+  test("flac_streaminfo / mp3_header: columnar twins agree with the " +
+    "row decoders byte-for-byte and stay inside codegen") {
+    import spark.implicits._
+    Graft.install(spark)
+    def flac(rate: Int, channels: Int, bits: Int, samples: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      out.write(Array.fill[Byte](10)(0))
+      val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+        ((bits - 1).toLong << 36) | samples
+      (7 to 0 by -1).foreach(i => out.write(((packed >> (8 * i)) & 0xff).toInt))
+      out.write(Array.fill[Byte](16)(0))
+      out.toByteArray
+    }
+    // one complete 417-byte MPEG1 Layer III frame (FF FB 90 00)
+    val mp3 = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](413)(0x55)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> flac(44100, 2, 16, 220500L),
+      2L -> flac(48000, 1, 24, 0L), // unknown samples -> NULL fields
+      3L -> mp3,
+      4L -> "not audio at all, silently NULL".getBytes("UTF-8"))
+    val out = rows.toDF("id", "content").repartition(2)
+      .select(col("id"),
+        Graft.flacStreaminfo(col("content")).as("f"),
+        Graft.mp3Header(col("content")).as("m"))
+    val got = out.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getStruct(1).toSeq,
+        if (r.isNullAt(2)) null else r.getStruct(2).toSeq))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq(2, 44100, 16, 220500L, 5000000L), null),
+      (2L, Seq(1, 48000, 24, null, null), null),
+      (3L, null, Seq(2, 44100)),
+      (4L, null, null)), s"got $got")
+    // the row decoders see the SAME values (one shared parser)
+    val f1 = Multimodal.decodeFlac(rows.head._2).get
+    assert(f1.getInt(1) == 2 && f1.getFloat(2) == 44100f &&
+      f1.getInt(3) == 16 && f1.getLong(4) == 220500L)
+    val m3 = Multimodal.decodeMp3(mp3).get
+    assert(m3.getInt(1) == 2 && m3.getFloat(2) == 44100f)
+    // rejected-by-rule inputs stay rejected in BOTH surfaces: a bare
+    // header the buffer can't back (the r6-ADVICE sync-collision rule)
+    val bare = mp3.take(4) ++ Array.fill[Byte](20)(0x55)
+    assert(Multimodal.decodeMp3(bare).isEmpty &&
+      graft.functions.AudioWire.mp3Row(bare) == null)
+    // both expressions live inside a whole-stage-codegen span
+    val dist = out.filter(col("f").isNotNull || col("m").isNotNull)
+    assert(dist.collect().length == 3)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined &&
+      plan.contains("flac_streaminfo") && plan.contains("mp3_header"),
+      s"expected both expressions inside a codegen stage:\n$plan")
+  }
+
   test("exif_orientation: hand-assembled APP1 in both byte orders") {
     import spark.implicits._
     Graft.install(spark)
