@@ -112,7 +112,19 @@ object Components {
     * huge graphs spread.
     */
   def connectedComponentsFast(vertices: DataFrame, edges: DataFrame,
-                              maxIter: Int = 100): DataFrame = {
+                              maxIter: Int = 100): DataFrame =
+    connectedComponentsFastCounted(vertices, edges, maxIter)._1
+
+  /** [[connectedComponentsFast]] plus the number of label-propagation
+    * rounds it ran (including the final no-change round that proves
+    * the fixed point). The scale smoke records this: total CC shuffle
+    * is (rounds × linear-per-round label exchange) + the candidate
+    * join, so the O(log diameter) round growth across decades must be
+    * SEPARATED from per-round cost before calling a shuffle curve
+    * super-linear.
+    */
+  def connectedComponentsFastCounted(vertices: DataFrame, edges: DataFrame,
+                                     maxIter: Int = 100): (DataFrame, Int) = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -167,7 +179,7 @@ object Components {
     // deliberately: its cache is plan-keyed, so sibling queries deriving
     // the same edge set reuse the materialization (see above).
     sym.unpersist(false)
-    labels.toDF("id", "component")
+    (labels.toDF("id", "component"), i)
   }
 
   /** Global row number 1..n WITHOUT a single-partition window: a

@@ -153,14 +153,19 @@ object ScaleSmoke {
     // vertices — a nonzero violation count means the loop stopped short
     // and the run fails loudly ---
     if (enabled("cc")) {
-      val ((ccRows, ccViol), ccSec, ccShuf) = timed {
+      val ((ccRows, ccViol, ccRounds), ccSec, ccShuf) = timed {
         val pairs = graft.similarity.SimilarityOps.lshCandidatePairs(
             embN, "vec_id", "embedding", threshold = 0.4,
             bands = 3, bitsPerBand = bitsPerBand)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint() // CC and the fixed-point audit both read it
-        val labels = graft.graph.Components.connectedComponentsFast(
-          embN.select("vec_id"), pairs).localCheckpoint()
+        // rounds are part of the record: total CC shuffle is
+        // (rounds × linear label exchange) + candidate join, and
+        // rounds grow O(log diameter) across decades — a cross-decade
+        // byte ratio is only interpretable per round
+        val (labels0, rounds) = graft.graph.Components
+          .connectedComponentsFastCounted(embN.select("vec_id"), pairs)
+        val labels = labels0.localCheckpoint()
         val rows = labels.count()
         val viol = pairs
           .join(labels.select(col("id").as("id_a"),
@@ -168,11 +173,11 @@ object ScaleSmoke {
           .join(labels.select(col("id").as("id_b"),
             col("component").as("__lb")), Seq("id_b"))
           .filter(col("__la") =!= col("__lb")).count()
-        (rows, viol)
+        (rows, viol, rounds)
       }
       require(ccViol == 0L,
         s"CC did NOT reach a fixed point: $ccViol cross-component edges")
-      fields += s""""cc_rows":$ccRows,"cc_label_violations":$ccViol,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf"""
+      fields += s""""cc_rows":$ccRows,"cc_label_violations":$ccViol,"cc_rounds":$ccRounds,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf"""
     }
 
     // --- q98 shape: 3-iteration integer PageRank over the same graph ---
