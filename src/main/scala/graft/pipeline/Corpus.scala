@@ -507,6 +507,49 @@ object Corpus {
           round(shareCol, 6).as("share"),
           round((lit(1.0) / col("__n_groups")) / shareCol, 6).as("weight")): _*)
 
+  /** Epoch planning under data constraints — the budgeting audit of a
+    * token-bounded training run (Muennighoff et al., NeurIPS 2023:
+    * repeating data beyond ~4 epochs stops helping, so a run whose
+    * budget exceeds a source's unique tokens must cap repetition and
+    * surface the shortfall). Budget = corpus total × budgetFactorMilli
+    * / 1000, split uniformly across sources; per source, all integer
+    * units: n_docs, avail_tokens, target_tokens, epochs_milli (1000 =
+    * one pass, capped at maxEpochsMilli), effective_tokens after the
+    * cap, shortfall_tokens. Floored integer division throughout —
+    * engine-identical.
+    *
+    * Scale shape: one corpus scan → per-source aggregate; the global
+    * windows run over the |sources|-row grouped table (bounded), so
+    * cost is the scan at any corpus size.
+    */
+  def epochMixPlan(df: DataFrame, srcCol: String, textCol: String,
+                   budgetFactorMilli: Int = 2000,
+                   maxEpochsMilli: Int = 4000): DataFrame = {
+    require(budgetFactorMilli > 0 && maxEpochsMilli > 0,
+      "budgetFactorMilli and maxEpochsMilli must be > 0")
+    val all = Window.partitionBy()
+    df.select(col(srcCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("avail_tokens"))
+      .withColumn("__total", sum(col("avail_tokens")).over(all))
+      .withColumn("__nsrc", count(lit(1)).over(all))
+      .withColumn("target_tokens",
+        expr(s"((__total * ${budgetFactorMilli}L) div 1000L) div __nsrc"))
+      .withColumn("epochs_milli",
+        when(col("avail_tokens") === 0, lit(0L)).otherwise(
+          least(lit(maxEpochsMilli.toLong),
+            expr("(1000L * target_tokens) div avail_tokens"))))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"),
+          expr("(avail_tokens * epochs_milli) div 1000L")))
+      .withColumn("shortfall_tokens",
+        col("target_tokens") - col("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"), col("epochs_milli"),
+        col("effective_tokens"), col("shortfall_tokens"))
+  }
+
   /** Sparse TF-IDF cosine all-pairs over word n-gram shingle vectors —
     * the lexical twin of the embedding-cosine near-dup join (q31/q53):
     * documents are sparse vectors in shingle space, candidate pairs come

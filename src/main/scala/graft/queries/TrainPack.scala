@@ -188,6 +188,15 @@ object TrainPack extends QueryPack {
         .orderBy(col("source"), col("lang"))
     },
 
+    // ---- epoch planning under data constraints: 2x-corpus token
+    //      budget split uniformly over sources, repetition capped at
+    //      4 epochs, shortfall surfaced — floored-milli integers ----
+    "q233_epoch_mix" -> { (s, d) =>
+      Corpus.epochMixPlan(Tables.documents(s, d), "source", "text",
+          budgetFactorMilli = 2000, maxEpochsMilli = 4000)
+        .orderBy(col("source"))
+    },
+
     // ---- deterministic export sharding ----
     "q87_export_shards" -> { (s, d) =>
       Export.shardAssignments(Tables.documents(s, d), "doc_id", numShards = 8)
@@ -1221,6 +1230,31 @@ object TrainPack extends QueryPack {
          |  ROUND((1.0 / COUNT(*) OVER ()) /
          |    (n_docs::DOUBLE / SUM(n_docs) OVER ()), 6) AS weight
          |FROM g ORDER BY source, lang""".stripMargin,
+
+    // budget = 2x corpus tokens, uniform per-source targets, epochs
+    // capped at 4000 milli; every derived column is floored integer
+    // division (// on BIGINTs), final ::BIGINT off the HUGEINT path
+    "q233_epoch_mix" ->
+      s"""WITH s AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |    SUM(len($toksSql))::BIGINT AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT SUM(avail_tokens)::BIGINT AS total,
+         |    COUNT(*)::BIGINT AS nsrc FROM s),
+         |p AS (SELECT s.*, (((t.total * 2000) // 1000) // t.nsrc)
+         |    AS target_tokens FROM s, t),
+         |q AS (SELECT p.*, CASE WHEN avail_tokens = 0 THEN 0
+         |    ELSE least(4000, (1000 * target_tokens) // avail_tokens)
+         |    END AS epochs_milli FROM p)
+         |SELECT source, n_docs, avail_tokens,
+         |  target_tokens::BIGINT AS target_tokens,
+         |  epochs_milli::BIGINT AS epochs_milli,
+         |  least(target_tokens,
+         |    (avail_tokens * epochs_milli) // 1000)::BIGINT
+         |    AS effective_tokens,
+         |  (target_tokens - least(target_tokens,
+         |    (avail_tokens * epochs_milli) // 1000))::BIGINT
+         |    AS shortfall_tokens
+         |FROM q ORDER BY source""".stripMargin,
 
     "q87_export_shards" ->
       s"""WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hex,

@@ -52,6 +52,27 @@ class TrainPipelineSpec extends SparkSpec {
     assert(!out.exists(_._1 == 10L), "eval rows are excluded from output")
   }
 
+  test("epochMixPlan: uniform targets, 4-epoch cap, shortfall arithmetic") {
+    // tokens: big = 90, small = 10 -> total 100; budget 2000 milli
+    // = 200 tokens, target = 100 per source. big: epochs floor(1000*
+    // 100/90) = 1111 (uncapped), effective floor(90*1111/1000) = 99,
+    // shortfall 1. small: raw epochs 10000 -> capped 4000, effective
+    // 40, shortfall 60.
+    val docs = Seq(
+      ("big", ("t " * 90).trim),
+      ("small", ("t " * 10).trim)
+    ).toDF("source", "text")
+    val out = Corpus.epochMixPlan(docs, "source", "text",
+        budgetFactorMilli = 2000, maxEpochsMilli = 4000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("big", 1L, 90L, 100L, 1111L, 99L, 1L),
+      ("small", 1L, 10L, 100L, 4000L, 40L, 60L)),
+      s"unexpected plan: $out")
+  }
+
   test("evalOverlapReport: per-EVAL-doc collision counts; eval-eval " +
     "sharing does not count; short docs use the whole-doc window") {
     val docs = Seq(
