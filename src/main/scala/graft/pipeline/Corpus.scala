@@ -135,6 +135,30 @@ object Corpus {
           .otherwise(expr("(1000L * n_dirty) div n_grams")))
   }
 
+  /** Per-slice rollup of [[evalOverlapReport]] — the one-page summary
+    * a curation review reads per benchmark family / source: how many
+    * eval docs exist, how many carry ≥1 train collision, the
+    * contaminated share in floored permille, and the total collision
+    * count. Integer units throughout. Shape: the per-doc report plus
+    * one id-keyed equi-join to recover the slice column and a
+    * |slices|-row aggregate — the report's two shingle-keyed shuffles
+    * dominate at any scale.
+    */
+  def evalOverlapBySlice(df: DataFrame, idCol: String, textCol: String,
+                         evalPred: org.apache.spark.sql.Column,
+                         sliceCol: String, n: Int = 13): DataFrame = {
+    val rep = evalOverlapReport(df, idCol, textCol, evalPred, n)
+    rep.join(df.filter(evalPred).select(col(idCol), col(sliceCol)),
+        Seq(idCol))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_eval_docs"),
+        sum(when(col("n_dirty") > 0, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(col("n_dirty")).as("n_collisions"))
+      .withColumn("contaminated_permille",
+        expr("(1000L * n_contaminated) div n_eval_docs"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB form of `decontaminate`:
     * the eval set's n-gram shingles compress into ONE fixed-size bit
     * array (`functions.BloomSketch`, default 32768 bits = 4 KiB

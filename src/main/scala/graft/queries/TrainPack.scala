@@ -114,6 +114,14 @@ object TrainPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the q231 report rolled up per eval source: contaminated
+    //      doc share (floored permille) + total collisions ----
+    "q234_contamination_rollup" -> { (s, d) =>
+      Corpus.evalOverlapBySlice(Tables.documents(s, d), "doc_id", "text",
+          evalPred = col("doc_id") % 10 === 0, sliceCol = "source", n = 13)
+        .orderBy(col("source"))
+    },
+
     // ---- Bloom-filter decontamination: eval shingles -> one 4 KiB
     //      broadcast bit array, train shingles probe it map-side ----
     "q114_bloom_decontaminate" -> { (s, d) =>
@@ -1146,6 +1154,28 @@ object TrainPack extends QueryPack {
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN dr ON d.doc_id = dr.doc_id
          |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // q231's CTEs + an id-keyed join back to documents for the slice
+    "q234_contamination_rollup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+         |    unnest(list_distinct(${shingleSql("tk", 13)})) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |tr AS (SELECT DISTINCT s FROM sh WHERE NOT is_eval),
+         |dr AS (SELECT sh.doc_id, COUNT(*)::BIGINT AS n_dirty
+         |       FROM sh JOIN tr USING (s) WHERE sh.is_eval
+         |       GROUP BY sh.doc_id),
+         |ev AS (SELECT d.doc_id, d.source,
+         |         COALESCE(dr.n_dirty, 0)::BIGINT AS n_dirty
+         |       FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+         |       WHERE d.doc_id % 10 = 0)
+         |SELECT source, COUNT(*)::BIGINT AS n_eval_docs,
+         |  SUM(CASE WHEN n_dirty > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_contaminated,
+         |  SUM(n_dirty)::BIGINT AS n_collisions,
+         |  ((1000 * SUM(CASE WHEN n_dirty > 0 THEN 1 ELSE 0 END))
+         |    // COUNT(*))::BIGINT AS contaminated_permille
+         |FROM ev GROUP BY source ORDER BY source""".stripMargin,
 
     "q114_bloom_decontaminate" ->
       s"""WITH sh AS (

@@ -95,6 +95,26 @@ class TrainPipelineSpec extends SparkSpec {
       s"unexpected report: $out")
   }
 
+  test("evalOverlapBySlice: per-slice contaminated share and collision " +
+    "totals in floored permille") {
+    val docs = Seq(
+      (10L, "a", "alpha beta gamma delta epsilon zeta eta"), // contaminated
+      (20L, "a", "clean eval doc nothing shared here at all"),
+      (40L, "a", "also clean and wholly unlike the training set"),
+      (30L, "b", "tiny"),
+      (1L, "t", "alpha beta gamma delta epsilon zeta eta"), // train copy
+      (2L, "t", "one two three four five six seven")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.evalOverlapBySlice(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0, sliceCol = "source", n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("a", 3L, 1L, 3L, 333L), // doc 10's 3 collisions; 1 of 3 dirty
+      ("b", 1L, 0L, 0L, 0L)),
+      s"unexpected rollup: $out")
+  }
+
   test("scrubPii: emails then phones, counted and replaced") {
     val df = Seq(
       (1L, "mail a.user+tag@example.co.uk or call +1-555-123-4567 today"),
