@@ -835,6 +835,33 @@ object Corpus {
           col("__n").cast("double"), 6).as("corpus_share"))
   }
 
+  /** Boilerplate detector: the top-k word n-grams by cross-document
+    * frequency (distinct documents containing the gram, df ≥ minDf) —
+    * navigation chrome, license headers and template sentences surface
+    * here long before they dominate a training mix (the C4/RefinedWeb
+    * line-dedup motivation, shingle-shaped). Complements
+    * [[spanDupStats]]: that asks "how much of each DOC is duplicated
+    * span"; this names the GRAMS doing the duplicating. One explode
+    * over per-doc DISTINCT shingles + one vocabulary-keyed count;
+    * top-k is TakeOrderedAndProject, never a global sort. df is exact
+    * integer; (df desc, gram asc) is a total order so the cut is
+    * deterministic in both engines.
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, minDf: Long = 2L,
+                        topK: Int = 20): DataFrame = {
+    require(n >= 1 && minDf >= 1 && topK >= 1,
+      "n, minDf and topK must be >= 1")
+    df.select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n)))
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   /** Chi-square test of independence between two categorical columns —
     * [[mutualInformationCells]]'s hypothesis-testing twin (is the
     * dependence SIGNIFICANT, not just nonzero?). Per-cell terms are

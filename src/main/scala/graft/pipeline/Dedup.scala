@@ -139,6 +139,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup overlap matrix BETWEEN SOURCES: [[minhashLshPairs]]'
+    * verified pairs rolled up per unordered source pair — the "who
+    * duplicates whom" heatmap a curation review reads before deciding
+    * which feeds to keep (a same-source row measures that feed's
+    * internal duplication; a cross-source row measures mirroring
+    * between feeds). On top of the banded candidate pipeline this adds
+    * two id-keyed equi-joins against the (id, source) projection and
+    * one aggregate whose key space is bounded by |sources|² — nothing
+    * becomes pairwise in docs beyond the verified near-dup set itself.
+    */
+  def nearDupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, n: Int = 3, k: Int = 16,
+                          bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val src = df.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
+      .join(src.select(col("__sid").as("id_a"), col("__src").as("__sa")),
+        "id_a")
+      .join(src.select(col("__sid").as("id_b"), col("__src").as("__sb")),
+        "id_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Frequency-weighted SimHash over tokens, `bits` wide (≤ 62).
     * Token hash = portable polynomial hash; bit b of the sketch is the
     * sign of Σ_tokens (±1 by token-hash bit b).

@@ -87,6 +87,14 @@ object TextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- the q44 pair graph rolled up per unordered source pair:
+    //      which feeds mirror each other / duplicate internally ----
+    "q235_neardup_source_matrix" -> { (s, d) =>
+      Dedup.nearDupSourceMatrix(Tables.documents(s, d), "doc_id", "text",
+          "source", n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // ---- exact content-hash dedup ----
     "q45_exact_dedup" -> { (s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -722,6 +730,26 @@ object TextPack extends QueryPack {
            |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
            |WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // q44's CTEs + two id-keyed joins back to documents for the
+      // endpoint sources; unordered pair via LEAST/GREATEST
+      "q235_neardup_source_matrix" ->
+        s"""WITH sh AS (SELECT doc_id, list_distinct(${shingleSql("tk")}) AS ss
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+           |banded AS (SELECT doc_id, unnest(${bandsSql(minhashSql("ss", k), bands, rowsPer)}) AS band_key FROM sh),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band_key = y.band_key
+           |  WHERE x.doc_id < y.doc_id),
+           |pr AS (SELECT c.id_a, c.id_b
+           |  FROM cand c JOIN sh a ON c.id_a = a.doc_id
+           |  JOIN sh b ON c.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5)
+           |SELECT LEAST(da.source, db.source) AS source_a,
+           |  GREATEST(da.source, db.source) AS source_b,
+           |  COUNT(*)::BIGINT AS n_pairs
+           |FROM pr JOIN documents da ON pr.id_a = da.doc_id
+           |JOIN documents db ON pr.id_b = db.doc_id
+           |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
       "q45_exact_dedup" ->
         """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,

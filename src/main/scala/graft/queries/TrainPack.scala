@@ -122,6 +122,13 @@ object TrainPack extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // ---- boilerplate detector: top word 5-grams by cross-document
+    //      frequency (distinct docs containing the gram) ----
+    "q236_boilerplate_ngrams" -> { (s, d) =>
+      Corpus.boilerplateNgrams(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDf = 2L, topK = 20)
+    },
+
     // ---- Bloom-filter decontamination: eval shingles -> one 4 KiB
     //      broadcast bit array, train shingles probe it map-side ----
     "q114_bloom_decontaminate" -> { (s, d) =>
@@ -1176,6 +1183,16 @@ object TrainPack extends QueryPack {
          |  ((1000 * SUM(CASE WHEN n_dirty > 0 THEN 1 ELSE 0 END))
          |    // COUNT(*))::BIGINT AS contaminated_permille
          |FROM ev GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-doc DISTINCT 5-gram shingles -> df count -> top-20; the
+    // (df DESC, gram ASC) key is total so the cut is deterministic
+    "q236_boilerplate_ngrams" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, s AS gram FROM (
+         |  SELECT doc_id, unnest(list_distinct(${shingleSql("tk", 5)})) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)),
+         |d AS (SELECT gram, COUNT(*)::BIGINT AS df FROM sh GROUP BY 1)
+         |SELECT gram, df FROM d WHERE df >= 2
+         |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
 
     "q114_bloom_decontaminate" ->
       s"""WITH sh AS (

@@ -68,6 +68,27 @@ class PipelineSpec extends SparkSpec {
       "identical docs share every band key")
   }
 
+  test("nearDupSourceMatrix: verified pairs roll up per unordered " +
+    "source pair") {
+    // three exact copies (identical signatures ⇒ certain candidates,
+    // jaccard 1.0 ⇒ certain survivors) split across two feeds, plus
+    // unique docs in both feeds that must not appear at all
+    val withSrc = Seq(
+      (1L, "feedA", "alpha beta gamma delta epsilon zeta"),
+      (2L, "feedB", "alpha beta gamma delta epsilon zeta"),
+      (3L, "feedA", "alpha beta gamma delta epsilon zeta"),
+      (4L, "feedB", "wholly unrelated content one two three"),
+      (5L, "feedA", "another unique document four five six")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.nearDupSourceMatrix(withSrc, "doc_id", "text",
+        "source", n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // pairs: (1,2) A×B, (1,3) A×A, (2,3) A×B
+    assert(out == Map(("feedA", "feedA") -> 1L, ("feedA", "feedB") -> 2L),
+      s"unexpected matrix: $out")
+  }
+
   test("simhash: identical docs get identical sketches; pairs report hamming 0") {
     val sk = Dedup.simhashTable(docs, "doc_id", "text", bits = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -115,6 +115,27 @@ class TrainPipelineSpec extends SparkSpec {
       s"unexpected rollup: $out")
   }
 
+  test("boilerplateNgrams: cross-doc df over per-doc distinct grams, " +
+    "deterministic (df desc, gram asc) cut") {
+    val docs = Seq(
+      // "all rights reserved contact us" appears in 3 docs (twice in
+      // doc 1 — per-doc distinct must count it once there)
+      (1L, "all rights reserved contact us all rights reserved contact us"),
+      (2L, "footer all rights reserved contact us end"),
+      (3L, "page all rights reserved contact us"),
+      (4L, "one unique sentence with no repeats at all")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.boilerplateNgrams(docs, "doc_id",
+        "text", n = 5, minDf = 2L, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out.head == ("all rights reserved contact us", 3L),
+      s"unexpected top gram: $out")
+    // every reported gram sits in >= 2 docs and the list is the top-3
+    // of the (df desc, gram asc) order
+    assert(out.length <= 3 && out.forall(_._2 >= 2L), s"bad cut: $out")
+    assert(out == out.sortBy(g => (-g._2, g._1)), s"order violated: $out")
+  }
+
   test("scrubPii: emails then phones, counted and replaced") {
     val df = Seq(
       (1L, "mail a.user+tag@example.co.uk or call +1-555-123-4567 today"),
