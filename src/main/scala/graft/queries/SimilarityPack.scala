@@ -141,6 +141,13 @@ object SimilarityPack extends QueryPack {
         "embedding", slicePred = col("vec_id") % 2 === 0)
     },
 
+    // ---- embedding-health audit: per-dimension quantized sum,
+    //      floored variance, min/max (dead dims, scale drift) ----
+    "q237_dim_variance" -> { (s, d) =>
+      SimilarityOps.dimVarianceProfile(Tables.embeddings(s, d), "embedding")
+        .orderBy(col("dim"))
+    },
+
     // ---- kNN-distance outliers: bottom-20 vectors by mean similarity
     //      to their IVF-blocked kNN (embedding-space anomaly scores) ----
     "q192_knn_outliers" -> { (s, d) =>
@@ -411,6 +418,22 @@ object SimilarityPack extends QueryPack {
          |  ROUND(COALESCE(h.hits, 0)::DOUBLE / ek.k::DOUBLE, 6) AS recall
          |FROM ek LEFT JOIN h ON ek.query_id = h.query_id
          |ORDER BY ek.query_id""".stripMargin,
+
+    // quantize-first (the q213 spelling); variance numerator is
+    // nonnegative so HUGEINT // matches Spark's decimal div exactly
+    "q237_dim_variance" ->
+      """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    ROUND(unnest(embedding)::DOUBLE * 1e6)::BIGINT AS q
+        |  FROM embeddings),
+        |a AS (SELECT dim, COUNT(*)::BIGINT AS n_vecs,
+        |    SUM(q)::BIGINT AS sum_micro, SUM(q::HUGEINT * q) AS ss,
+        |    MIN(q)::BIGINT AS min_micro, MAX(q)::BIGINT AS max_micro
+        |  FROM x GROUP BY dim)
+        |SELECT dim::BIGINT AS dim, n_vecs, sum_micro,
+        |  ((n_vecs::HUGEINT * ss - sum_micro::HUGEINT * sum_micro)
+        |    // (n_vecs::HUGEINT * n_vecs))::BIGINT AS var_microsq,
+        |  min_micro, max_micro
+        |FROM a ORDER BY dim""".stripMargin,
 
     "q213_embedding_drift" ->
       """WITH x AS (SELECT vec_id % 2 = 0 AS a,

@@ -645,6 +645,35 @@ object SimilarityOps {
         col("max_abs_diff_micro"), col("l1_diff_micro"))
   }
 
+  /** Embedding-health audit: per-dimension count, exact micro-quantized
+    * sum, floored variance (micro² units) and min/max — dead dimensions
+    * (variance 0), scale drift and clipped values surface here before
+    * they poison similarity search or k-means. Elements quantize FIRST
+    * (the [[embeddingDrift]] spelling), then aggregate as exact
+    * integers, so every output is partition-order-independent; the
+    * variance numerator n·Σq² − (Σq)² is nonnegative, so floored
+    * division is engine-identical (no signed-division edge). One
+    * posexplode scan + one d-key hash aggregate map-side partials
+    * absorb entirely — d rows out, one tiny shuffle, linear in corpus
+    * size at any scale.
+    */
+  def dimVarianceProfile(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("__pos").cast("long").as("dim"),
+        round(col("__x").cast("double") * 1e6).cast("long").as("__q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__q")).as("sum_micro"),
+        sum(col("__q").cast("decimal(38,0)") * col("__q")).as("__ss"),
+        min(col("__q")).as("min_micro"),
+        max(col("__q")).as("max_micro"))
+      .select(col("dim"), col("n_vecs"), col("sum_micro"),
+        expr("""CAST((CAST(n_vecs AS DECIMAL(38,0)) * __ss -
+               |CAST(sum_micro AS DECIMAL(38,0)) * sum_micro)
+               |div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("var_microsq"),
+        col("min_micro"), col("max_micro"))
+
   /** kNN-distance outlier scores: each vector's MEAN cosine similarity
     * to its IVF-blocked k nearest neighbors, ranked ascending — the
     * embedding-space anomaly detector (mislabeled, corrupted, or

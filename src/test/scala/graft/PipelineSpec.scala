@@ -108,6 +108,27 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 5L, 2L -> 4L, 3L -> 0L))
   }
 
+  test("dimVarianceProfile: exact quantized sums, floored variance, " +
+    "dead dimension reads zero") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f, 0.25f)),
+      (2L, Array(1.0f, -0.5f, 0.25f)),
+      (3L, Array(1.0f, 0.0f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.dimVarianceProfile(emb, "embedding")
+      .orderBy(col("dim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // dim 0: constant 1e6 → var 0 (dead dim); dim 1: q = {5e5, -5e5, 0},
+    // var = (3·5e11 − 0) / 9 = 166_666_666_666 (floored);
+    // dim 2: constant 250000 → var 0
+    assert(out == Seq(
+      (0L, 3L, 3000000L, 0L, 1000000L, 1000000L),
+      (1L, 3L, 0L, 166666666666L, -500000L, 500000L),
+      (2L, 3L, 750000L, 0L, 250000L, 250000L)),
+      s"unexpected profile: $out")
+  }
+
   test("hyperplaneSignature: deterministic and invariant to positive scaling") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 2.0f, 0.1f)),
