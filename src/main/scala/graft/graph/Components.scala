@@ -307,6 +307,22 @@ object Components {
         coalesce(col("__new"), col("component")).as("component"))
   }
 
+  /** Family-size histogram of a component labeling: how many families
+    * of each size exist and how many members they hold — the near-dup
+    * twin of `Corpus.duplicationProfile` (that one is exact-hash
+    * families; this one takes any CC labeling, e.g. over the verified
+    * LSH graph). Two hash aggregates; the histogram has at most
+    * O(√n)-ish distinct sizes, so the output is always tiny. All
+    * counts exact integers.
+    */
+  def componentSizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_members"))
+
   def clusterSummary(nodesWithTags: DataFrame, components: DataFrame): DataFrame = {
     val joined = nodesWithTags.select(col("id"), col("tags"))
       .join(components, "id")

@@ -159,6 +159,32 @@ object Corpus {
         expr("(1000L * n_contaminated) div n_eval_docs"))
   }
 
+  /** The grams doing the contaminating: top-k colliding n-grams by
+    * DISTINCT eval docs containing them, with the train-side document
+    * frequency — [[evalOverlapReport]] says WHICH eval docs are dirty;
+    * this names the n-grams responsible, so leaky boilerplate can be
+    * scrubbed at the source instead of doc-dropping the eval set. The
+    * same two vocabulary-keyed shuffles as the report (per-doc
+    * distinct shingles make each count a doc count); top-k is
+    * TakeOrderedAndProject on the total (n_eval_docs desc, gram asc)
+    * key, never a global sort.
+    */
+  def evalOverlapTopGrams(df: DataFrame, idCol: String, textCol: String,
+                          evalPred: org.apache.spark.sql.Column,
+                          n: Int = 13, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val sh = df.select(col(idCol), evalPred.as("__is_eval"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n)))
+        .as("gram"))
+    val trainDf = sh.filter(!col("__is_eval"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("train_df"))
+    sh.filter(col("__is_eval"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_eval_docs"))
+      .join(trainDf, Seq("gram")) // inner join: colliding grams only
+      .orderBy(col("n_eval_docs").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   /** Bloom-filter decontamination — the 100 TB form of `decontaminate`:
     * the eval set's n-gram shingles compress into ONE fixed-size bit
     * array (`functions.BloomSketch`, default 32768 bits = 4 KiB

@@ -231,6 +231,19 @@ object GraphPack extends QueryPack {
     //      band keys are per-vector, so the old snapshot's candidate
     //      pairs are exactly the full set restricted to old
     //      endpoints — no second LSH pass ----
+    // ---- near-dup family-size histogram: CC over the verified LSH
+    //      graph -> family sizes -> (size, n_families, n_members);
+    //      the near-dup twin of q209's exact-dup profile ----
+    "q238_family_histogram" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 3, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      val cc = Components.connectedComponentsFast(emb.select("vec_id"), pairs)
+      Components.componentSizeHistogram(cc.toDF("id", "component"))
+        .orderBy(col("family_size"))
+    },
+
     "q227_cluster_evolution" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val pairs = SimilarityOps.lshCandidatePairs(emb, "vec_id", "embedding",
@@ -596,6 +609,15 @@ object GraphPack extends QueryPack {
     // snapshot CCs nest as CTE bodies (a CTE body may carry its own
     // WITH RECURSIVE); old edges = full candidate set restricted to
     // old endpoints, exactly like the Spark side's filter
+    "q238_family_histogram" ->
+      s"""WITH cc AS MATERIALIZED (
+         |${ccSql(lshEdgesSql, "embeddings", "vec_id")}),
+         |s AS (SELECT component, COUNT(*)::BIGINT AS family_size
+         |      FROM cc GROUP BY 1)
+         |SELECT family_size, COUNT(*)::BIGINT AS n_families,
+         |  (family_size * COUNT(*))::BIGINT AS n_members
+         |FROM s GROUP BY family_size ORDER BY family_size""".stripMargin,
+
     "q227_cluster_evolution" -> {
       val oldEdges =
         s"SELECT * FROM ($lshEdgesSql) le WHERE ia % 2 = 0 AND ib % 2 = 0"

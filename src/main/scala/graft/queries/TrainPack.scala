@@ -122,6 +122,13 @@ object TrainPack extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // ---- the grams doing the contaminating: top colliding 13-grams
+    //      by eval-doc reach, with the train-side df ----
+    "q239_contamination_grams" -> { (s, d) =>
+      Corpus.evalOverlapTopGrams(Tables.documents(s, d), "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0, n = 13, topK = 20)
+    },
+
     // ---- boilerplate detector: top word 5-grams by cross-document
     //      frequency (distinct docs containing the gram) ----
     "q236_boilerplate_ngrams" -> { (s, d) =>
@@ -1183,6 +1190,21 @@ object TrainPack extends QueryPack {
          |  ((1000 * SUM(CASE WHEN n_dirty > 0 THEN 1 ELSE 0 END))
          |    // COUNT(*))::BIGINT AS contaminated_permille
          |FROM ev GROUP BY source ORDER BY source""".stripMargin,
+
+    // q231's shingle CTE; per-doc distinct grams make both counts doc
+    // counts; the (n_eval_docs DESC, gram ASC) key is total
+    "q239_contamination_grams" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+         |    unnest(list_distinct(${shingleSql("tk", 13)})) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |tr AS (SELECT gram, COUNT(*)::BIGINT AS train_df
+         |       FROM sh WHERE NOT is_eval GROUP BY gram),
+         |ev AS (SELECT gram, COUNT(*)::BIGINT AS n_eval_docs
+         |       FROM sh WHERE is_eval GROUP BY gram)
+         |SELECT ev.gram, ev.n_eval_docs, tr.train_df
+         |FROM ev JOIN tr USING (gram)
+         |ORDER BY n_eval_docs DESC, gram ASC LIMIT 20""".stripMargin,
 
     // per-doc DISTINCT 5-gram shingles -> df count -> top-20; the
     // (df DESC, gram ASC) key is total so the cut is deterministic

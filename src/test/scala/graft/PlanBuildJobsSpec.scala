@@ -48,6 +48,7 @@ class PlanBuildJobsSpec extends SparkSpec {
     "q39_neardup_clusters" -> "Components loop",
     "q73_cluster_members" -> "Components loop",
     "q74_lsh_components" -> "Components loop",
+    "q238_family_histogram" -> "Components loop",
     "q202_incremental_cc" -> "Components loop",
     "q224_partition_quality" -> "Components loop + checkpoint",
     "q227_cluster_evolution" -> "Components loop + checkpoint",

@@ -96,6 +96,20 @@ class TagAndGraphSpec extends SparkSpec {
     assert(fast == expected)
   }
 
+  test("componentSizeHistogram: family sizes roll up with member totals") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Components.connectedComponentsFast(verts, edges)
+      .toDF("id", "component")
+    val out = Components.componentSizeHistogram(cc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // components: {1,2,3}, {5,6}, {4}, {7} → sizes 3,2,1,1
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)),
+      s"unexpected histogram: $out")
+  }
+
   test("V8 cluster summary: sharedTags rule and size-desc id reassignment") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))

@@ -136,6 +136,25 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out == out.sortBy(g => (-g._2, g._1)), s"order violated: $out")
   }
 
+  test("evalOverlapTopGrams: colliding grams ranked by eval reach with " +
+    "train df; clean grams absent") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // eval, collides
+      (20L, "alpha beta gamma delta epsilon"), // eval, same gram
+      (30L, "totally clean eval doc here now"), // eval, no collision
+      (1L, "alpha beta gamma delta epsilon"),  // train copy
+      (2L, "alpha beta gamma delta epsilon"),  // second train copy
+      (3L, "some other training text entirely")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.evalOverlapTopGrams(docs, "doc_id",
+        "text", evalPred = col("doc_id") % 10 === 0, n = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // one colliding 5-gram: in 2 eval docs, in 2 train docs
+    assert(out == Seq(("alpha beta gamma delta epsilon", 2L, 2L)),
+      s"unexpected grams: $out")
+  }
+
   test("scrubPii: emails then phones, counted and replaced") {
     val df = Seq(
       (1L, "mail a.user+tag@example.co.uk or call +1-555-123-4567 today"),
