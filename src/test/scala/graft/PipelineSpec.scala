@@ -1125,6 +1125,22 @@ class PipelineSpec extends SparkSpec {
       "n_cells is the FULL kx·ky grid; chi2 = 2.0 in micro units")
   }
 
+  test("chiSquare: NULL categories are excluded from n, marginals and " +
+    "the grid (the r6 ADVICE finding)") {
+    import spark.implicits._
+    // same perfect 2×2 association plus rows with a NULL side; if the
+    // NULL rows leaked into the marginals the expected terms (and n)
+    // would shift while their observed cells stayed 0
+    val assoc = Seq(
+      (Some("a"), Some("c")), (Some("b"), Some("d")),
+      (None, Some("c")), (Some("a"), None), (None, None)
+    ).toDF("x", "y")
+    val r = graft.pipeline.Corpus.chiSquare(assoc, "x", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 4L, 1L, 2000000L),
+      "identical to the all-non-null fixture: NULL rows contribute nothing")
+  }
+
   test("periodChanges: calendar lag, not positional — gaps give NULL") {
     import spark.implicits._
     val rows = (Seq.fill(10)(0L) ++ Seq.fill(20)(10L) ++ Seq.fill(5)(30L))
