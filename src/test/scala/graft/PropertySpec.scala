@@ -127,4 +127,33 @@ class PropertySpec extends SparkSpec {
     val den = (n * sxx - sx * sx).toDouble
     assert(den >= 0 && (den == 0 || math.abs(num / den) <= 1.0 + 1e-9))
   }
+
+  test("componentSizeHistogram conservation + dimVarianceProfile " +
+    "partition invariance on real tables") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nV = emb.count()
+    val pairs = graft.similarity.SimilarityOps
+      .lshCandidatePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, bands = 3, bitsPerBand = 4)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.graph.Components
+      .connectedComponentsFast(emb.select("vec_id"), pairs)
+      .toDF("id", "component")
+    val hist = graft.graph.Components.componentSizeHistogram(cc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // members cover V exactly; n_members is size × families per row
+    assert(hist.map(_._3).sum == nV, "sum(n_members) == |V|")
+    assert(hist.forall(h => h._3 == h._1 * h._2))
+    // integer-quantized sums make the profile partition-independent
+    val p1 = graft.similarity.SimilarityOps
+      .dimVarianceProfile(emb, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val p2 = graft.similarity.SimilarityOps
+      .dimVarianceProfile(emb.repartition(13), "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(p1 == p2, "profile identical under repartition(13)")
+    assert(p1.forall(d => d._2 == nV), "every dim sees every vector")
+  }
 }
