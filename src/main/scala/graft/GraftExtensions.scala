@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, KmvSketch, Mp3Header}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, KmvSketch, Mp3Header, Mp4Meta}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.exifOrientationDescriptor)
     ext.injectFunction(Graft.flacStreaminfoDescriptor)
     ext.injectFunction(Graft.mp3HeaderDescriptor)
+    ext.injectFunction(Graft.mp4MetaDescriptor)
   }
 }
 
@@ -128,12 +129,22 @@ object Graft {
       Mp3Header(children.head)
     })
 
+  private[graft] val mp4MetaDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mp4_meta"),
+    new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "mp4_meta expects 1 argument")
+      Mp4Meta(children.head)
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
         byteHistogramDescriptor, bloomSketchDescriptor,
         jaroWinklerDescriptor, exifOrientationDescriptor,
-        flacStreaminfoDescriptor, mp3HeaderDescriptor).foreach {
+        flacStreaminfoDescriptor, mp3HeaderDescriptor,
+        mp4MetaDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -191,6 +202,13 @@ object Graft {
     * two-frame sniff shared with `Multimodal.decodeMp3`).
     */
   def mp3Header(bin: Column): Column = call_function("mp3_header", bin)
+
+  /** ISO-BMFF movie struct (brand, width, height, timescale,
+    * duration_micros) of a binary column; NULL when the payload is not
+    * ISO-BMFF (native codegen expression, box walk shared with
+    * `Multimodal.decodeVideo`).
+    */
+  def mp4Meta(bin: Column): Column = call_function("mp4_meta", bin)
 
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =

@@ -139,10 +139,11 @@ object AudioWire {
   }
 }
 
-/** Shared shape of the two audio-header expressions: binary → struct
-  * via a static total parser, NULL on anything the parser rejects.
+/** Shared shape of the media-header expressions (FLAC/MP3/MP4): binary
+  * → struct via a static total parser, NULL on anything the parser
+  * rejects.
   */
-abstract class AudioHeaderExpr extends UnaryExpression {
+abstract class HeaderStructExpr extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -165,7 +166,7 @@ abstract class AudioHeaderExpr extends UnaryExpression {
 /** `flac_streaminfo(binary)` → struct(channels, sample_rate,
   * bits_per_sample, total_samples, duration_micros) | NULL.
   */
-case class FlacStreaminfo(child: Expression) extends AudioHeaderExpr {
+case class FlacStreaminfo(child: Expression) extends HeaderStructExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("channels", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
@@ -182,7 +183,7 @@ case class FlacStreaminfo(child: Expression) extends AudioHeaderExpr {
 }
 
 /** `mp3_header(binary)` → struct(channels, sample_rate) | NULL. */
-case class Mp3Header(child: Expression) extends AudioHeaderExpr {
+case class Mp3Header(child: Expression) extends HeaderStructExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("channels", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false)))

@@ -341,88 +341,17 @@ object Multimodal {
     * falls back to `videoStub`). Frame DECODE (pixels) still needs a
     * real codec and stays behind `sampleFrames`' stub.
     */
-  def decodeVideo(bytes: Array[Byte]): Option[Row] = {
-    if (bytes == null || bytes.length < 16) return None
-    def u32(off: Int): Long =
-      if (off + 4 > bytes.length) -1L
-      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
-        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
-    def u64(off: Int): Long =
-      if (off + 8 > bytes.length) -1L else (u32(off) << 32) | u32(off + 4)
-    def typ(off: Int): String =
-      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // walk the child boxes of [start, end), calling f(type, payloadStart,
-    // payloadEnd); returns false on structural corruption
-    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Boolean = {
-      var off = start
-      while (off + 8 <= end) {
-        val size0 = u32(off)
-        val (size, hdr) =
-          if (size0 == 1L) (u64(off + 8), 16) // 64-bit largesize
-          else if (size0 == 0L) ((end - off).toLong, 8) // to end of span
-          else (size0, 8)
-        if (size < hdr || off + size > end) return false
-        f(typ(off + 4), off + hdr, off + size.toInt)
-        off += size.toInt
-      }
-      true
+  def decodeVideo(bytes: Array[Byte]): Option[Row] =
+    // the box walk lives in functions.VideoWire (ONE parser shared
+    // with the `mp4_meta` codegen expression, so the columnar twin
+    // can never drift from this row-level decoder)
+    Option(graft.functions.VideoWire.bmffFields(bytes)).map { m =>
+      Row(m.brand, m.width, m.height, m.timescale,
+        if (m.durationUnits >= 0)
+          m.durationUnits.toDouble / m.timescale
+        else null,
+        bytes.length.toLong)
     }
-    try {
-      // sniff: an ISO-BMFF file leads with a box whose type is ftyp (or
-      // moov/mdat/free/wide for brand-less QuickTime)
-      val lead = typ(4)
-      if (!Set("ftyp", "moov", "mdat", "free", "wide", "skip").contains(lead))
-        return None
-      var brand: String = null
-      var timescale = -1L
-      var durationUnits = -1L
-      var w = 0; var h = 0
-      // every fixed-offset field read is bounded by ITS OWN box's
-      // payload end — a truncated mvhd/tkhd is structural corruption
-      // (-> None -> stub), never a read into the bytes of a sibling box
-      // presented as real metadata; inner-walk corruption propagates
-      var corrupt = false
-      val ok = walk(0, bytes.length) { (t, p, pEnd) =>
-        t match {
-          case "ftyp" if pEnd - p >= 4 => brand = typ(p).trim
-          case "moov" =>
-            val innerOk = walk(p, pEnd) { (t2, p2, p2End) =>
-              t2 match {
-                case "mvhd" if p2 < p2End =>
-                  val v = bytes(p2) & 0xff
-                  if (v == 1) {
-                    if (p2 + 32 > p2End) corrupt = true
-                    else { timescale = u32(p2 + 20); durationUnits = u64(p2 + 24) }
-                  } else {
-                    if (p2 + 20 > p2End) corrupt = true
-                    else { timescale = u32(p2 + 12); durationUnits = u32(p2 + 16) }
-                  }
-                case "trak" =>
-                  if (!walk(p2, p2End) { (t3, p3, p3End) =>
-                    if (t3 == "tkhd" && w == 0 && p3 < p3End) {
-                      val v = bytes(p3) & 0xff
-                      val base = if (v == 1) p3 + 88 else p3 + 76
-                      if (base + 8 > p3End) corrupt = true
-                      else {
-                        val tw = (u32(base) >> 16).toInt // 16.16 fixed point
-                        val th = (u32(base + 4) >> 16).toInt
-                        if (tw > 0 && th > 0) { w = tw; h = th }
-                      }
-                    }
-                  }) corrupt = true
-                case _ =>
-              }
-            }
-            if (!innerOk) corrupt = true
-          case _ =>
-        }
-      }
-      if (!ok || corrupt || timescale <= 0) None
-      else Some(Row(if (brand != null) brand else "mov", w, h, timescale,
-        if (durationUnits >= 0) durationUnits.toDouble / timescale else null,
-        bytes.length.toLong))
-    } catch { case _: Throwable => None }
-  }
 
   /** Deterministic fake video header for non-ISO-BMFF payloads: pure
     * byte arithmetic, clearly fake values, total over any input.

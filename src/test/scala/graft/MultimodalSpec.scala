@@ -196,6 +196,68 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideo(cut.take(cut.length - 40)).isEmpty)
   }
 
+  test("mp4_meta: columnar twin agrees with decodeVideo byte-for-byte " +
+    "and stays inside codegen") {
+    import spark.implicits._
+    Graft.install(spark)
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u64(v: Long): Array[Byte] = u32(v >> 32) ++ u32(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def mp4(brand: String, timescale: Long, durationUnits: Long,
+            w: Int, h: Int, v1: Boolean): Array[Byte] = {
+      val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ u32(0) ++
+        "isom".getBytes("US-ASCII"))
+      val mvhd =
+        if (v1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++
+          u32(timescale) ++ u64(durationUnits) ++ new Array[Byte](80))
+        else box("mvhd", new Array[Byte](4) ++ u32(0) ++ u32(0) ++
+          u32(timescale) ++ u32(durationUnits) ++ new Array[Byte](80))
+      val tkhd = box("tkhd", new Array[Byte](76) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd)) ++
+        box("mdat", Array[Byte](1, 2, 3))
+    }
+    val v0 = mp4("isom", 1000L, 5000L, 640, 360, v1 = false)
+    val v1b = mp4("mp42", 90000L, 45000L, 1920, 1080, v1 = true)
+    // 700 units at timescale 600 → floored 1_166_666 micros (the
+    // overflow-safe split division, not a double round-trip)
+    val frac = mp4("M4A ", 600L, 700L, 0, 0, v1 = false)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> v0, 2L -> v1b, 3L -> frac,
+      4L -> "sixteen bytes of not-a-video!!!".getBytes("UTF-8"))
+    val out = rows.toDF("id", "content").repartition(2)
+      .select(col("id"), Graft.mp4Meta(col("content")).as("v"))
+    val got = out.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getStruct(1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq("isom", 640, 360, 1000L, 5000000L)),
+      (2L, Seq("mp42", 1920, 1080, 90000L, 500000L)),
+      (3L, Seq("M4A", 0, 0, 600L, 1166666L)),
+      (4L, null)), s"got $got")
+    // the row decoder sees the SAME values (one shared parser); its
+    // double duration agrees with the expression's floored micros
+    for ((bytes, micros) <- Seq(v0 -> 5000000L, v1b -> 500000L,
+        frac -> 1166666L)) {
+      val r = Multimodal.decodeVideo(bytes).get
+      assert((r.getDouble(4) * 1e6).toLong == micros)
+    }
+    // rejected inputs stay rejected in BOTH surfaces
+    val cut = v0.take(v0.length - 40)
+    assert(Multimodal.decodeVideo(cut).isEmpty &&
+      graft.functions.VideoWire.bmffRow(cut) == null)
+    // the expression lives inside a whole-stage-codegen span
+    val dist = out.filter(col("v").isNotNull)
+    assert(dist.collect().length == 3)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined &&
+      plan.contains("mp4_meta"),
+      s"expected mp4_meta inside a codegen stage:\n$plan")
+  }
+
   test("real image resize: aspect-preserving bound, PNG re-encode, stub beside it") {
     import spark.implicits._
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
