@@ -131,6 +131,30 @@ object ScaleSmoke {
 
     val fields = scala.collection.mutable.ListBuffer[String]()
 
+    // flush measured sections to a .partial sidecar as they complete:
+    // an hours-long soak that dies in section 8 (heap, host eviction)
+    // must not lose sections 1-7 — the r7 all-sections 1000x run
+    // OOM'd in the corpus half and left NOTHING of the 2h vector half
+    def flushPartial(outFile: String): Unit = {
+      val json =
+        s"""{"metric":"scale_smoke_partial","sf_dir":"$sfDir","mode":"$mode","copies":$copies,""" +
+          s""""bits_per_band":$bitsPerBand,""" +
+          fields.map(_ + ",").mkString.dropRight(1) + "}"
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile + ".partial"),
+        (json + "\n").getBytes("UTF-8"))
+    }
+
+    // partial runs get their sections stamped into the NAME so they can
+    // never clobber the canonical all-sections artifact for that scale
+    val suffix =
+      (if (only.isEmpty) "" else "_" + only.toSeq.sorted.mkString("_")) +
+        bitsOverride.fold("")(b => s"_b$b")
+    val outFile =
+      if (mode == "constant" && copies != 100)
+        s"scale_smoke_constant_${copies}x$suffix.json"
+      else if (mode == "constant") s"scale_smoke_constant$suffix.json"
+      else s"scale_smoke$suffix.json"
+
     // stage-completed events arrive on the async listener bus AFTER the
     // action returns — poll the counter to stability before taking a
     // section's delta, or late events of one section land in the next
@@ -178,6 +202,7 @@ object ScaleSmoke {
       require(ccViol == 0L,
         s"CC did NOT reach a fixed point: $ccViol cross-component edges")
       fields += s""""cc_rows":$ccRows,"cc_label_violations":$ccViol,"cc_rounds":$ccRounds,"cc_sec":${f"$ccSec%.2f"},"cc_shuffle_bytes":$ccShuf"""
+      flushPartial(outFile)
     }
 
     // --- q98 shape: 3-iteration integer PageRank over the same graph ---
@@ -195,6 +220,7 @@ object ScaleSmoke {
           iters = 3, scale = 1000000L).count()
       }
       fields += s""""pagerank_rows":$prRows,"pagerank_sec":${f"$prSec%.2f"},"pagerank_shuffle_bytes":$prShuf"""
+      flushPartial(outFile)
     }
 
     // --- q118 shape: 2-round Lloyd k-means fit. Each round is one
@@ -206,6 +232,7 @@ object ScaleSmoke {
           embN, "vec_id", "embedding", k = 256, iters = 2).count()
       }
       fields += s""""kmeans_rows":$kmRows,"kmeans_sec":${f"$kmSec%.2f"},"kmeans_shuffle_bytes":$kmShuf"""
+      flushPartial(outFile)
     }
 
     // --- q122 shape: 2-round synchronous label propagation over the
@@ -225,6 +252,7 @@ object ScaleSmoke {
           iters = 2).count()
       }
       fields += s""""lpa_rows":$lpRows,"lpa_sec":${f"$lpSec%.2f"},"lpa_shuffle_bytes":$lpShuf"""
+      flushPartial(outFile)
     }
 
     // --- q92/q101 shape: incremental batch-vs-corpus dedup. Corpus =
@@ -255,6 +283,7 @@ object ScaleSmoke {
           corpusN, batch, "doc_id", "text").count()
       }
       fields += s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf"""
+      flushPartial(outFile)
     }
 
     // --- q113 shape: PQ ADC search over the replicated vectors. Codes
@@ -269,7 +298,12 @@ object ScaleSmoke {
           m = 8, nCodes = 256, k = 10).count()
       }
       fields += s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf"""
+      flushPartial(outFile)
     }
+    // pq_adc is the LAST consumer of the replicated-vector cache: drop
+    // it before the corpus sections so the text half of an all-sections
+    // run doesn't pay the vector half's heap (the r7 OOM mechanism)
+    if (vectorSections) embN.unpersist(blocking = true)
 
     // --- q114 shape: Bloom decontamination. The eval side (the base
     // corpus, fixed size) collapses into ONE bit array — 512 KiB here,
@@ -283,7 +317,11 @@ object ScaleSmoke {
           evalPred = col("doc_id") < d0, bits = 1 << 22).count()
       }
       fields += s""""bloom_rows":$blRows,"bloom_sec":${f"$blSec%.2f"},"bloom_shuffle_bytes":$blShuf"""
+      flushPartial(outFile)
     }
+    // bloom is the last consumer of the verbatim-replica cache
+    if (enabled("dedup") || enabled("bloom"))
+      corpusN.unpersist(blocking = true)
 
     // --- q133 shape: FastSS edit-distance-1 join over replicated
     // customer names. Each copy prefixes its names with a fixed-width
@@ -305,6 +343,7 @@ object ScaleSmoke {
           .count()
       }
       fields += s""""editdist_rows":$edRows,"editdist_sec":${f"$edSec%.2f"},"editdist_shuffle_bytes":$edShuf"""
+      flushPartial(outFile)
     }
 
     // --- q146 shape: sparse TF-IDF cosine all-pairs via the inverted
@@ -324,6 +363,7 @@ object ScaleSmoke {
           corpusTagged, "doc_id", "text", n = 3, threshold = 0.5).count()
       }
       fields += s""""tfidfcos_rows":$tcRows,"tfidfcos_sec":${f"$tcSec%.2f"},"tfidfcos_shuffle_bytes":$tcShuf"""
+      flushPartial(outFile)
     }
 
     // --- q200 shape: the full curation DECISION TABLE — exact keeper
@@ -354,6 +394,7 @@ object ScaleSmoke {
           .count()
       }
       fields += s""""curation_rows":$cuRows,"curation_sec":${f"$cuSec%.2f"},"curation_shuffle_bytes":$cuShuf"""
+      flushPartial(outFile)
     }
 
     val json =
@@ -363,16 +404,6 @@ object ScaleSmoke {
         fields.map(_ + ",").mkString +
         s""""shuffle_write_bytes":${shuffleWrite.get},""" +
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
-    // partial runs get their sections stamped into the NAME so they can
-    // never clobber the canonical all-sections artifact for that scale
-    val suffix =
-      (if (only.isEmpty) "" else "_" + only.toSeq.sorted.mkString("_")) +
-        bitsOverride.fold("")(b => s"_b$b")
-    val outFile =
-      if (mode == "constant" && copies != 100)
-        s"scale_smoke_constant_${copies}x$suffix.json"
-      else if (mode == "constant") s"scale_smoke_constant$suffix.json"
-      else s"scale_smoke$suffix.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
