@@ -22,9 +22,13 @@ object EdgeProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(300)
     val bits = args.drop(2).headOption.map(_.toInt).getOrElse(12)
+    // each concurrent task deserializes the full copies-way union plan;
+    // at 1000 branches x 32 tasks that alone OOMs a 24g heap - default
+    // to modest parallelism, override via SPARK_GRAFT_CPUS
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
