@@ -185,6 +185,59 @@ object Corpus {
       .limit(topK)
   }
 
+  /** FUZZY contamination report — the near-dup companion of
+    * [[evalOverlapReport]]: q231's exact 13-gram audit misses
+    * paraphrased leakage (substitute one word and every 13-gram
+    * containing it changes), so this finds train documents that are
+    * NEAR-duplicates of eval documents via MinHash-LSH banding and
+    * reports each (eval doc, train doc) pair with its VERIFIED exact
+    * shingle Jaccard — the evidence row a benchmark audit attaches to
+    * a contamination claim.
+    *
+    * Shape: one shingle pass over the corpus, band keys per document
+    * (`bands` keys/doc — constant, not |doc|-sized), then a band-key
+    * equi-join STRICTLY between the eval side and the train side
+    * (never eval×eval or train×train), verify joins on the two id
+    * keys. Identical candidate machinery to `Dedup.minhashLshPairs`
+    * with the pair space restricted to the eval/train bipartition; at
+    * 100 TB the eval side is benchmark-sized and its banded table
+    * broadcasts, so the probe is one map-side join over train band
+    * keys. Never pairwise; recall is the standard LSH band trade
+    * (exact copies collide in every band).
+    */
+  def evalNearDupReport(df: DataFrame, idCol: String, textCol: String,
+                        evalPred: org.apache.spark.sql.Column,
+                        n: Int = 3, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k) or trailing signature rows are silently unused")
+    val rowsPer = k / bands
+    val sh = df.select(col(idCol).as("id"), evalPred.as("__is_eval"),
+        array_distinct(shingles(tokens(col(textCol)), n)).as("shingle_set"))
+      .cache()
+    // md5 exactly once per shingle (the minhashLshPairs barrier), then
+    // the k permutations run on the cached long array
+    val hashed = sh.select(col("id"), col("__is_eval"),
+      transform(col("shingle_set"), t => md5Long(t)).as("__hashes")).cache()
+    val banded = hashed.select(col("id"), col("__is_eval"),
+      explode(lshBandKeys(minhashFromHashes(col("__hashes"), k),
+        bands, rowsPer)).as("band_key"))
+    val cand = banded.filter(col("__is_eval")).as("x")
+      .join(banded.filter(!col("__is_eval")).as("y"), Seq("band_key"))
+      .select(col("x.id").as("eval_id"), col("y.id").as("train_id"))
+      .distinct()
+    cand
+      .join(sh.filter(col("__is_eval"))
+        .select(col("id").as("eval_id"), col("shingle_set").as("__sa")),
+        "eval_id")
+      .join(sh.filter(!col("__is_eval"))
+        .select(col("id").as("train_id"), col("shingle_set").as("__sb")),
+        "train_id")
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("eval_id"), col("train_id"), col("jaccard"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB form of `decontaminate`:
     * the eval set's n-gram shingles compress into ONE fixed-size bit
     * array (`functions.BloomSketch`, default 32768 bits = 4 KiB

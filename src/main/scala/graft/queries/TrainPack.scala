@@ -129,6 +129,17 @@ object TrainPack extends QueryPack {
         evalPred = col("doc_id") % 10 === 0, n = 13, topK = 20)
     },
 
+    // ---- FUZZY contamination: train docs that are MinHash-LSH
+    //      near-dups of eval docs, with verified shingle Jaccard —
+    //      catches the paraphrased leakage q231's exact 13-grams
+    //      miss ----
+    "q240_contamination_fuzzy" -> { (s, d) =>
+      Corpus.evalNearDupReport(Tables.documents(s, d), "doc_id", "text",
+          evalPred = col("doc_id") % 10 === 0,
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("eval_id"), col("train_id"))
+    },
+
     // ---- boilerplate detector: top word 5-grams by cross-document
     //      frequency (distinct docs containing the gram) ----
     "q236_boilerplate_ngrams" -> { (s, d) =>
@@ -1206,12 +1217,35 @@ object TrainPack extends QueryPack {
          |FROM ev JOIN tr USING (gram)
          |ORDER BY n_eval_docs DESC, gram ASC LIMIT 20""".stripMargin,
 
-    // per-doc DISTINCT 5-gram shingles -> df count -> top-20; the
-    // (df DESC, gram ASC) key is total so the cut is deterministic
+    // q44's MinHash-LSH CTEs with the candidate join restricted to the
+    // eval/train bipartition; verified exact Jaccard like q44
+    "q240_contamination_fuzzy" ->
+      s"""WITH sh AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+         |    list_distinct(${shingleSql("tk", 3)}) AS ss
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |banded AS (SELECT doc_id, is_eval,
+         |    unnest(${bandsSql(minhashSql("ss", 16), 4, 4)}) AS band_key
+         |  FROM sh),
+         |cand AS (SELECT DISTINCT x.doc_id AS eval_id, y.doc_id AS train_id
+         |  FROM banded x JOIN banded y ON x.band_key = y.band_key
+         |  WHERE x.is_eval AND NOT y.is_eval)
+         |SELECT c.eval_id, c.train_id,
+         |  ${jaccardSql("a.ss", "b.ss")} AS jaccard
+         |FROM cand c JOIN sh a ON c.eval_id = a.doc_id
+         |JOIN sh b ON c.train_id = b.doc_id
+         |WHERE ${jaccardSql("a.ss", "b.ss")} >= 0.5
+         |ORDER BY eval_id, train_id""".stripMargin,
+
+    // per-ROW DISTINCT 5-gram shingles -> df count -> top-20; the
+    // (df DESC, gram ASC) key is total so the cut is deterministic.
+    // Both engines dedupe grams within a row only (list_distinct here,
+    // array_distinct in Spark) — no cross-row (doc_id, gram) DISTINCT
+    // on either side, so the spellings agree even if a doc_id repeated
+    // (ADVICE r7: the old outer SELECT DISTINCT existed only here)
     "q236_boilerplate_ngrams" ->
-      s"""WITH sh AS (SELECT DISTINCT doc_id, s AS gram FROM (
-         |  SELECT doc_id, unnest(list_distinct(${shingleSql("tk", 5)})) AS s
-         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t)),
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${shingleSql("tk", 5)})) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
          |d AS (SELECT gram, COUNT(*)::BIGINT AS df FROM sh GROUP BY 1)
          |SELECT gram, df FROM d WHERE df >= 2
          |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,

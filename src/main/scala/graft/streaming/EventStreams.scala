@@ -332,6 +332,45 @@ object EventStreams {
         (col("n_flagged") > 0).as("flagged"))
   }
 
+  /** Streaming contamination REPORT — the exact-overlap member of the
+    * stream-screening family (the batch pipeline can REPORT
+    * contamination via `Corpus.evalOverlapReport`; this gives the
+    * streaming ingest the same audit): every arriving train doc probes
+    * the STATIC eval corpus's distinct n-gram shingle set and emits a
+    * per-doc collision report (id, n_grams, n_dirty, dirty_permille) —
+    * `n_dirty`/`contaminated` agree row-for-row with batch
+    * `Corpus.decontaminate` over the same partition (spec-pinned
+    * stream==batch).
+    *
+    * Compare `corpusDecontaminateStreamBloom`: that ships a 4 KiB
+    * sketch with deterministic false positives; this keeps the exact
+    * vocabulary (benchmark-sized, a static broadcast-able side) and is
+    * exact. Plan shape: stateless shingle maps + ONE stream-static
+    * equi-join on the shingle value + ONE update-mode aggregate keyed
+    * by doc id; the eval side is computed once at plan time and reused
+    * every micro-batch. Probe traffic ∝ batch size; never pairwise.
+    */
+  def evalOverlapStream(newDocs: DataFrame, evalCorpus: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 13): DataFrame = {
+    import graft.functions.TextFunctions._
+    val evalShingles = evalCorpus
+      .select(explode(array_distinct(shingles(tokens(col(textCol)), n)))
+        .as("__s"))
+      .distinct()
+      .withColumn("__hit", lit(true))
+    newDocs
+      .select(col(idCol),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("__s"))
+      .join(evalShingles, Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_dirty"))
+      .select(col(idCol), col("n_grams"), col("n_dirty"),
+        expr("(1000L * n_dirty) div n_grams").as("dirty_permille"),
+        (col("n_dirty") > 0).as("contaminated"))
+  }
+
   /** Stream-stream interval join: pair each right-side event with the
     * same user's left-side events whose timestamp lies in
     * [r_ts − maxGap, r_ts] — the canonical attribution join ("which

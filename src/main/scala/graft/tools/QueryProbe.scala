@@ -17,7 +17,13 @@ object QueryProbe {
     val explain = args.contains("--explain")
     val runs = args.indexOf("--runs") match {
       case -1 => 1
-      case i  => args(i + 1).toInt
+      // a trailing --runs with no (numeric) value is a usage error,
+      // not an ArrayIndexOutOfBounds (ADVICE r7)
+      case i if i + 1 < args.length && args(i + 1).toIntOption.isDefined =>
+        args(i + 1).toInt
+      case _ =>
+        System.err.println("[probe] --runs requires an integer value; using 1")
+        1
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

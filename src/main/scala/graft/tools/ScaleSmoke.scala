@@ -406,6 +406,11 @@ object ScaleSmoke {
         s""""peak_task_memory_bytes":${peakTaskMem.get}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
+    // the final artifact supersedes the sidecar — remove it so a
+    // completed soak is distinguishable on disk from one that died
+    // after its last section (ADVICE r7)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(outFile + ".partial"))
     println(json)
     spark.stop()
   }

@@ -196,6 +196,54 @@ class StreamingSpec extends SparkSpec {
       "the synthetic corpus repeats shingles across docs — non-vacuous")
   }
 
+  test("streaming contamination report == batch decontaminate probe side") {
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val evalCorpus = docs.filter(col("doc_id") < 30)
+    val probeDocs = docs.filter(col("doc_id") >= 30 && col("doc_id") < 70)
+    val dir = Files.createTempDirectory("docstream-overlap").toString
+    Seq((30, 50, "b0"), (50, 70, "b1")).foreach { case (lo, hi, name) =>
+      val tmp = Files.createTempDirectory(s"overlapbatch$name").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch_$name.parquet"))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.evalOverlapStream(stream, evalCorpus, n = 5),
+      "eval_overlap_stream_test", OutputMode.Update())
+    // batch twin: decontaminate over eval∪probe with the eval side as
+    // the screen — its train rows are exactly the stream docs, and its
+    // n_overlap counts the same per-doc distinct colliding shingles
+    val batch = graft.pipeline.Corpus.decontaminate(
+      evalCorpus.unionByName(probeDocs), "doc_id", "text",
+      evalPred = col("doc_id") < 30, n = 5)
+    val s = streamed.orderBy("doc_id")
+      .select("doc_id", "n_dirty", "contaminated")
+      .collect().map(_.toString).toSeq
+    val b = batch.orderBy("doc_id")
+      .select("doc_id", "n_overlap", "contaminated")
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "streamed collision reports must equal the batch decontaminate gate")
+    assert(streamed.filter(col("contaminated")).count() >= 1,
+      "the synthetic corpus repeats shingles across docs — non-vacuous")
+    // the report columns are internally consistent integers
+    assert(streamed.filter(col("n_dirty") > col("n_grams")).count() == 0)
+    assert(streamed.filter(
+      col("dirty_permille") =!= expr("(1000L * n_dirty) div n_grams"))
+      .count() == 0)
+  }
+
   test("stream-static LSH dedup decision table == batch crossCorpusDedupLsh") {
     import org.apache.spark.sql.types._
     val sf = "/root/testdata/sf0.001"

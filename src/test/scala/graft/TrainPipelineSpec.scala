@@ -115,6 +115,38 @@ class TrainPipelineSpec extends SparkSpec {
       s"unexpected rollup: $out")
   }
 
+  test("evalNearDupReport: a word-substituted copy is caught by the " +
+    "fuzzy gate and missed by the exact 13-gram audit; pairs stay " +
+    "strictly eval x train") {
+    // 25 tokens; substituting token 13 changes EVERY 13-gram (any
+    // 13-window of a 25-token doc contains position 13), so the exact
+    // audit sees zero collisions — but only 3 of 23 3-gram shingles
+    // change, leaving Jaccard 20/26
+    val evalText = (1 to 25).map(i => s"w$i").mkString(" ")
+    val trainText =
+      (1 to 25).map(i => if (i == 13) "sub" else s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, evalText),  // eval
+      (20L, evalText),  // eval twin of 10 — eval x eval must not pair
+      (1L, trainText),  // paraphrased train copy
+      (2L, "zz yy xx ww vv uu tt ss rr qq") // clean train
+    ).toDF("doc_id", "text")
+    val exact = Corpus.evalOverlapReport(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0, n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(exact == Map(10L -> 0L, 20L -> 0L),
+      s"exact 13-gram audit should report clean: $exact")
+    val fuzzy = Corpus.evalNearDupReport(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0,
+        n = 3, k = 16, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+    assert(fuzzy.map(p => (p._1, p._2)) == Seq((10L, 1L), (20L, 1L)),
+      s"fuzzy gate should pair each eval doc with train doc 1 only: $fuzzy")
+    assert(fuzzy.forall(p => math.abs(p._3 - 20.0 / 26.0) < 1e-5),
+      s"verified jaccard should be 20/26: $fuzzy")
+  }
+
   test("boilerplateNgrams: cross-doc df over per-doc distinct grams, " +
     "deterministic (df desc, gram asc) cut") {
     val docs = Seq(

@@ -12,6 +12,10 @@ COPIES=${2:-10}
 MODE=${3:-dense}
 ONLY=${4:-}
 BITS=${5:-}
+# a bits override with no section filter: default ONLY to the explicit
+# "all" spelling so the positional slots don't shift (ADVICE r7 —
+# `scale_smoke.sh SF COPIES MODE '' 12` used to abort confusingly)
+[ -n "$BITS" ] && ONLY=${ONLY:-all}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
