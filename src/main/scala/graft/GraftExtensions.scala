@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, KmvSketch, Mp3Header, Mp4Meta}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, KmvSketch, Mp3Header, Mp4Meta, WebpDimsExpr}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.flacStreaminfoDescriptor)
     ext.injectFunction(Graft.mp3HeaderDescriptor)
     ext.injectFunction(Graft.mp4MetaDescriptor)
+    ext.injectFunction(Graft.webpDimsDescriptor)
   }
 }
 
@@ -138,13 +139,22 @@ object Graft {
       Mp4Meta(children.head)
     })
 
+  private[graft] val webpDimsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("webp_dims"),
+    new ExpressionInfo(classOf[WebpDimsExpr].getName, "webp_dims"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "webp_dims expects 1 argument")
+      WebpDimsExpr(children.head)
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
         byteHistogramDescriptor, bloomSketchDescriptor,
         jaroWinklerDescriptor, exifOrientationDescriptor,
         flacStreaminfoDescriptor, mp3HeaderDescriptor,
-        mp4MetaDescriptor).foreach {
+        mp4MetaDescriptor, webpDimsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -209,6 +219,12 @@ object Graft {
     * `Multimodal.decodeVideo`).
     */
   def mp4Meta(bin: Column): Column = call_function("mp4_meta", bin)
+
+  /** WebP dimension struct (variant, width, height) of a binary
+    * column; NULL when the payload is not WebP (native codegen
+    * expression, RIFF walk shared with `Multimodal.decodeWebp`).
+    */
+  def webpDims(bin: Column): Column = call_function("webp_dims", bin)
 
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =

@@ -649,4 +649,64 @@ object Dedup {
       .groupBy(col("__bid").as("__idb")).agg(count(lit(1)).as("n_near"))
     dedupDecision(exactDupFlags(corpus, batch, idCol, textCol), near, idCol)
   }
+
+  // ---- binary-column dedup: a 100 TB multimodal corpus dedups raw
+  //      blobs (images/audio), not just text ----
+
+  /** Exact BINARY dedup — [[exactDedup]] for raw blobs: one md5 over
+    * the payload bytes per row, one hash-shuffle on the 16-byte digest
+    * (never the blob itself), plus the per-family byte total a storage
+    * review reads. The keeper rule (min id) matches the text family.
+    */
+  def binaryExactDedup(df: DataFrame, idCol: String,
+                       binCol: String): DataFrame =
+    df.groupBy(md5(col(binCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"),
+        sum(length(col(binCol))).as("total_bytes"))
+
+  /** Per-blob byte-distribution sketch: the native `byte_histogram`
+    * codegen expression (normalized `bins`-bin float vector, one fused
+    * loop over the payload — requires `Graft.install`). The content
+    * feature every binary near-dup below keys on: re-encoded or
+    * lightly-edited blobs keep their byte distribution while their
+    * md5 changes.
+    */
+  def binaryHistograms(df: DataFrame, idCol: String, binCol: String,
+                       bins: Int = 16): DataFrame =
+    df.select(col(idCol),
+      graft.Graft.byteHistogram(col(binCol), bins).as("hist"))
+
+  /** Binary near-dup pairs: byte-histogram vectors blocked by the
+    * sign-LSH band equi-join and verified by exact rounded cosine —
+    * pure reuse of the embedding pipeline
+    * (`SimilarityOps.lshCandidatePairs`) with the blob's byte
+    * distribution standing in for the embedding. Never all-pairs; the
+    * candidate join is the soak-measured banded self-join.
+    */
+  def binaryNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                         bins: Int = 16, threshold: Double = 0.999,
+                         bands: Int = 3, bitsPerBand: Int = 4): DataFrame =
+    graft.similarity.SimilarityOps.lshCandidatePairs(
+      binaryHistograms(df, idCol, binCol, bins), idCol, "hist",
+      threshold, bands, bitsPerBand)
+
+  /** One-vs-all binary near-dup: top-k blobs by byte-histogram cosine
+    * against `queryId`'s blob — the bounded probe shape (one scan ×
+    * one broadcast histogram + TakeOrderedAndProject), the binary twin
+    * of `SimilarityOps.topKSimilar`. Total order (sim desc, id asc).
+    */
+  def binaryNearDupTopK(df: DataFrame, idCol: String, binCol: String,
+                        queryId: Long, bins: Int = 16,
+                        k: Int = 10): DataFrame = {
+    val hist = binaryHistograms(df, idCol, binCol, bins)
+    val q = hist.filter(col(idCol) === queryId)
+      .select(col("hist").as("__qh"))
+    hist.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        graft.similarity.SimilarityOps.sim6(col("hist"), col("__qh"))
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -125,43 +125,11 @@ object Multimodal {
     * lossy (14-bit w/h after the 0x9d012a start code). O(header),
     * None (→ stub) on anything malformed.
     */
-  def decodeWebp(bytes: Array[Byte]): Option[Row] = {
-    def u8(i: Int) = bytes(i) & 0xff
-    // 25 bytes = RIFF header (12) + chunk header (8) + minimal VP8L
-    // payload (5) — the 1×1 tracking-pixel shape; VP8X/VP8 minimums
-    // are enforced per-variant below against the DECLARED chunk size
-    if (bytes == null || bytes.length < 25) return None
-    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
-        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
-        bytes(10) == 'B' && bytes(11) == 'P')) return None
-    val tag = new String(bytes, 12, 4, "US-ASCII")
-    val p = 20 // first chunk payload
-    // the chunk's declared size must cover every field we read AND fit
-    // the buffer — a truncated chunk yields None, never garbage dims
-    val chunkSize = (u8(16) | (u8(17) << 8) | (u8(18) << 16) |
-      (u8(19).toLong << 24))
-    def fits(need: Int): Boolean =
-      chunkSize >= need && p + need <= bytes.length
-    tag match {
-      case "VP8X" if fits(10) =>
-        // canvas size: 24-bit little-endian minus-one fields at +4/+7
-        val w = 1 + (u8(p + 4) | (u8(p + 5) << 8) | (u8(p + 6) << 16))
-        val h = 1 + (u8(p + 7) | (u8(p + 8) << 8) | (u8(p + 9) << 16))
-        Some(Row("webp", w, h, bytes.length.toLong))
-      case "VP8L" if fits(5) && u8(p) == 0x2f =>
-        val b = (u8(p + 1) | (u8(p + 2) << 8) | (u8(p + 3) << 16) |
-          (u8(p + 4) << 24)).toLong
-        val w = 1 + (b & 0x3fff).toInt
-        val h = 1 + ((b >> 14) & 0x3fff).toInt
-        Some(Row("webp", w, h, bytes.length.toLong))
-      case "VP8 " if fits(10) && u8(p + 3) == 0x9d && u8(p + 4) == 0x01 &&
-          u8(p + 5) == 0x2a =>
-        val w = (u8(p + 6) | (u8(p + 7) << 8)) & 0x3fff
-        val h = (u8(p + 8) | (u8(p + 9) << 8)) & 0x3fff
-        Some(Row("webp", w, h, bytes.length.toLong))
-      case _ => None
-    }
-  }
+  def decodeWebp(bytes: Array[Byte]): Option[Row] =
+    // ONE parser shared with the `webp_dims` codegen expression
+    // (functions.ImageWire) — the twins can never drift
+    Option(graft.functions.ImageWire.webpFields(bytes))
+      .map(m => Row("webp", m.width, m.height, bytes.length.toLong))
 
   def decodeMediaMeta(bytes: Array[Byte]): Row =
     // WebP first: the 12-byte magic sniff is ~free, where a futile

@@ -26,6 +26,12 @@ object TextPack extends QueryPack {
        | ELSE list_transform(range(1, len($tk) - 1), i -> array_to_string(($tk)[i:i+2], ' ')) END""".stripMargin
   private def jaccardSql(a: String, b: String): String =
     s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
+  // vector fragments replaying VectorFunctions' strict-left-fold order
+  // (same spelling as SimilarityPack)
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
   /** Parse the first 15 hex chars of md5 into a BIGINT, mod 2^31-1 —
     * mirrors TextFunctions.md5Long bit-for-bit.
     */
@@ -99,6 +105,31 @@ object TextPack extends QueryPack {
     "q45_exact_dedup" -> { (s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("content_hash"))
+    },
+
+    // ---- exact BINARY dedup over synthetic blobs (testdata has no
+    //      binary table, so the blob is built in-query from the ASCII
+    //      projection of the text — DuckDB replays encode()) ----
+    "q241_binary_exact_dedup" -> { (s, d) =>
+      Dedup.binaryExactDedup(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""),
+              "UTF-8").as("bin")),
+          "doc_id", "bin")
+        .orderBy(col("content_hash"))
+    },
+
+    // ---- binary NEAR-dup probe: top-10 blobs by byte-histogram
+    //      cosine against doc 7's blob (the bounded one-vs-all shape;
+    //      the banded pair form is binaryNearDupPairs, spec-covered
+    //      on real image bytes) ----
+    "q242_binary_neardup_topk" -> { (s, d) =>
+      Dedup.binaryNearDupTopK(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""),
+              "UTF-8").as("bin")),
+          "doc_id", "bin", queryId = 7L, bins = 16, k = 10)
+        .orderBy(col("sim").desc, col("doc_id").asc)
     },
 
     // ---- order-sensitive rolling fingerprint ----
@@ -755,6 +786,42 @@ object TextPack extends QueryPack {
         """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
           |  MIN(doc_id) AS keeper_id
           |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+      // the blob is the utf-8 encoding of the ASCII projection, so
+      // md5(varchar) hashes the identical bytes Spark's md5(binary)
+      // sees, and octet_length(encode(..)) is the blob byte length
+      "q241_binary_exact_dedup" ->
+        s"""WITH b AS (SELECT doc_id,
+           |    regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS st
+           |  FROM documents)
+           |SELECT md5(st) AS content_hash, COUNT(*)::BIGINT AS n_copies,
+           |  MIN(doc_id) AS keeper_id,
+           |  SUM(octet_length(encode(st)))::BIGINT AS total_bytes
+           |FROM b GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+      // byte_histogram replay: ASCII projection makes chars == bytes;
+      // per-bin count/n in FLOAT (bin = byte // 16 for 16 bins), then
+      // the cosine fold over the float values cast to DOUBLE — the
+      // same strict-left-fold order as the native expression
+      "q242_binary_neardup_topk" -> {
+        val codes =
+          "list_transform(string_split(st, ''), c -> ascii(c))"
+        val hist =
+          s"""CASE WHEN length(st) = 0
+             | THEN list_transform(range(0, 16), b -> 0.0::FLOAT)
+             | ELSE list_transform(range(0, 16), b ->
+             |   (len(list_filter($codes, x -> x // 16 = b))::FLOAT
+             |     / length(st)::FLOAT)::FLOAT) END"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH h AS (SELECT doc_id, $hist AS hist FROM (
+           |    SELECT doc_id,
+           |      regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS st
+           |    FROM documents) t),
+           |q AS (SELECT hist AS qh FROM h WHERE doc_id = 7)
+           |SELECT h.doc_id, ${cosSql("h.hist", "q.qh")} AS sim
+           |FROM h, q WHERE h.doc_id <> 7
+           |ORDER BY sim DESC, h.doc_id ASC LIMIT 10""".stripMargin
+      },
 
       "q46_fingerprint" ->
         s"""SELECT doc_id, ${fingerprintSql("tk")} AS fingerprint

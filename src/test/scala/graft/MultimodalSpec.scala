@@ -515,6 +515,72 @@ class MultimodalSpec extends SparkSpec {
     assert((r1.getString(0), r1.getInt(1), r1.getInt(2)) == ("webp", 1, 1))
   }
 
+  test("webp_dims: columnar twin agrees with decodeWebp byte-for-byte " +
+    "and stays inside codegen") {
+    import spark.implicits._
+    Graft.install(spark)
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val sz = 4 + 8 + payload.length
+      out.write(sz & 0xff); out.write((sz >> 8) & 0xff)
+      out.write((sz >> 16) & 0xff); out.write((sz >> 24) & 0xff)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+      out.write((payload.length >> 16) & 0xff)
+      out.write((payload.length >> 24) & 0xff)
+      out.write(payload)
+      out.toByteArray
+    }
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      (639 & 0xff).toByte, ((639 >> 8) & 0xff).toByte, 0,
+      (479 & 0xff).toByte, ((479 >> 8) & 0xff).toByte, 0))
+    val p = 99L | (49L << 14)
+    val vp8l = riff("VP8L", Array(0x2f.toByte, (p & 0xff).toByte,
+      ((p >> 8) & 0xff).toByte, ((p >> 16) & 0xff).toByte,
+      ((p >> 24) & 0xff).toByte, 0, 0, 0, 0, 0))
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, ((320 >> 8) & 0xff).toByte,
+      (240 & 0xff).toByte, ((240 >> 8) & 0xff).toByte, 0, 0, 0, 0))
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> vp8x, 2L -> vp8l, 3L -> vp8,
+      4L -> "thirty-two bytes of not-a-webp!!".getBytes("UTF-8"))
+    val out = rows.toDF("id", "content").repartition(2)
+      .select(col("id"), Graft.webpDims(col("content")).as("v"))
+    val got = out.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getStruct(1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq("VP8X", 640, 480)),
+      (2L, Seq("VP8L", 100, 50)),
+      (3L, Seq("VP8", 320, 240)),
+      (4L, null)), s"got $got")
+    // the row decoder sees the SAME dimensions (one shared parser)
+    for ((bytes, wh) <- Seq(vp8x -> (640, 480), vp8l -> (100, 50),
+        vp8 -> (320, 240))) {
+      val r = Multimodal.decodeWebp(bytes).get
+      assert((r.getInt(1), r.getInt(2)) == wh)
+    }
+    // rejected inputs stay rejected in BOTH surfaces: a truncated
+    // declared chunk size must not yield dims read from padding
+    val truncated = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01,
+      0x2a, 0x40, 0x01, 0xf0.toByte, 0, 0, 0, 0, 0))
+    truncated(16) = 4
+    assert(Multimodal.decodeWebp(truncated).isEmpty &&
+      graft.functions.ImageWire.webpRow(truncated) == null)
+    // a RIFF that is not WEBP (plain WAV) is rejected by the expression
+    assert(graft.functions.ImageWire.webpRow(
+      "RIFF    WAVEfmt ................".getBytes("ISO-8859-1")) == null)
+    // the expression lives inside a whole-stage-codegen span
+    val dist = out.filter(col("v").isNotNull)
+    assert(dist.collect().length == 3)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined &&
+      plan.contains("webp_dims"),
+      s"expected webp_dims inside a codegen stage:\n$plan")
+  }
+
   test("mp3: two-frame verification kills sync-only false positives") {
     // 128 kbps MPEG1 Layer III 44100: frame length 417 bytes. A buffer
     // long enough to HOLD the second header must have one there...

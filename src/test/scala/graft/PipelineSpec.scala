@@ -28,6 +28,50 @@ class PipelineSpec extends SparkSpec {
     assert(out.contains((2L, 1L)), "dup pair keeps min id as keeper")
   }
 
+  test("binary dedup on real image bytes: exact md5 grouping, histogram " +
+    "near-dup pairs the perturbed re-render and not the different image") {
+    Graft.install(spark)
+    // uncompressed BMP renders so the byte distribution IS the pixel
+    // distribution (a DEFLATE-compressed container would whiten it)
+    def bmp(rgb: Int, perturb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, rgb)
+      // perturb a few pixels: a light edit that keeps the distribution
+      for (i <- 0 until perturb) img.setRGB(i, 0, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", out), "JDK BMP writer")
+      out.toByteArray
+    }
+    val blobA = bmp(0x0a141e, 0)
+    val blobA3 = bmp(0x0a141e, 4)   // near-dup: 4 of 4096 pixels differ
+    val blobB = bmp(0xc86432, 0)    // different image entirely
+    val blobs = Seq((1L, blobA), (2L, blobA), (3L, blobA3), (4L, blobB))
+      .toDF("id", "bin")
+    val exact = Dedup.binaryExactDedup(blobs, "id", "bin")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2).toSeq
+    assert(exact == Seq(
+      (2L, 1L, 2L * blobA.length),  // ids 1+2: one family, keeper 1
+      (1L, 3L, blobA3.length.toLong),
+      (1L, 4L, blobB.length.toLong)), s"unexpected exact families: $exact")
+    val pairs = Dedup.binaryNearDupPairs(blobs, "id", "bin",
+        bins = 16, threshold = 0.999, bands = 3, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"perturbed render must pair with both exact copies: $pairs")
+    assert(pairs.contains((1L, 2L)), "exact copies are trivially near-dups")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the different image must not pair at 0.999: $pairs")
+    // one-vs-all probe agrees: doc 4 ranks last from doc 1's blob
+    val topk = Dedup.binaryNearDupTopK(blobs, "id", "bin", queryId = 1L,
+        bins = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topk.map(_._1) == Seq(2L, 3L, 4L), s"rank order: $topk")
+    assert(topk.head._2 == 1.0 && topk(1)._2 >= 0.999 && topk(2)._2 < 0.999,
+      s"cosine ladder: $topk")
+  }
+
   test("ngramJaccardPairs matches the naive crossJoin definition") {
     val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
