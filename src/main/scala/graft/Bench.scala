@@ -21,7 +21,13 @@ import org.apache.spark.sql.SparkSession
   *    milliseconds and would otherwise read as a speedup;
   *  - the JSON line is written to `bench_out.json` FIRST, then printed
   *    and flushed before `spark.stop()`, so neither tail-truncation nor
-  *    shutdown log noise can corrupt the parseable artifact.
+  *    shutdown log noise can corrupt the parseable artifact;
+  *  - (r8) the timed action is `queryExecution.toRdd.count()`, not
+  *    `df.count()`: a count-only plan lets Catalyst eliminate
+  *    cardinality-preserving outer joins, so report-shaped queries
+  *    were timing pruned plans through r7 — r8 per-query times on
+  *    those queries are NOT comparable to earlier rounds (they are
+  *    the first honest ones).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,12 +75,26 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     // returns elapsed seconds, or -1 if the query threw (a failure
-    // finishes in milliseconds and must never read as a fast time)
+    // finishes in milliseconds and must never read as a fast time).
+    // Forcing action (r8 protocol fix): execute the query's OWN
+    // physical plan and count its rows (`queryExecution.toRdd.count()`)
+    // instead of `df.count()` — a count-only logical plan lets Catalyst
+    // ELIMINATE cardinality-preserving outer joins (any left join whose
+    // build side has provably-unique keys: an aggregate or distinct on
+    // the join key), so report-shaped queries (q81/q92/q101/q200/q231/…
+    // decision tables and per-doc reports) were timing a pruned plan
+    // through r7. toRdd materializes every output column of the real
+    // plan without collecting rows to the driver — the same
+    // full-materialization semantics as the correctness gate's parquet
+    // dump, minus the file I/O.
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       Graft.evictAll(spark)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         -1.0

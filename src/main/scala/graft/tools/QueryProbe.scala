@@ -42,7 +42,10 @@ object QueryProbe {
       Graft.evictAll(spark)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      val n = df.count()
+      // full-materialization forcing, matching Bench's r8 protocol
+      // (df.count() lets Catalyst eliminate cardinality-preserving
+      // outer joins and times a pruned plan on report-shaped queries)
+      val n = df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $name run$i: $dt%.2fs rows=$n")
       dt

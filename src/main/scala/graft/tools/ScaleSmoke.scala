@@ -47,8 +47,9 @@ import org.apache.spark.sql.functions._
   *     scale_smoke_constant.json; constant at copies≠100 stamps the
   *     multiplier into the name, e.g. scale_smoke_constant_1000x.json)
   *   only = optional comma list of sections (cc,pagerank,kmeans,lpa,
-  *     dedup,pq_adc,bloom,editdist,tfidfcos,curation) — a deep soak at
-  *     1000× runs just the dominant pipelines instead of all ten
+  *     dedup,pq_adc,bloom,editdist,tfidfcos,curation,contamination) —
+  *     a deep soak at 1000× runs just the dominant pipelines instead
+  *     of all eleven
   *   bits = optional bitsPerBand OVERRIDE for the LSH band key. The
   *     default sizes the key space to n (constant bucket occupancy —
   *     what production does), but a cross-decade shuffle-ratio
@@ -64,7 +65,8 @@ object ScaleSmoke {
     val mode = args.drop(2).headOption.getOrElse("dense")
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
     val SectionNames = Set("cc", "pagerank", "kmeans", "lpa", "dedup",
-      "pq_adc", "bloom", "editdist", "tfidfcos", "curation")
+      "pq_adc", "bloom", "editdist", "tfidfcos", "curation",
+      "contamination")
     // "all" = run every section (the explicit spelling lets the shell
     // pass a bits override without the positional slot shifting)
     val only: Set[String] = args.drop(3).headOption
@@ -170,6 +172,15 @@ object ScaleSmoke {
       val dt = (System.nanoTime() - t0) / 1e9
       (a, dt, settleShuffle() - s0)
     }
+    // full-materialization forcing for report/decision-table plans:
+    // `df.count()` lets Catalyst ELIMINATE cardinality-preserving outer
+    // joins (build side with unique keys — every aggregate/distinct on
+    // the join key), so the r6/r7 dedup section and curation's near-dup
+    // branch measured PRUNED plans. toRdd executes the query's own
+    // physical plan with every output column, like the gate's parquet
+    // dump, and counts rows without collecting them.
+    def forceAll(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
 
     // --- q74 shape: LSH candidate edges → RDD pointer-jumping CC.
     // Fixed-point adequacy is MEASURED, not assumed (r5 verdict): after
@@ -261,7 +272,8 @@ object ScaleSmoke {
     // batch = one near-dup copy (one token appended, so the MinHash band
     // probe must do real work, not just the md5 exact gate) ---
     val corpusSections =
-      Seq("dedup", "bloom", "editdist", "tfidfcos", "curation").exists(enabled)
+      Seq("dedup", "bloom", "editdist", "tfidfcos", "curation",
+        "contamination").exists(enabled)
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val d0 = if (corpusSections) docs.count() else 0L
@@ -279,8 +291,8 @@ object ScaleSmoke {
       concat(col("text"), lit(" smokebatch")).as("text"))
     if (enabled("dedup")) {
       val (ddRows, ddSec, ddShuf) = timed {
-        graft.pipeline.Dedup.crossCorpusDedupLsh(
-          corpusN, batch, "doc_id", "text").count()
+        forceAll(graft.pipeline.Dedup.crossCorpusDedupLsh(
+          corpusN, batch, "doc_id", "text"))
       }
       fields += s""""dedup_rows":$ddRows,"dedup_sec":${f"$ddSec%.2f"},"dedup_shuffle_bytes":$ddShuf"""
       flushPartial(outFile)
@@ -385,15 +397,34 @@ object ScaleSmoke {
             "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
           .select(col("id_b").as("doc_id")).distinct()
           .withColumn("__near", lit(true))
-        curInput.join(exact, md5(col("text")) === col("__h"))
+        forceAll(curInput.join(exact, md5(col("text")) === col("__h"))
           .join(near, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("doc_id") =!= col("__keeper")).as("exact_dup"),
             coalesce(col("__near"), lit(false)).as("near_dup"),
-            (length(col("text")) < 100).as("too_short"))
-          .count()
+            (length(col("text")) < 100).as("too_short")))
       }
       fields += s""""curation_rows":$cuRows,"curation_sec":${f"$cuSec%.2f"},"curation_shuffle_bytes":$cuShuf"""
+      flushPartial(outFile)
+    }
+
+    // --- q231 shape: the eval-overlap contamination REPORT. Train =
+    // the copy-tagged replicas (every copy contributes its own shingle
+    // vocabulary, so the train distinct-vocab shuffle grows ~linearly
+    // with copies — the 100 TB direction); eval = a verbatim re-append
+    // of copy 0 under fresh ids (fixed benchmark-sized probe side,
+    // fully colliding with copy 0's grams so the left-semi join does
+    // real work). Two vocabulary-keyed shuffles, never pairwise ---
+    if (enabled("contamination")) {
+      val evalSlice = corpusTagged.filter(col("doc_id") < d0)
+        .select((col("doc_id") + lit(copies.toLong * d0)).as("doc_id"),
+          col("text"))
+      val input = corpusTagged.unionAll(evalSlice)
+      val (ctRows, ctSec, ctShuf) = timed {
+        forceAll(graft.pipeline.Corpus.evalOverlapReport(input, "doc_id",
+          "text", evalPred = col("doc_id") >= copies.toLong * d0, n = 13))
+      }
+      fields += s""""contamination_rows":$ctRows,"contamination_sec":${f"$ctSec%.2f"},"contamination_shuffle_bytes":$ctShuf"""
       flushPartial(outFile)
     }
 

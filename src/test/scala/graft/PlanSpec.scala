@@ -25,6 +25,33 @@ class PlanSpec extends SparkSpec {
     finalPlan(SparkEntry.queries(q)(spark, sf))
   }
 
+  test("count() eliminates cardinality-preserving outer joins on " +
+    "report-shaped plans — the reason Bench/ScaleSmoke force with " +
+    "toRdd, never df.count()") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c d e f g h"), (20L, "p q r s t u v w"),
+      (1L, "a b c d e f g h"), (2L, "x y z zz yy xx")
+    ).toDF("doc_id", "text")
+    // decontaminate ends in left joins whose build sides are aggregates
+    // on the join key (provably unique) — cardinality-preserving, so a
+    // count-only plan may drop the whole shingle pipeline
+    val rep = graft.pipeline.Corpus.decontaminate(docs, "doc_id", "text",
+      evalPred = col("doc_id") % 10 === 0, n = 3)
+    def joins(p: String): Int = "(?i)join".r.findAllIn(p).length
+    val fullJoins = joins(rep.queryExecution.executedPlan.toString)
+    val countJoins = joins(
+      rep.groupBy().count().queryExecution.executedPlan.toString)
+    assert(fullJoins > 0, "the report plan contains joins")
+    assert(countJoins < fullJoins,
+      s"count() no longer prunes the report plan ($countJoins vs " +
+        s"$fullJoins joins) — Catalyst behavior changed; the bench " +
+        "forcing protocol comment in Bench.scala can be revisited")
+    // the harness forcing action executes the query's OWN plan: same
+    // row count, all joins live (it IS executedPlan, by construction)
+    assert(rep.queryExecution.toRdd.count() == rep.count())
+  }
+
   test("q09 top-k compiles to TakeOrderedAndProject, not sort + limit") {
     assert(plan("q09_topk_orders").contains("TakeOrderedAndProject"))
   }

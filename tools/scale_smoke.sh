@@ -1,8 +1,9 @@
 #!/bin/bash
-# Opt-in scale smoke — TEN pipelines on generated copies-x tables:
+# Opt-in scale smoke — ELEVEN pipelines on generated copies-x tables:
 # LSH-CC, PageRank, k-means fit, label propagation, incremental dedup,
 # PQ ADC search, Bloom decontamination, FastSS edit-distance join,
-# TF-IDF cosine all-pairs, and the q200 curation decision table.
+# TF-IDF cosine all-pairs, the q200 curation decision table, and the
+# q231 eval-overlap contamination report.
 # Usage: tools/scale_smoke.sh [sfDir] [copies] [mode] [only] [bits]
 # mode: dense (default, densifying worst case) | constant (constant-degree)
 # only: optional comma list of sections for a targeted deep soak
