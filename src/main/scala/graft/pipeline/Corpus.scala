@@ -238,6 +238,63 @@ object Corpus {
       .select(col("eval_id"), col("train_id"), col("jaccard"))
   }
 
+  /** Per-source n-gram NOVELTY — "which feeds actually add content":
+    * for every source, its distinct shingle vocabulary, how much of
+    * that vocabulary appears in NO other source (floored permille),
+    * and the redundant remainder. A feed whose grams all exist
+    * elsewhere is a candidate to drop from the mix regardless of its
+    * size — the cross-source companion of [[boilerplateNgrams]].
+    *
+    * Shape: one (source, gram) distinct, one gram-keyed source-count
+    * aggregate, one gram-keyed equi-join back, one |sources|-row
+    * rollup — every shuffle keys on the vocabulary, never pairwise.
+    */
+  def sourceNovelty(df: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 3): DataFrame = {
+    val sg = df.select(col(srcCol).as("source"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n)))
+          .as("gram"))
+      .distinct()
+    val g = sg.groupBy(col("gram")).agg(count(lit(1)).as("__ns"))
+    sg.join(g, "gram")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_permille",
+        expr("(1000L * n_unique) div n_grams"))
+  }
+
+  /** Marginal-value-of-data curve — "is MORE of this source worth
+    * ingesting": each source's docs are split into `buckets` equal
+    * id-ordered prefixes (ntile), and each bucket is credited with the
+    * distinct shingles whose FIRST in-source occurrence it is. A feed
+    * whose late buckets add ~no new grams has been exhausted — the
+    * growing-prefix dedup-rate curve a curation review reads before
+    * buying/crawling more of a source (Heaps-law per feed, bucketed).
+    *
+    * Shape: one per-source window rank (the standard distributed
+    * per-partition sort), one (source, gram) min-bucket aggregate, one
+    * (source, bucket) count — vocabulary-keyed; output is
+    * |sources|×`buckets` rows.
+    */
+  def marginalNoveltyCurve(df: DataFrame, idCol: String, textCol: String,
+                           srcCol: String, buckets: Int = 10,
+                           n: Int = 3): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+    // long bucket: DuckDB's NTILE is BIGINT and the driver's hash
+    // canonicalization is type-sensitive on integers
+    df.select(col(srcCol).as("source"),
+        ntile(buckets).over(w).cast("long").as("bucket"), col(textCol))
+      .select(col("source"), col("bucket"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n)))
+          .as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_new_grams"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB form of `decontaminate`:
     * the eval set's n-gram shingles compress into ONE fixed-size bit
     * array (`functions.BloomSketch`, default 32768 bits = 4 KiB

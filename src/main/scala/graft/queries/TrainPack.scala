@@ -147,6 +147,24 @@ object TrainPack extends QueryPack {
         n = 5, minDf = 2L, topK = 20)
     },
 
+    // ---- per-source n-gram novelty: how much of each feed's shingle
+    //      vocabulary exists in NO other source (drop-candidate
+    //      detector for the data mix) ----
+    "q243_source_novelty" -> { (s, d) =>
+      Corpus.sourceNovelty(Tables.documents(s, d), "text", "source",
+          n = 3)
+        .orderBy(col("source"))
+    },
+
+    // ---- marginal value of data: per source, new distinct shingles
+    //      contributed by each id-ordered decile prefix — "is more of
+    //      this feed worth crawling" ----
+    "q244_marginal_novelty" -> { (s, d) =>
+      Corpus.marginalNoveltyCurve(Tables.documents(s, d), "doc_id",
+          "text", "source", buckets = 10, n = 3)
+        .orderBy(col("source"), col("bucket"))
+    },
+
     // ---- Bloom-filter decontamination: eval shingles -> one 4 KiB
     //      broadcast bit array, train shingles probe it map-side ----
     "q114_bloom_decontaminate" -> { (s, d) =>
@@ -1216,6 +1234,35 @@ object TrainPack extends QueryPack {
          |SELECT ev.gram, ev.n_eval_docs, tr.train_df
          |FROM ev JOIN tr USING (gram)
          |ORDER BY n_eval_docs DESC, gram ASC LIMIT 20""".stripMargin,
+
+    // distinct (source, gram) pairs -> gram source-counts -> per-source
+    // unique share in floored permille; all integers
+    "q243_source_novelty" ->
+      s"""WITH sg AS (SELECT DISTINCT source, gram FROM (
+         |    SELECT source, unnest(list_distinct(${shingleSql("tk", 3)})) AS gram
+         |    FROM (SELECT source, $toksSql AS tk FROM documents) t)),
+         |g AS (SELECT gram, COUNT(*) AS ns FROM sg GROUP BY gram)
+         |SELECT source, COUNT(*)::BIGINT AS n_grams,
+         |  SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |  ((1000 * SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END))
+         |    // COUNT(*))::BIGINT AS novelty_permille
+         |FROM sg JOIN g USING (gram)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // NTILE prefixes per source (standard first-buckets-get-the-extra
+    // rule in both engines), min first-bucket per (source, gram),
+    // per-bucket new-gram counts; all integers
+    "q244_marginal_novelty" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    NTILE(10) OVER (PARTITION BY source ORDER BY doc_id) AS bucket,
+         |    $toksSql AS tk FROM documents),
+         |sh AS (SELECT source, bucket,
+         |    unnest(list_distinct(${shingleSql("tk", 3)})) AS gram FROM d),
+         |f AS (SELECT source, gram, MIN(bucket) AS bucket
+         |      FROM sh GROUP BY source, gram)
+         |SELECT source, bucket, COUNT(*)::BIGINT AS n_new_grams
+         |FROM f GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
 
     // q44's MinHash-LSH CTEs with the candidate join restricted to the
     // eval/train bipartition; verified exact Jaccard like q44

@@ -147,6 +147,55 @@ class TrainPipelineSpec extends SparkSpec {
       s"verified jaccard should be 20/26: $fuzzy")
   }
 
+  test("sourceNovelty: unique-vocabulary share per source, floored " +
+    "permille; a fully-mirrored feed scores zero") {
+    val docs = Seq(
+      // source a: 2 docs, one gram shared with b, rest unique
+      (1L, "a", "red green blue yellow"),   // grams: red green blue|green blue yellow
+      (2L, "a", "red green blue cyan"),
+      // source b: mirrors one of a's grams + has its own
+      (3L, "b", "red green blue"),          // whole-doc <= n... 3 tokens -> 1 gram "red green blue"
+      // source c: a pure mirror of b — zero novelty
+      (4L, "c", "red green blue")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceNovelty(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // a's distinct grams: {red green blue, green blue yellow,
+    //   green blue cyan} — "red green blue" is in b and c, others unique
+    assert(out == Seq(
+      ("a", 3L, 2L, 666L),
+      ("b", 1L, 0L, 0L),
+      ("c", 1L, 0L, 0L)), s"unexpected novelty: $out")
+  }
+
+  test("marginalNoveltyCurve: late prefixes of an exhausted feed add " +
+    "zero new grams; a diverse feed keeps adding") {
+    // source "dup": 4 docs, the last two exact repeats of the first —
+    // buckets 3 and 4 contribute nothing new
+    // source "fresh": every doc brings a new vocabulary
+    val docs = Seq(
+      (1L, "dup", "aa bb cc dd"),
+      (2L, "dup", "aa bb cc ee"),
+      (3L, "dup", "aa bb cc dd"),
+      (4L, "dup", "aa bb cc ee"),
+      (11L, "fresh", "k1 k2 k3"),
+      (12L, "fresh", "m1 m2 m3"),
+      (13L, "fresh", "n1 n2 n3"),
+      (14L, "fresh", "p1 p2 p3")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.marginalNoveltyCurve(docs, "doc_id", "text",
+        "source", buckets = 4, n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    // dup: doc1 -> {aa bb cc, bb cc dd}, doc2 adds {bb cc ee},
+    //      docs 3/4 add nothing -> no rows for buckets 3/4
+    assert(out == Seq(
+      ("dup", 1L, 2L), ("dup", 2L, 1L),
+      ("fresh", 1L, 1L), ("fresh", 2L, 1L), ("fresh", 3L, 1L),
+      ("fresh", 4L, 1L)), s"unexpected curve: $out")
+  }
+
   test("boilerplateNgrams: cross-doc df over per-doc distinct grams, " +
     "deterministic (df desc, gram asc) cut") {
     val docs = Seq(
