@@ -249,8 +249,11 @@ class PlanSpec extends SparkSpec {
     //    kmeansFit require k <= 1024): q34, q53, q75, q94, q107, q110,
     //    q118 (one BNLJ per Lloyd round, k-row build side each),
     //    q155/q165 (ride blockedKnn's centroid assignment)
+    //    q242 (the single-row broadcast of the query blob's byte
+    //    histogram — binaryNearDupTopK, the q30 shape on binary),
     val boundedBroadcast = Set(
-      "q30_cosine_topk", "q52_ivf_topk", "q79_cms_heavy_hitters",
+      "q30_cosine_topk", "q242_binary_neardup_topk", "q52_ivf_topk",
+      "q79_cms_heavy_hitters",
       "q84_tfidf_topterms", "q93_bm25", "q95_hist_quantiles",
       "q99_unigram_surprisal", "q100_key_skew", "q109_grouped_quantiles",
       "q114_bloom_decontaminate", "q117_dsir_weights",
