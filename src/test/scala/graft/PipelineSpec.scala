@@ -72,6 +72,46 @@ class PipelineSpec extends SparkSpec {
       s"cosine ladder: $topk")
   }
 
+  test("binaryNearDupPairs: sound vs the naive histogram-cosine " +
+    "definition (verified candidates only) and complete for identical " +
+    "blobs (equal histograms collide in every band)") {
+    Graft.install(spark)
+    val slice = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id").as("id"),
+        encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "UTF-8")
+          .as("bin"))
+    // the testdata has no verbatim text twins at sf0.001 — replicate
+    // the slice under shifted ids so every blob has one exact twin
+    // (the crawl-duplicate pattern)
+    val real = slice.unionByName(
+      slice.select((col("id") + 1000L).as("id"), col("bin")))
+    val t = 0.98
+    val fast = Dedup.binaryNearDupPairs(real, "id", "bin",
+        bins = 16, threshold = t, bands = 3, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hist = Dedup.binaryHistograms(real, "id", "bin", bins = 16)
+      .localCheckpoint()
+    val naive = hist.as("a").crossJoin(hist.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("s", SimilarityOps.sim6(col("a.hist"), col("b.hist")))
+      .filter(col("s") >= t)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.subsetOf(naive),
+      s"LSH-blocked pairs must be verified (no false positives): ${fast -- naive}")
+    // exact blob twins (the testdata has verbatim duplicate texts)
+    // have EQUAL histograms -> identical signatures -> every band
+    // collides -> guaranteed recall
+    val twins = real.as("a").join(real.as("b"),
+        md5(col("a.bin")) === md5(col("b.bin")) && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twins.nonEmpty, "fixture slice must contain exact duplicates")
+    assert(twins.subsetOf(fast),
+      s"exact twins missing from the blocked pairs: ${twins -- fast}")
+  }
+
   test("ngramJaccardPairs matches the naive crossJoin definition") {
     val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
