@@ -697,16 +697,12 @@ object Dedup {
     */
   def binaryNearDupTopK(df: DataFrame, idCol: String, binCol: String,
                         queryId: Long, bins: Int = 16,
-                        k: Int = 10): DataFrame = {
-    val hist = binaryHistograms(df, idCol, binCol, bins)
-    val q = hist.filter(col(idCol) === queryId)
-      .select(col("hist").as("__qh"))
-    hist.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col(idCol),
-        graft.similarity.SimilarityOps.sim6(col("hist"), col("__qh"))
-          .as("sim"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-      .limit(k)
-  }
+                        k: Int = 10): DataFrame =
+    // pure delegation: the histogram table rides the embedding top-k
+    // operator (same broadcast-probe plan, same total order), so plan
+    // fixes to topKSimilar cover the binary path too (r8 code review)
+    graft.similarity.SimilarityOps.topKSimilar(
+        binaryHistograms(df, idCol, binCol, bins), idCol, "hist",
+        queryId, k)
+      .select(col(idCol), col("sim"))
 }

@@ -19,3 +19,17 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
 }
+
+/** Shared DuckDB oracle fragments for the vector replay contract —
+  * ONE spelling of the strict-left-fold float accumulation
+  * (`VectorFunctions`' order, bit-for-bit), so a fix to the fold or
+  * rounding can never leave a second copy stale (r8 code review).
+  */
+private[queries] object OracleSql {
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
+  def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
+  def l2Sql(a: String, b: String): String =
+    s"ROUND(SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)), 6)"
+}

@@ -15,13 +15,10 @@ import graft.similarity.SimilarityOps
   */
 object SimilarityPack extends QueryPack {
 
-  // -- DuckDB SQL fragments mirroring VectorFunctions' fold order --
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
-  private def cosSql(a: String, b: String): String =
-    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
-  private def l2Sql(a: String, b: String): String =
-    s"ROUND(SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)), 6)"
+  // -- DuckDB SQL fragments: the ONE shared spelling (OracleSql) --
+  private def dotSql(a: String, b: String): String = OracleSql.dotSql(a, b)
+  private def cosSql(a: String, b: String): String = OracleSql.cosSql(a, b)
+  private def l2Sql(a: String, b: String): String = OracleSql.l2Sql(a, b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- V5 parity: top-k similar to one vector, payload joined ----

@@ -26,12 +26,8 @@ object TextPack extends QueryPack {
        | ELSE list_transform(range(1, len($tk) - 1), i -> array_to_string(($tk)[i:i+2], ' ')) END""".stripMargin
   private def jaccardSql(a: String, b: String): String =
     s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
-  // vector fragments replaying VectorFunctions' strict-left-fold order
-  // (same spelling as SimilarityPack)
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
-  private def cosSql(a: String, b: String): String =
-    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
+  // vector fragments: the ONE shared spelling (OracleSql)
+  private def cosSql(a: String, b: String): String = OracleSql.cosSql(a, b)
   /** Parse the first 15 hex chars of md5 into a BIGINT, mod 2^31-1 —
     * mirrors TextFunctions.md5Long bit-for-bit.
     */
@@ -802,7 +798,10 @@ object TextPack extends QueryPack {
       // byte_histogram replay: ASCII projection makes chars == bytes;
       // per-bin count/n in FLOAT (bin = byte // 16 for 16 bins), then
       // the cosine fold over the float values cast to DOUBLE — the
-      // same strict-left-fold order as the native expression
+      // same strict-left-fold order as the native expression. A
+      // zero-norm side (empty projection) is guarded to 0.0 exactly
+      // like VectorFunctions.cosine — unguarded, DuckDB's 0/0 is NaN
+      // and NaN sorts FIRST under ORDER BY sim DESC (r8 code review)
       "q242_binary_neardup_topk" -> {
         val codes =
           "list_transform(string_split(st, ''), c -> ascii(c))"
@@ -813,12 +812,14 @@ object TextPack extends QueryPack {
              |   (len(list_filter($codes, x -> x // 16 = b))::FLOAT
              |     / length(st)::FLOAT)::FLOAT) END"""
             .stripMargin.replace("\n", " ")
-        s"""WITH h AS (SELECT doc_id, $hist AS hist FROM (
+        s"""WITH h AS (SELECT doc_id, length(st) AS n, $hist AS hist FROM (
            |    SELECT doc_id,
            |      regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS st
            |    FROM documents) t),
-           |q AS (SELECT hist AS qh FROM h WHERE doc_id = 7)
-           |SELECT h.doc_id, ${cosSql("h.hist", "q.qh")} AS sim
+           |q AS (SELECT n AS qn, hist AS qh FROM h WHERE doc_id = 7)
+           |SELECT h.doc_id,
+           |  CASE WHEN h.n = 0 OR q.qn = 0 THEN 0.0
+           |       ELSE ${cosSql("h.hist", "q.qh")} END AS sim
            |FROM h, q WHERE h.doc_id <> 7
            |ORDER BY sim DESC, h.doc_id ASC LIMIT 10""".stripMargin
       },

@@ -31,13 +31,9 @@ object TrainPack extends QueryPack {
     s"list_transform(range(0, $bands), b -> b::VARCHAR || '|' || md5(array_to_string(($sig)[b*$rowsPer+1:b*$rowsPer+$rowsPer], ',')))"
   private def jaccardSql(a: String, b: String): String =
     s"ROUND(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE END, 6)"
-  // vector fragments replaying VectorFunctions' strict-left-fold order
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
-  private def cosSql(a: String, b: String): String =
-    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
-  private def l2Sql(a: String, b: String): String =
-    s"ROUND(SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)), 6)"
+  // vector fragments: the ONE shared spelling (OracleSql)
+  private def cosSql(a: String, b: String): String = OracleSql.cosSql(a, b)
+  private def l2Sql(a: String, b: String): String = OracleSql.l2Sql(a, b)
   private def md5LongSql(e: String): String =
     s"(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(substr(md5($e), 1, 15), ''), c -> strpos('0123456789abcdef', c)::BIGINT - 1)), (a, b) -> a * 16 + b) % 2147483647)"
 

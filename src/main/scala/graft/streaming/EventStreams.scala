@@ -354,11 +354,16 @@ object EventStreams {
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 13): DataFrame = {
     import graft.functions.TextFunctions._
+    // cache: a stream-static join re-evaluates the static side every
+    // micro-batch — uncached, each trigger would re-shingle and
+    // re-distinct the whole eval corpus (r8 code review; same
+    // convention as corpusDedupStreamLsh's cached corpus tables)
     val evalShingles = evalCorpus
       .select(explode(array_distinct(shingles(tokens(col(textCol)), n)))
         .as("__s"))
       .distinct()
       .withColumn("__hit", lit(true))
+      .cache()
     newDocs
       .select(col(idCol),
         explode(array_distinct(shingles(tokens(col(textCol)), n))).as("__s"))
