@@ -286,6 +286,15 @@ object Corpus {
     // canonicalization is type-sensitive on integers
     df.select(col(srcCol).as("source"),
         ntile(buckets).over(w).cast("long").as("bucket"), col(textCol))
+      // fan back out after the per-source window: without this, the
+      // explode AND both aggregates inherit the window's |sources|-way
+      // partitioning (Spark skips the aggregate exchange because
+      // {source} ⊆ the grouping keys) and the whole tail runs at
+      // |sources| parallelism — measured 2.7× slower at 20 sources /
+      // 32 cores. One tiny pre-explode exchange of doc-sized rows
+      // restores cluster-wide parallelism; the (source, gram)
+      // aggregate then gets its own vocabulary-keyed exchange
+      .repartition(col("source"), col("bucket"))
       .select(col("source"), col("bucket"),
         explode(array_distinct(shingles(tokens(col(textCol)), n)))
           .as("gram"))

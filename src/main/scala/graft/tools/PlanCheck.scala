@@ -37,6 +37,49 @@ object PlanCheck {
     dd.groupBy().count().explain("formatted")
     println("==== dedup consuming aggregate plan ====")
     dd.agg(count(lit(1)), sum(col("n_near"))).explain("formatted")
+
+    // --- q244 latency decomposition: where do the ~7 s go? ---
+    if (args.contains("--q244")) {
+      import graft.functions.TextFunctions._
+      val full = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+      def timeIt(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        graft.Graft.evictAll(spark)
+        val t0 = System.nanoTime()
+        val n = df.queryExecution.toRdd.count()
+        println(f"[q244probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      // A: the operator as shipped
+      timeIt("operator")(graft.pipeline.Corpus.marginalNoveltyCurve(
+        full, "doc_id", "text", "source", 10, 3))
+      // B: same but repartition after the window so the explode +
+      // aggregates run at full parallelism, not |sources| tasks
+      timeIt("repartitioned") {
+        full.select(col("source"),
+            ntile(10).over(w).cast("long").as("bucket"), col("text"))
+          .repartition(32)
+          .select(col("source"), col("bucket"),
+            explode(array_distinct(shingles(tokens(col("text")), 3)))
+              .as("gram"))
+          .groupBy(col("source"), col("gram"))
+          .agg(min(col("bucket")).as("bucket"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_new_grams"))
+      }
+      // C: no window at all (parallelism reference)
+      timeIt("no-window") {
+        full.select(col("source"), lit(1L).as("bucket"), col("text"))
+          .select(col("source"), col("bucket"),
+            explode(array_distinct(shingles(tokens(col("text")), 3)))
+              .as("gram"))
+          .groupBy(col("source"), col("gram"))
+          .agg(min(col("bucket")).as("bucket"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_new_grams"))
+      }
+    }
     spark.stop()
   }
 }
