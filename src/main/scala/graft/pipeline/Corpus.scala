@@ -264,6 +264,42 @@ object Corpus {
         expr("(1000L * n_unique) div n_grams"))
   }
 
+  /** DIRECTED source-overlap matrix — "who copies whom": for every
+    * ordered source pair (a, b), the share of a's distinct shingle
+    * vocabulary that also appears in b, in floored permille. Asymmetry
+    * is the signal ([[tags.TagOps]]-style containment lifted to feeds):
+    * a small feed fully contained in a large one is a mirror/subset
+    * candidate (drop it); the large feed's low reverse share says the
+    * copying ran one way. Complements [[sourceNovelty]] (uniqueness vs
+    * ALL others, no direction) and the near-dup source matrix
+    * (verified doc pairs, not vocabulary).
+    *
+    * Shape: one (source, gram) distinct, a gram-keyed self-equi-join
+    * whose per-gram fan-out is bounded by |sources|² (never docs), one
+    * |sources|²-row aggregate + a broadcast-sized totals join. Scale
+    * cost is the vocabulary distinct; everything after is
+    * source-cardinality-sized.
+    */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, srcCol: String,
+                          n: Int = 3): DataFrame = {
+    val sg = df.select(col(srcCol).as("source"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n)))
+          .as("gram"))
+      .distinct()
+      .cache() // three consumers: both join sides + the totals
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    sg.select(col("source").as("source_a"), col("gram"))
+      .join(sg.select(col("source").as("source_b"), col("gram")), "gram")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot).withColumnRenamed("source", "source_a"),
+        "source_a")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams"),
+        expr("(1000L * n_shared) div n_grams").as("containment_permille"))
+  }
+
   /** Marginal-value-of-data curve — "is MORE of this source worth
     * ingesting": each source's docs are split into `buckets` equal
     * id-ordered prefixes (ntile), and each bucket is credited with the

@@ -161,6 +161,15 @@ object TrainPack extends QueryPack {
         .orderBy(col("source"), col("bucket"))
     },
 
+    // ---- directed source containment: share of feed A's vocabulary
+    //      that also appears in feed B — asymmetry says who copies
+    //      whom ----
+    "q245_source_overlap_matrix" -> { (s, d) =>
+      Corpus.sourceOverlapMatrix(Tables.documents(s, d), "text",
+          "source", n = 3)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // ---- Bloom-filter decontamination: eval shingles -> one 4 KiB
     //      broadcast bit array, train shingles probe it map-side ----
     "q114_bloom_decontaminate" -> { (s, d) =>
@@ -1244,6 +1253,25 @@ object TrainPack extends QueryPack {
          |    // COUNT(*))::BIGINT AS novelty_permille
          |FROM sg JOIN g USING (gram)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // distinct (source, gram) pairs self-joined on gram -> ordered-pair
+    // shared counts; containment share in floored permille over the
+    // LEFT side's vocabulary; all integers
+    "q245_source_overlap_matrix" ->
+      s"""WITH sg AS (SELECT DISTINCT source, gram FROM (
+         |    SELECT source, unnest(list_distinct(${shingleSql("tk", 3)})) AS gram
+         |    FROM (SELECT source, $toksSql AS tk FROM documents) t)),
+         |tot AS (SELECT source, COUNT(*)::BIGINT AS n_grams
+         |        FROM sg GROUP BY source),
+         |m AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        COUNT(*)::BIGINT AS n_shared
+         |      FROM sg a JOIN sg b USING (gram)
+         |      WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT m.source_a, m.source_b, m.n_shared, tot.n_grams,
+         |  ((1000 * m.n_shared) // tot.n_grams)::BIGINT
+         |    AS containment_permille
+         |FROM m JOIN tot ON m.source_a = tot.source
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // NTILE prefixes per source (standard first-buckets-get-the-extra
     // rule in both engines), min first-bucket per (source, gram),

@@ -169,6 +169,30 @@ class TrainPipelineSpec extends SparkSpec {
       ("c", 1L, 0L, 0L)), s"unexpected novelty: $out")
   }
 
+  test("sourceOverlapMatrix: a mirrored subset feed is fully contained " +
+    "one way, partially the other — asymmetry says who copies whom") {
+    val docs = Seq(
+      // big: 2 docs, 3 distinct grams
+      (1L, "big", "w1 w2 w3 w4"),          // grams: w1 w2 w3 | w2 w3 w4
+      (2L, "big", "w2 w3 w4 w5"),          // adds: w3 w4 w5
+      // sub: a verbatim mirror of one big doc — both its grams exist
+      // in big; big's third gram does not exist in sub
+      (3L, "sub", "w1 w2 w3 w4"),
+      // lone: disjoint vocabulary, appears in no cross rows with shares
+      (4L, "lone", "zz yy xx")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceOverlapMatrix(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(p => (p._1, p._2)).toSeq
+    // big's grams: {w1 w2 w3, w2 w3 w4, w3 w4 w5}; sub's: the first two
+    assert(out == Seq(
+      ("big", "sub", 2L, 3L, 666L),  // 2 of big's 3 grams also in sub
+      ("sub", "big", 2L, 2L, 1000L)  // ALL of sub's grams are in big
+    ), s"unexpected matrix: $out")
+    // lone shares nothing: no row mentions it (inner gram join)
+    assert(!out.exists(p => p._1 == "lone" || p._2 == "lone"))
+  }
+
   test("marginalNoveltyCurve: late prefixes of an exhausted feed add " +
     "zero new grams; a diverse feed keeps adding") {
     // source "dup": 4 docs, the last two exact repeats of the first —
