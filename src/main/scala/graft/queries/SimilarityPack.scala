@@ -191,6 +191,25 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // ---- IVF-PQ search: centroid-pruned block + ADC over codes —
+    //      the composed 100 TB serving shape (q52's pruning × q113's
+    //      code-only scoring) ----
+    "q246_ivfpq_topk" -> { (s, d) =>
+      SimilarityOps.ivfPqTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, nCentroids = 8, m = 8, nCodes = 16,
+        k = 10)
+    },
+
+    // ---- IVF-PQ recall@3 vs the exact batch top-k: both
+    //      approximations (missed blocks + PQ cell granularity) under
+    //      one measured number — the q217 audit for the composed index ----
+    "q247_ivfpq_recall" -> { (s, d) =>
+      SimilarityOps.ivfPqRecall(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryPred = col("vec_id") < 10, nCentroids = 8,
+          m = 8, nCodes = 16, k = 3)
+        .orderBy(col("query_id"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -617,6 +636,114 @@ object SimilarityPack extends QueryPack {
          |SELECT c.vec_id, c.pq_code, l.cell_size, c.vec_id = l.keeper AS keep
          |FROM codes c JOIN cells l USING (pq_code)
          |ORDER BY c.vec_id""".stripMargin
+    },
+
+    "q246_ivfpq_topk" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH assign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, c.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC, c.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) c) t
+         |  WHERE rn = 1),
+         |sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |qc AS (SELECT centroid AS qcent FROM assign WHERE vec_id = 0),
+         |q AS (SELECT sub, sv AS qv FROM sl WHERE vec_id = 0),
+         |lut AS (SELECT cb.sub, cb.code,
+         |          CAST(ROUND(${sq("q.qv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM cb JOIN q USING (sub))
+         |SELECT a.vec_id, g.centroid,
+         |  CAST(SUM(l.lm) AS DOUBLE) / 1e6 AS adc_dist
+         |FROM a
+         |JOIN assign g ON a.vec_id = g.vec_id
+         |JOIN qc ON g.centroid = qc.qcent
+         |JOIN lut l ON a.sub = l.sub AND a.code = l.code
+         |WHERE a.vec_id <> 0
+         |GROUP BY a.vec_id, g.centroid
+         |ORDER BY adc_dist ASC, a.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q247_ivfpq_recall" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.embedding", "q.qv")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM c, q) t WHERE rank <= 3),
+         |assign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+         |       WHERE vec_id < 8) cs) t
+         |  WHERE rn = 1),
+         |sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |qa AS (SELECT vec_id AS query_id, centroid FROM assign
+         |       WHERE vec_id < 10),
+         |lut AS (SELECT sl.vec_id AS query_id, cb.sub, cb.code,
+         |          CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM sl JOIN cb USING (sub) WHERE sl.vec_id < 10),
+         |adc AS (SELECT qa.query_id, a.vec_id AS neighbor_id,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM a
+         |        JOIN assign g ON a.vec_id = g.vec_id
+         |        JOIN qa ON g.centroid = qa.centroid
+         |        JOIN lut l ON l.query_id = qa.query_id
+         |          AND l.sub = a.sub AND l.code = a.code
+         |        WHERE a.vec_id >= 10
+         |        GROUP BY qa.query_id, a.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY dist ASC, neighbor_id ASC) AS rank
+         |  FROM adc) t WHERE rank <= 3),
+         |h AS (SELECT ex.query_id, COUNT(*)::BIGINT AS hits
+         |  FROM ex JOIN ap USING (query_id, neighbor_id)
+         |  GROUP BY ex.query_id),
+         |ek AS (SELECT query_id, COUNT(*)::BIGINT AS k FROM ex
+         |  GROUP BY query_id)
+         |SELECT ek.query_id, COALESCE(h.hits, 0)::BIGINT AS n_hits, ek.k,
+         |  ROUND(COALESCE(h.hits, 0)::DOUBLE / ek.k::DOUBLE, 6) AS recall
+         |FROM ek LEFT JOIN h ON ek.query_id = h.query_id
+         |ORDER BY ek.query_id""".stripMargin
     },
 
     "q36_label_centroid" ->

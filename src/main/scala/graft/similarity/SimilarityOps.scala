@@ -439,12 +439,19 @@ object SimilarityOps {
         col("__sv.subvec").as("subvec"))
   }
 
+  /** `cbSource` lets a caller encode a SUBSET of rows against the
+    * full-corpus codebook (the first `nCodes` rows of `cbSource`, not
+    * of `emb`) — the IVF-PQ index build needs it; `None` keeps the
+    * self-seeded behavior every existing PQ operator uses.
+    */
   private def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-                       m: Int, nCodes: Int): DataFrame = {
+                       m: Int, nCodes: Int,
+                       cbSource: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && nCodes > 0 && nCodes <= 1024,
       "packed argmin keeps the code in 10 bits")
     val parts = pqSubvectors(emb, idCol, vecCol, m)
-    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
+    val cb = pqSubvectors(cbSource.getOrElse(emb).filter(col(idCol) < nCodes),
+        idCol, vecCol, m)
       .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
     parts.join(broadcast(cb), "sub")
       .withColumn("__d2m",
@@ -525,6 +532,117 @@ object SimilarityOps {
       .agg((sum(col("__lm")).cast("double") / 1e6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-PQ index build — the composition of the two halves an ANN
+    * index over 100 TB of embeddings actually ships (Jégou et al.'s
+    * IVFADC): a coarse quantizer (the IVF centroid, `assignToCentroids`'
+    * deterministic seed rule) prunes the search to one block, and a
+    * product quantizer (m sub-codes over the raw vector — the
+    * no-residual IVFADC variant, so codes are exactly the `pqCodes`
+    * family's and cross-engine replayable) compresses what the scan
+    * reads. Long form (id, centroid, sub, code): at 100 TB this table
+    * is written partitioned/bucketed BY `centroid`, so a probe is a
+    * partition-pruned scan of 4-byte codes — vectors are never read at
+    * query time.
+    */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int, m: Int = 8, nCodes: Int = 16): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("centroid"))
+      .join(pqAssign(emb, idCol, vecCol, m, nCodes)
+        .select(col(idCol), col("sub"), col("code")), Seq(idCol))
+
+  /** IVF-PQ search (nprobe=1): probe ONLY the query's centroid block,
+    * then ADC over the block's codes — [[ivfTopK]]'s pruning composed
+    * with [[pqAdcTopK]]'s code-only scoring. The serving path touches
+    * no vector math per candidate: the query side collapses to ONE
+    * broadcast centroid row + ONE broadcast m×nCodes LUT, and every
+    * candidate is scored by an equi-join on (sub, code) + an exact
+    * integer-micro sum. Recall trades are the two standard ones
+    * stacked: cross-block neighbors are missed (IVF nprobe=1), and
+    * in-block ranking is approximate at PQ-cell granularity. Top-k by
+    * smallest ADC distance, id tiebreak; query excluded. Output
+    * (id, centroid, adc_dist).
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, nCentroids: Int, m: Int = 8,
+                nCodes: Int = 16, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
+    // the query's coarse cell — one broadcast row, same as ivfTopK
+    val qc = idx.filter(col(idCol) === queryId)
+      .select(col("centroid").as("__qc")).distinct()
+    val q = pqSubvectors(emb.filter(col(idCol) === queryId), idCol, vecCol, m)
+      .select(col("sub"), col("subvec").as("__qvec"))
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
+      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+    val lut = cb.join(broadcast(q), "sub")
+      .select(col("sub"), col("code"),
+        round(sqDistance(col("__qvec"), col("__cbvec")) * 1e6).cast("long")
+          .as("__lm"))
+    idx.join(broadcast(qc), col("centroid") === col("__qc"))
+      .filter(col(idCol) =!= queryId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol), col("centroid"))
+      .agg((sum(col("__lm")).cast("double") / 1e6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("centroid"), col("adc_dist"))
+  }
+
+  /** recall@k of the IVF-PQ index against the exact batch top-k — the
+    * [[annRecall]] audit for the composed index (BOTH approximations
+    * under one measured number: IVF's missed blocks AND PQ's cell-
+    * granularity ranking). Queries are excluded from the candidate set
+    * exactly as [[batchTopK]] excludes them; queries whose block holds
+    * no candidates honestly score 0. Shape: one exact pass, one
+    * code-only ADC pass (centroid equi-join prune + (query, sub, code)
+    * LUT equi-join + integer sums + per-query window over block
+    * survivors), one (query, neighbor) hit join.
+    */
+  def ivfPqRecall(emb: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, nCentroids: Int, m: Int = 8,
+                  nCodes: Int = 16, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // counts and the hit join both read it
+    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
+    // candidates = non-query rows (batchTopK's contract), code-only
+    val cand = idx.join(
+      broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
+      col(idCol) === col("__qid"), "left_anti")
+    val qassign = assignToCentroids(emb, idCol, vecCol, nCentroids)
+      .filter(queryPred)
+      .select(col(idCol).as("query_id"), col("centroid"))
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
+      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+    val lut = pqSubvectors(emb.filter(queryPred), idCol, vecCol, m)
+      .select(col(idCol).as("query_id"), col("sub"),
+        col("subvec").as("__qvec"))
+      .join(cb, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        round(sqDistance(col("__qvec"), col("__cbvec")) * 1e6).cast("long")
+          .as("__lm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    val approx = cand.join(broadcast(qassign), Seq("centroid"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lm")).as("__adc"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("__k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        col("__k").as("k"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__k").cast("double"), 6).as("recall"))
   }
 
   /** Scale twin of `knnForIds` (exact brute-force kNN): candidates come

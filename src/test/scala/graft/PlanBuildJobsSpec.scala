@@ -75,6 +75,7 @@ class PlanBuildJobsSpec extends SparkSpec {
     "q118_kmeans_fit" -> "k-means lloyd loop",
     "q155_mutual_knn" -> "kNN edge checkpoint",
     "q217_ann_recall" -> "IVF k-means loop",
+    "q247_ivfpq_recall" -> "exact top-k localCheckpoint (q217's sibling)",
     // BPE merge training
     "q158_bpe_merges" -> "BPE merge loop",
     "q163_bpe_vocab" -> "BPE merge loop",

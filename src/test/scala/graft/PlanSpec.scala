@@ -237,6 +237,11 @@ class PlanSpec extends SparkSpec {
     //    q216/q217 (the BOUNDED query batch broadcasts — the serving
     //    pattern's point is few queries against one corpus scan;
     //    q217 additionally rides the ≤1024-row centroid seed table),
+    //    q246/q247 (IVF-PQ: the ≤1024-row centroid seed table + the
+    //    m×nCodes≤1024·m-row broadcast LUT + q247's bounded query
+    //    batch — all three are the serving pattern's fixed-size sides;
+    //    candidate scoring itself is the (sub, code) equi-join the
+    //    dedicated pin below asserts),
     //    q218 (the single stream-total row of the stop-word shares),
     //    q219 (the |checkpoints|-row broadcast the first-occurrence
     //    comparisons join against — the calendar-periods analog),
@@ -264,6 +269,7 @@ class PlanSpec extends SparkSpec {
       "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
       "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
+      "q246_ivfpq_topk", "q247_ivfpq_recall",
       "q212_cluster_labels", "q218_stopwords", "q219_vocab_growth",
       "q222_tfidf_tags",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",
@@ -285,6 +291,19 @@ class PlanSpec extends SparkSpec {
     val p31 = finalPlan(SparkEntry.queries("q31_allpairs_cosine")(spark, sf))
     assert(p31.contains("CartesianProduct") ||
       p31.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q246 IVF-PQ serving: candidate scoring is an equi-join on " +
+       "(sub, code) — code-only, no cartesian, TakeOrderedAndProject") {
+    val p = plan("q246_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ serving must never form a cartesian:\n$p")
+    // the ADC LUT join keys on (sub, code) — candidates are scored from
+    // their 4-byte codes, never their vectors
+    assert("""Join \[sub#\d+L?, code#\d+L?\]""".r.findFirstIn(p).isDefined,
+      s"expected the (sub, code) ADC equi-join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
   }
 
   test("q110 blocked kNN (q32's scale twin): centroid equi-join, " +

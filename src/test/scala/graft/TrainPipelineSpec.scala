@@ -547,6 +547,40 @@ class TrainPipelineSpec extends SparkSpec {
     assert(rr(2).getLong(1) == 0L, "vec 2 codes as seed 0 on its first 8 dims")
   }
 
+  test("ivfPqTopK == pqAdcTopK in a single block; ivfPqRecall scores " +
+       "exact copies at 1.0") {
+    // dim 8, m=4, nCodes=4; seeds 0..3 are orthogonal block-one-hots,
+    // so every cross-seed cosine is exactly 0 and every vector is
+    // codebook-representable (zero distortion) — ADC distances are
+    // exact and hand-checkable
+    val vecs = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j / 2 == i) 1f else 0f))
+    } ++ Seq(10L, 11L).map { id =>
+      (id, Array.tabulate(8)(j => if (j / 2 == 1) 1f else 0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    // one coarse cell -> the composed index degenerates to pure ADC
+    val a = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 1L, nCentroids = 1, m = 4, nCodes = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding",
+        queryId = 1L, m = 4, nCodes = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.map(t => (t._1, t._3)).toSeq == b.toSeq,
+      "nCentroids=1 makes IVF-PQ and flat ADC identical")
+    assert(a.forall(_._2 == 0L), "one centroid -> every row in cell 0")
+    // recall audit: ids 10/11 are exact copies of query 1 — top-2 under
+    // the exact cosine (sim 1.0 vs 0.0) AND under ADC (dist 0, the
+    // codebook is exact) — and they land in query 1's coarse cell, so
+    // the composed index recovers the exact top-2 completely
+    val rec = SimilarityOps.ivfPqRecall(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") === 1L, nCentroids = 2, m = 4,
+        nCodes = 4, k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rec.toSeq == Seq((1L, 2L, 2L, 1.0)))
+  }
+
   test("spanDupStats: only cross-doc windows count as duplicated") {
     val docs = Seq(
       (1L, "s1 s2 s3 s4 s5 s6 s7 s8 a1 a2"), // 3 windows, 1 shared
