@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, KmvSketch, Mp3Header, Mp4Meta, WebpDimsExpr}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, JpegDimsExpr, KmvSketch, Mp3Header, Mp4Meta, PngDimsExpr, WebpDimsExpr}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.mp3HeaderDescriptor)
     ext.injectFunction(Graft.mp4MetaDescriptor)
     ext.injectFunction(Graft.webpDimsDescriptor)
+    ext.injectFunction(Graft.pngDimsDescriptor)
+    ext.injectFunction(Graft.jpegDimsDescriptor)
   }
 }
 
@@ -148,13 +150,32 @@ object Graft {
       WebpDimsExpr(children.head)
     })
 
+  private[graft] val pngDimsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_dims"),
+    new ExpressionInfo(classOf[PngDimsExpr].getName, "png_dims"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "png_dims expects 1 argument")
+      PngDimsExpr(children.head)
+    })
+
+  private[graft] val jpegDimsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_dims"),
+    new ExpressionInfo(classOf[JpegDimsExpr].getName, "jpeg_dims"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "jpeg_dims expects 1 argument")
+      JpegDimsExpr(children.head)
+    })
+
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
         byteHistogramDescriptor, bloomSketchDescriptor,
         jaroWinklerDescriptor, exifOrientationDescriptor,
         flacStreaminfoDescriptor, mp3HeaderDescriptor,
-        mp4MetaDescriptor, webpDimsDescriptor).foreach {
+        mp4MetaDescriptor, webpDimsDescriptor, pngDimsDescriptor,
+        jpegDimsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -225,6 +246,18 @@ object Graft {
     * expression, RIFF walk shared with `Multimodal.decodeWebp`).
     */
   def webpDims(bin: Column): Column = call_function("webp_dims", bin)
+
+  /** PNG IHDR struct (width, height, bit_depth, color_type) of a
+    * binary column; NULL when the payload is not PNG (native codegen
+    * expression, IHDR walk shared with `Multimodal.decodePng`).
+    */
+  def pngDims(bin: Column): Column = call_function("png_dims", bin)
+
+  /** JPEG SOF struct (width, height, precision, n_components) of a
+    * binary column; NULL when the payload is not JPEG (native codegen
+    * expression, segment walk shared with `Multimodal.decodeJpeg`).
+    */
+  def jpegDims(bin: Column): Column = call_function("jpeg_dims", bin)
 
   /** KMV distinct-count sketch over a pre-hashed bigint column. */
   def kmvSketch(hashed: Column, k: Int): Column =

@@ -131,12 +131,33 @@ object Multimodal {
     Option(graft.functions.ImageWire.webpFields(bytes))
       .map(m => Row("webp", m.width, m.height, bytes.length.toLong))
 
+  /** Real PNG header decode — ONE IHDR parser shared with the
+    * `png_dims` codegen expression (functions.ImageWire). None (→ the
+    * ImageIO fallback, then the stub) on anything the strict walk
+    * rejects.
+    */
+  def decodePng(bytes: Array[Byte]): Option[Row] =
+    Option(graft.functions.ImageWire.pngFields(bytes))
+      .map(m => Row("png", m.width, m.height, bytes.length.toLong))
+
+  /** Real JPEG header decode — ONE SOF segment walk shared with the
+    * `jpeg_dims` codegen expression (functions.ImageWire). None on
+    * anything the strict walk rejects — ImageIO remains the fallback
+    * for payloads the byte walk is too strict for.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[Row] =
+    Option(graft.functions.ImageWire.jpegFields(bytes))
+      .map(m => Row("jpeg", m.width, m.height, bytes.length.toLong))
+
   def decodeMediaMeta(bytes: Array[Byte]): Row =
-    // WebP first: the 12-byte magic sniff is ~free, where a futile
-    // ImageIO provider search (stream setup + per-provider probes)
-    // would otherwise run per-row on the crawl web's most common
-    // format before falling through to the byte walk
+    // pure byte walks first: each magic sniff is ~free and PNG/JPEG/
+    // WebP dominate the crawl web, where a futile-or-not ImageIO
+    // provider search (stream setup + per-provider probes) costs real
+    // per-row time; ImageIO stays as the fallback for every format
+    // without a native walk (GIF/BMP/…) and for walk-rejected payloads
     decodeWebp(bytes)
+      .orElse(decodePng(bytes))
+      .orElse(decodeJpeg(bytes))
       .orElse(decodeImage(bytes))
       .getOrElse(decodeStub(bytes))
 

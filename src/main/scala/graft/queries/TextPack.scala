@@ -128,6 +128,50 @@ object TextPack extends QueryPack {
         .orderBy(col("sim").desc, col("doc_id").asc)
     },
 
+    // ---- plan-native PNG header decode over synthesized blobs (the
+    //      q241 convention: testdata has no binary table, so the blob
+    //      is built in-query — a minimal IHDR whose width varies per
+    //      doc; the oracle replays the generator arithmetic, so a
+    //      mis-parsed byte order / offset hash-mismatches) ----
+    "q248_png_dims" -> { (s, d) =>
+      val pngPre = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13, 'I', 'H', 'D', 'R')
+      val w = (col("doc_id") % 500 + 1).cast("int")
+      val blob = concat(lit(pngPre),
+        unhex(lpad(hex(w), 8, "0")), // width, big-endian u32
+        unhex(lpad(hex(lit(240)), 8, "0")), // height
+        lit(Array[Byte](8, 6))) // bit depth, color type (RGBA)
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.Graft.pngDims(blob).as("m"))
+        .select(col("doc_id"), col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.bit_depth").as("bit_depth"),
+          col("m.color_type").as("color_type"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- plan-native JPEG SOF decode over synthesized blobs: SOI +
+    //      a 16-byte APP0 the walk must hop over + a baseline SOF0
+    //      carrying the doc-varying width ----
+    "q249_jpeg_dims" -> { (s, d) =>
+      val jpegPre = Array[Byte](0xff.toByte, 0xd8.toByte, // SOI
+          0xff.toByte, 0xe0.toByte, 0, 16) ++ // APP0, declared len 16
+        Array.fill[Byte](14)(0x4a) ++ // APP0 payload (hopped, not read)
+        Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, // SOF0, len 17
+          8, 0, 180.toByte) // precision 8, height u16 = 180
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val blob = concat(lit(jpegPre),
+        unhex(lpad(hex(w), 4, "0")), // width, big-endian u16
+        lit(Array[Byte](3) ++ Array.fill[Byte](9)(0))) // 3 components
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.Graft.jpegDims(blob).as("m"))
+        .select(col("doc_id"), col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.precision").as("precision"),
+          col("m.n_components").as("n_components"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- order-sensitive rolling fingerprint ----
     "q46_fingerprint" -> { (s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
@@ -823,6 +867,20 @@ object TextPack extends QueryPack {
            |FROM h, q WHERE h.doc_id <> 7
            |ORDER BY sim DESC, h.doc_id ASC LIMIT 10""".stripMargin
       },
+
+      // the oracle replays the blob GENERATOR's arithmetic (width =
+      // doc_id % 500 + 1, fixed height/depth/type), so any byte-order
+      // or offset slip in the Spark-side parser hash-mismatches
+      "q248_png_dims" ->
+        """SELECT doc_id, ((doc_id % 500) + 1)::INT AS width,
+          |  240::INT AS height, 8::INT AS bit_depth, 6::INT AS color_type
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q249_jpeg_dims" ->
+        """SELECT doc_id, ((doc_id % 1000) + 1)::INT AS width,
+          |  180::INT AS height, 8::INT AS "precision",
+          |  3::INT AS n_components
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q46_fingerprint" ->
         s"""SELECT doc_id, ${fingerprintSql("tk")} AS fingerprint

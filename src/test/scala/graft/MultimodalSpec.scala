@@ -785,4 +785,87 @@ class MultimodalSpec extends SparkSpec {
       plan.contains("exif_orientation"),
       s"expected the expression inside a codegen stage:\n$plan")
   }
+
+  test("png_dims/jpeg_dims: native walks agree with ImageIO on real " +
+       "encoder output, twin the row decoders, and stay in codegen") {
+    import spark.implicits._
+    Graft.install(spark)
+    assume(
+      try { Class.forName("javax.imageio.ImageIO"); true }
+      catch { case _: Throwable => false },
+      "ImageIO present in this runtime")
+    // REAL encoder output, not hand-built headers: whatever chunk/
+    // segment layout the JDK encoders emit, the walks must find the
+    // dims ImageIO reports
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, x * 31 + y * 17)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode("png", 321, 47)
+    val jpg = encode("jpg", 123, 77)
+    for ((bytes, fmt, w, h) <- Seq((png, "png", 321, 47),
+        (jpg, "jpeg", 123, 77))) {
+      // the native walk, the row decoder, and ImageIO all agree
+      val io = Multimodal.decodeImage(bytes).get
+      assert((io.getString(0), io.getInt(1), io.getInt(2)) == (fmt, w, h))
+      val row = (if (fmt == "png") Multimodal.decodePng(bytes)
+                 else Multimodal.decodeJpeg(bytes)).get
+      assert((row.getString(0), row.getInt(1), row.getInt(2)) ==
+        (fmt, w, h))
+    }
+    // JDK PNGs are 8-bit truecolor (color type 2); JDK JPEGs are
+    // 8-bit precision 3-component baseline
+    val pm = graft.functions.ImageWire.pngFields(png)
+    assert((pm.bitDepth, pm.colorType) == ((8, 2)), s"got $pm")
+    val jm = graft.functions.ImageWire.jpegFields(jpg)
+    assert((jm.precision, jm.nComponents) == ((8, 3)), s"got $jm")
+    // columnar twins over a distributed frame
+    val rows: Seq[(Long, Array[Byte])] = Seq(1L -> png, 2L -> jpg,
+      3L -> "thirty-two bytes of not-an-image".getBytes("UTF-8"))
+    val out = rows.toDF("id", "content").repartition(2)
+      .select(col("id"),
+        Graft.pngDims(col("content")).as("p"),
+        Graft.jpegDims(col("content")).as("j"))
+    val got = out.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getStruct(1).toSeq,
+        if (r.isNullAt(2)) null else r.getStruct(2).toSeq))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq(321, 47, 8, 2), null),
+      (2L, null, Seq(123, 77, 8, 3)),
+      (3L, null, null)), s"got $got")
+    // rejected stays rejected in BOTH surfaces: truncating the payload
+    // below the walks' minimum reads must not yield dims from padding
+    assert(Multimodal.decodePng(png.take(25)).isEmpty &&
+      graft.functions.ImageWire.pngRow(png.take(25)) == null)
+    // JPEG whose SOF is cut off mid-segment: keep SOI + the first
+    // segments but stop before any SOF completes
+    assert(Multimodal.decodeJpeg(jpg.take(6)).isEmpty &&
+      graft.functions.ImageWire.jpegRow(jpg.take(6)) == null)
+    // a declared IHDR length too short for its fields is rejected
+    val shortIhdr = png.clone(); shortIhdr(11) = 5
+    assert(graft.functions.ImageWire.pngFields(shortIhdr) == null)
+    // withMediaMeta still reports the same four fields it always did
+    // (the native walks replaced the ImageIO path, not its answer)
+    val meta = Multimodal.withMediaMeta(
+        rows.toDF("id", "content"), "content")
+      .select(col("id"), col("media_meta.format"),
+        col("media_meta.width"), col("media_meta.height"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3))).sortBy(_._1).toSeq
+    assert(meta.take(2) == Seq((1L, "png", 321, 47),
+      (2L, "jpeg", 123, 77)), s"got $meta")
+    // both expressions live inside a whole-stage-codegen span
+    val dist = out.filter(col("p").isNotNull || col("j").isNotNull)
+    assert(dist.collect().length == 2)
+    val plan2 = dist.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan2).isDefined &&
+      plan2.contains("png_dims") && plan2.contains("jpeg_dims"),
+      s"expected png_dims/jpeg_dims inside a codegen stage:\n$plan2")
+  }
 }
