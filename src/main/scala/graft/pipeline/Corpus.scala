@@ -15,6 +15,15 @@ import graft.functions.TextFunctions._
   * shuffle; the joins are all on post-aggregation keys (term, shingle)
   * whose cardinality is vocabulary-sized, not corpus-sized. No operator
   * compares documents pairwise.
+  *
+  * Cache lifecycle: operators that feed one prepared table to several
+  * consumers ([[evalNearDupReport]], [[sourceNovelty]],
+  * [[sourceOverlapMatrix]]) `.cache()` it and return a LAZY result —
+  * they cannot unpersist without re-executing their own plan. The
+  * caller owns eviction: harness mains (Bench/Verify/QueryProbe) call
+  * `Graft.evictAll` between queries; a long-lived session should do
+  * the same on a cadence or storage memory accumulates until eviction
+  * pressure (same contract as `Dedup` — see its scaladoc).
   */
 object Corpus {
 
@@ -251,10 +260,17 @@ object Corpus {
     */
   def sourceNovelty(df: DataFrame, textCol: String, srcCol: String,
                     n: Int = 3): DataFrame = {
+    // cache: the (source, gram) distinct feeds BOTH the per-gram
+    // source-count aggregate and the join probe — uncached, the full
+    // tokenize+shingle+distinct pass runs twice (r8 ADVICE; same
+    // convention as sourceOverlapMatrix). Lifecycle: lazy, owned by
+    // the caller — harness mains evict via Graft.evictAll between
+    // queries (see the class scaladoc note).
     val sg = df.select(col(srcCol).as("source"),
         explode(array_distinct(shingles(tokens(col(textCol)), n)))
           .as("gram"))
       .distinct()
+      .cache()
     val g = sg.groupBy(col("gram")).agg(count(lit(1)).as("__ns"))
     sg.join(g, "gram")
       .groupBy(col("source"))

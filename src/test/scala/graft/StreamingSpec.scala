@@ -244,6 +244,51 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("streaming fuzzy-contamination pair report == batch evalNearDupReport") {
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val evalCorpus = docs.filter(col("doc_id") < 30)
+    // train stream = docs 20..60 under shifted ids: rows [20,30) are
+    // verbatim copies of eval docs (jaccard 1.0 — caught in every
+    // band), the rest exercise the no-collision path
+    val train = docs.filter(col("doc_id") >= 20 && col("doc_id") < 60)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val dir = Files.createTempDirectory("docstream-neardup").toString
+    Seq((10020L, 10040L, "b0"), (10040L, 10060L, "b1")).foreach {
+      case (lo, hi, name) =>
+        val tmp = Files.createTempDirectory(s"ndbatch$name").toString
+        train.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$dir/batch_$name.parquet"))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.evalNearDupStream(stream, evalCorpus),
+      "eval_neardup_stream_test", OutputMode.Append())
+    val batch = graft.pipeline.Corpus.evalNearDupReport(
+      evalCorpus.unionByName(train), "doc_id", "text",
+      evalPred = col("doc_id") < 30)
+    val s = streamed.orderBy("eval_id", "train_id")
+      .collect().map(_.toString).toSeq
+    val b = batch.orderBy("eval_id", "train_id")
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "streamed verified pair reports must equal the batch fuzzy audit")
+    // the verbatim copies ARE in the report, at jaccard 1.0
+    assert(streamed.filter(col("jaccard") === 1.0).count() >= 10,
+      "rows [20,30) are verbatim eval copies — non-vacuous")
+  }
+
   test("stream-static LSH dedup decision table == batch crossCorpusDedupLsh") {
     import org.apache.spark.sql.types._
     val sf = "/root/testdata/sf0.001"
