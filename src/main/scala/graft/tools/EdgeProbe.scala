@@ -60,13 +60,15 @@ object EdgeProbe {
       .agg(count(lit(1)).as("__n"))
       .agg(sum(expr("__n * (__n - 1) div 2")).as("__pairs"))
       .collect()(0).getLong(0)
-    val verified =
+    // JSON null (not a -1 sentinel) when the verify pass was skipped:
+    // -1 collides with Bench's -1-means-failed convention (r8 ADVICE)
+    val verified: String =
       if (args.contains("--verified"))
         graft.similarity.SimilarityOps.lshCandidatePairs(
             embN, "vec_id", "embedding", threshold = 0.4,
             bands = bands, bitsPerBand = bits)
-          .count()
-      else -1L
+          .count().toString
+      else "null"
     println(s"""{"metric":"edge_probe","copies":$copies,"bits_per_band":$bits,""" +
       s""""n_vectors":${copies * n0},"n_candidate_pairs":$cand,""" +
       s""""n_verified_edges":$verified}""")

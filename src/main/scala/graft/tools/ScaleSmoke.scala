@@ -47,9 +47,9 @@ import org.apache.spark.sql.functions._
   *     scale_smoke_constant.json; constant at copies≠100 stamps the
   *     multiplier into the name, e.g. scale_smoke_constant_1000x.json)
   *   only = optional comma list of sections (cc,pagerank,kmeans,lpa,
-  *     dedup,pq_adc,bloom,editdist,tfidfcos,curation,contamination) —
-  *     a deep soak at 1000× runs just the dominant pipelines instead
-  *     of all eleven
+  *     dedup,pq_adc,bloom,editdist,tfidfcos,curation,contamination,
+  *     binarydedup) — a deep soak at 1000× runs just the dominant
+  *     pipelines instead of all twelve
   *   bits = optional bitsPerBand OVERRIDE for the LSH band key. The
   *     default sizes the key space to n (constant bucket occupancy —
   *     what production does), but a cross-decade shuffle-ratio
@@ -66,7 +66,7 @@ object ScaleSmoke {
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
     val SectionNames = Set("cc", "pagerank", "kmeans", "lpa", "dedup",
       "pq_adc", "bloom", "editdist", "tfidfcos", "curation",
-      "contamination")
+      "contamination", "binarydedup")
     // "all" = run every section (the explicit spelling lets the shell
     // pass a bits override without the positional slot shifting)
     val only: Set[String] = args.drop(3).headOption
@@ -273,7 +273,7 @@ object ScaleSmoke {
     // probe must do real work, not just the md5 exact gate) ---
     val corpusSections =
       Seq("dedup", "bloom", "editdist", "tfidfcos", "curation",
-        "contamination").exists(enabled)
+        "contamination", "binarydedup").exists(enabled)
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val d0 = if (corpusSections) docs.count() else 0L
@@ -386,10 +386,19 @@ object ScaleSmoke {
     // copy-0 doc gains exactly ONE exact twin (the crawl-duplicate
     // pattern) and all three gates do real work ---
     if (enabled("curation")) {
+      // persist the tagged input: THREE consumers read it (the exact
+      // md5 aggregate, the near-dup shingle pipeline, the final
+      // decision join) and uncached each re-runs the copies-branch
+      // regexp-tag union — pure map-side CPU that trebles the wall
+      // with no shuffle signature, the r8 1000× wall-gap suspect.
+      // MEMORY_AND_DISK (spill, never drop-and-recompute) so a quiet
+      // re-measure isolates the engine's own scaling; the timed block
+      // pays the one materialization honestly.
       val curInput = corpusTagged.unionAll(
         corpusTagged.filter(col("doc_id") < d0)
           .select((col("doc_id") + lit((copies.toLong + 1) * d0)).as("doc_id"),
             col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (cuRows, cuSec, cuShuf) = timed {
         val exact = curInput.groupBy(md5(col("text")).as("__h"))
           .agg(min(col("doc_id")).as("__keeper"))
@@ -404,6 +413,7 @@ object ScaleSmoke {
             coalesce(col("__near"), lit(false)).as("near_dup"),
             (length(col("text")) < 100).as("too_short")))
       }
+      curInput.unpersist(blocking = true)
       fields += s""""curation_rows":$cuRows,"curation_sec":${f"$cuSec%.2f"},"curation_shuffle_bytes":$cuShuf"""
       flushPartial(outFile)
     }
@@ -425,6 +435,42 @@ object ScaleSmoke {
           "text", evalPred = col("doc_id") >= copies.toLong * d0, n = 13))
       }
       fields += s""""contamination_rows":$ctRows,"contamination_sec":${f"$ctSec%.2f"},"contamination_shuffle_bytes":$ctShuf"""
+      flushPartial(outFile)
+    }
+
+    // --- q241/q242 shape: BINARY near-dup banding (byte-histogram
+    // sign-LSH → band equi-join → exact cosine verify). Blob (doc,
+    // copy) = 8 byte runs whose values and lengths are Murmur3-derived
+    // from the BASE doc id + run + copy index, so byte histograms are
+    // diverse (sign buckets stay occupancy-constant as n grows — text
+    // histograms would all collapse into one bucket and measure a
+    // quadratic workload, not the engine) and copies decorrelate like
+    // constant mode's Rademacher trick. A verbatim re-append of copy 0
+    // under fresh ids (the expressions hash the pre-shift id, so the
+    // bytes repeat exactly) plants d0 exact twins — the verify tail is
+    // non-vacuous. The banded self-join + inline verify is the thing
+    // measured, toRdd-forced ---
+    if (enabled("binarydedup")) {
+      val nBlobs = (copies.toLong + 1) * d0
+      val blobBits = bitsOverride.getOrElse(math.min(16, math.max(4,
+        (math.log(nBlobs / 500.0) / math.log(2)).ceil.toInt)))
+      def blobs(c: Int, idShift: Long) = {
+        val body = concat((0 until 8).map { j =>
+          expr(s"repeat(char(pmod(hash(doc_id, $j, $c), 94) + 33), " +
+            s"pmod(hash(doc_id, $j, $c, 7), 32) + 1)")
+        }: _*)
+        docs.select((col("doc_id") + lit(idShift)).as("doc_id"),
+          encode(body, "UTF-8").as("bin"))
+      }
+      val blobN = (0 until copies).map(c => blobs(c, c.toLong * d0))
+        .reduce(_ unionAll _)
+        .unionAll(blobs(0, copies.toLong * d0)) // exact twins of copy 0
+      val (bnRows, bnSec, bnShuf) = timed {
+        forceAll(graft.pipeline.Dedup.binaryNearDupPairs(
+          blobN, "doc_id", "bin", bins = 16, threshold = 0.999,
+          bands = 3, bitsPerBand = blobBits))
+      }
+      fields += s""""binarydedup_rows":$bnRows,"binarydedup_sec":${f"$bnSec%.2f"},"binarydedup_shuffle_bytes":$bnShuf,"binarydedup_bits":$blobBits"""
       flushPartial(outFile)
     }
 

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (dev-side, like validate.py).
+
+Compares a fresh `bench_out.json` against the frozen per-query baseline
+(`BENCH_BASELINE.json` — the r8 clean-host run, the first one measured
+under the honest toRdd forcing protocol) and FLAGS queries that are both
+ >RATIO x their baseline (default 1.5) and >FLOOR seconds slower
+(default 0.30 s — sub-second timer noise on a shared VM is not a
+regression). Prints flagged regressions, the biggest improvements, and
+new/missing queries; exits 1 iff anything is flagged, so it can gate.
+
+Totals on this host swing 50-90 s with load (see the verify skill) —
+that is exactly why this compares PER-QUERY, and why the floor exists.
+When a protocol change or a real plan change moves a query's honest
+cost, re-freeze the baseline in the same commit that explains it.
+
+Usage: tools/bench_compare.py [bench_out.json] [baseline.json]
+                              [--ratio R] [--floor S]
+"""
+import json, sys
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+cur_path = args[0] if len(args) > 0 else "bench_out.json"
+base_path = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
+ratio = 1.5
+floor = 0.30
+for i, a in enumerate(sys.argv):
+    if a == "--ratio":
+        ratio = float(sys.argv[i + 1])
+    if a == "--floor":
+        floor = float(sys.argv[i + 1])
+
+cur = json.load(open(cur_path))
+base = json.load(open(base_path))
+cq, bq = cur["queries"], base["queries"]
+
+flagged, improved, checked = [], [], 0
+for name in sorted(cq):
+    if name not in bq:
+        continue
+    c, b = cq[name], bq[name]
+    if c < 0 or b < 0:
+        continue  # -1 = failed run; the correctness gate owns those
+    checked += 1
+    if c > b * ratio and c - b > floor:
+        flagged.append((name, b, c, c / b))
+    elif b > c * ratio and b - c > floor:
+        improved.append((name, b, c, c / b))
+
+new = sorted(set(cq) - set(bq))
+missing = sorted(set(bq) - set(cq))
+
+print(f"baseline {base_path}: {base.get('value')}s / {len(bq)} queries")
+print(f"current  {cur_path}: {cur.get('value')}s / {len(cq)} queries")
+print(f"compared {checked} common queries at ratio>{ratio} floor>{floor}s")
+if new:
+    print(f"new (not in baseline, informational): {', '.join(new)}")
+if missing:
+    print(f"MISSING from current run: {', '.join(missing)}")
+for name, b, c, r in sorted(improved, key=lambda t: t[3]):
+    print(f"  improved   {name}: {b:.2f}s -> {c:.2f}s ({r:.2f}x)")
+for name, b, c, r in sorted(flagged, key=lambda t: -t[3]):
+    print(f"  REGRESSION {name}: {b:.2f}s -> {c:.2f}s ({r:.2f}x)")
+if flagged or missing:
+    print(f"FAIL: {len(flagged)} regression(s), {len(missing)} missing")
+    sys.exit(1)
+print("OK: no per-query regression")

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Opt-in scale smoke — ELEVEN pipelines on generated copies-x tables:
+# Opt-in scale smoke — TWELVE pipelines on generated copies-x tables:
 # LSH-CC, PageRank, k-means fit, label propagation, incremental dedup,
 # PQ ADC search, Bloom decontamination, FastSS edit-distance join,
 # TF-IDF cosine all-pairs, the q200 curation decision table, and the
