@@ -686,9 +686,13 @@ object Dedup {
   def binaryNearDupPairs(df: DataFrame, idCol: String, binCol: String,
                          bins: Int = 16, threshold: Double = 0.999,
                          bands: Int = 3, bitsPerBand: Int = 4): DataFrame =
+    // centerSignature: histograms are all-nonnegative, so uncentered
+    // sign bits collapse into a handful of buckets and the band join
+    // goes quadratic — see the lshCandidatePairs scaladoc (r9 soak
+    // finding). Verification still uses the raw histogram cosine.
     graft.similarity.SimilarityOps.lshCandidatePairs(
       binaryHistograms(df, idCol, binCol, bins), idCol, "hist",
-      threshold, bands, bitsPerBand)
+      threshold, bands, bitsPerBand, centerSignature = true)
 
   /** One-vs-all binary near-dup: top-k blobs by byte-histogram cosine
     * against `queryId`'s blob — the bounded probe shape (one scan ×

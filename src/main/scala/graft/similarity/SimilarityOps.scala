@@ -173,12 +173,32 @@ object SimilarityOps {
     */
   def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bands: Int = 3,
-                        bitsPerBand: Int = 4): DataFrame = {
+                        bitsPerBand: Int = 4,
+                        centerSignature: Boolean = false): DataFrame = {
     val bits = bands * bitsPerBand
     val mask = (1L << bitsPerBand) - 1
+    // centerSignature: mean-center each vector BEFORE projecting (the
+    // verify cosine still reads the raw vectors). On an all-nonnegative
+    // population — byte histograms, TF vectors — the plain sign bits
+    // collapse: any ±-unbalanced hyperplane projects every vector to
+    // the same sign, so the effective key space degenerates to a
+    // handful of buckets and the band join goes quadratic (measured on
+    // the binarydedup soak: 55k blob histograms → 302 buckets, max
+    // occupancy 7,810, 207M candidates). Centering restores mixed
+    // signs and occupancy-constant buckets; identical vectors still
+    // collide in every band (the transform is deterministic). Mixed-
+    // sign embeddings don't need it, and the default keeps the band
+    // keys the r1-r8 oracles replay.
+    val sigInput =
+      if (!centerSignature) col(vecCol)
+      else {
+        val mean = aggregate(col(vecCol), lit(0.0d),
+          (a, x) => a + x.cast("double")) / size(col(vecCol))
+        transform(col(vecCol), x => x.cast("double") - mean)
+      }
     val banded = emb
       .select(col(idCol), col(vecCol),
-        hyperplaneSignature(col(vecCol), bits).as("__sig"))
+        hyperplaneSignature(sigInput, bits).as("__sig"))
       .select(col(idCol), col(vecCol),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),

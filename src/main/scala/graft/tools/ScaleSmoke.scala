@@ -454,20 +454,28 @@ object ScaleSmoke {
       val nBlobs = (copies.toLong + 1) * d0
       val blobBits = bitsOverride.getOrElse(math.min(16, math.max(4,
         (math.log(nBlobs / 500.0) / math.log(2)).ceil.toInt)))
+      // 64 histogram bins, not the operator's 16-bin default: the
+      // sign-cell count of b hyperplanes in a bins-dim space caps the
+      // band-key population, and 16-dim histograms saturate ~12k keys
+      // (BlobProbe: at 10x/b12 ALL 12,288 keys are occupied and
+      // candidates go quadratic from there). The histogram width is
+      // the second key-space knob and must grow with the corpus like
+      // bitsPerBand does; 64 bins keeps occupancy bounded through the
+      // soak ladder (12.2k buckets, max 191 at 10x).
       def blobs(c: Int, idShift: Long) = {
         val body = concat((0 until 8).map { j =>
-          expr(s"repeat(char(pmod(hash(doc_id, $j, $c), 94) + 33), " +
+          expr(s"repeat(char(pmod(hash(doc_id, $j, $c), 256)), " +
             s"pmod(hash(doc_id, $j, $c, 7), 32) + 1)")
         }: _*)
         docs.select((col("doc_id") + lit(idShift)).as("doc_id"),
-          encode(body, "UTF-8").as("bin"))
+          encode(body, "ISO-8859-1").as("bin"))
       }
       val blobN = (0 until copies).map(c => blobs(c, c.toLong * d0))
         .reduce(_ unionAll _)
         .unionAll(blobs(0, copies.toLong * d0)) // exact twins of copy 0
       val (bnRows, bnSec, bnShuf) = timed {
         forceAll(graft.pipeline.Dedup.binaryNearDupPairs(
-          blobN, "doc_id", "bin", bins = 16, threshold = 0.999,
+          blobN, "doc_id", "bin", bins = 64, threshold = 0.999,
           bands = 3, bitsPerBand = blobBits))
       }
       fields += s""""binarydedup_rows":$bnRows,"binarydedup_sec":${f"$bnSec%.2f"},"binarydedup_shuffle_bytes":$bnShuf,"binarydedup_bits":$blobBits"""
