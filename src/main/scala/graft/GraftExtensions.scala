@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, JaroWinklerSim, JpegDimsExpr, KmvSketch, Mp3Header, Mp4Meta, PngDimsExpr, WebpDimsExpr}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, HyperplaneSignatureExpr, JaroWinklerSim, JpegDimsExpr, KmvSketch, Mp3Header, Mp4Meta, PngDimsExpr, WebpDimsExpr}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.kmvSketchDescriptor)
     ext.injectFunction(Graft.cmsSketchDescriptor)
     ext.injectFunction(Graft.byteHistogramDescriptor)
+    ext.injectFunction(Graft.hyperplaneSigDescriptor)
     ext.injectFunction(Graft.bloomSketchDescriptor)
     ext.injectFunction(Graft.jaroWinklerDescriptor)
     ext.injectFunction(Graft.exifOrientationDescriptor)
@@ -80,6 +81,22 @@ object Graft {
           s"byte_histogram bins must be an integer literal, got $other")
       }
       ByteHistogram(children.head, bins)
+    })
+
+  private[graft] val hyperplaneSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSignatureExpr].getName,
+      "hyperplane_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "hyperplane_sig expects (vec, bits, center)")
+      (children(1), children(2)) match {
+        case (Literal(bits: Int, _), Literal(center: Boolean, _)) =>
+          HyperplaneSignatureExpr(children.head, bits, center)
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_sig bits/center must be literals, got $other")
+      }
     })
 
   private[graft] val bloomSketchDescriptor
@@ -171,7 +188,8 @@ object Graft {
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
-        byteHistogramDescriptor, bloomSketchDescriptor,
+        byteHistogramDescriptor, hyperplaneSigDescriptor,
+        bloomSketchDescriptor,
         jaroWinklerDescriptor, exifOrientationDescriptor,
         flacStreaminfoDescriptor, mp3HeaderDescriptor,
         mp4MetaDescriptor, webpDimsDescriptor, pngDimsDescriptor,
@@ -180,6 +198,7 @@ object Graft {
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     graft.similarity.SimilarityOps.nativeCosineEnabled = true
+    graft.functions.VectorFunctions.nativeSignatureEnabled = true
     spark
   }
 
@@ -275,6 +294,16 @@ object Graft {
   def byteHistogram(bin: Column, bins: Int): Column =
     call_function("byte_histogram", bin,
       org.apache.spark.sql.functions.lit(bins))
+
+  /** Sign-LSH hyperplane signature of a numeric-array column (native
+    * codegen, one fused loop for all bits; optional mean-centering for
+    * all-nonnegative populations). Bit-identical to
+    * `VectorFunctions.hyperplaneSignature`'s HOF fallback.
+    */
+  def hyperplaneSig(v: Column, bits: Int, center: Boolean = false): Column =
+    call_function("hyperplane_sig", v,
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(center))
 
   /** Bloom filter (packed bit words) over a pre-hashed bigint column. */
   def bloomSketch(hashed: Column, bits: Int, hashes: Int): Column =

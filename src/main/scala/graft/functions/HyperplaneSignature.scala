@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native Catalyst expression for the random-hyperplane (sign) LSH
+  * signature over an `array<float|double>` column, with whole-stage
+  * codegen: ONE fused loop over the vector accumulates every bit's
+  * projection — no per-bit intermediate arrays, no interpreted
+  * higher-order functions.
+  *
+  * The HOF formulation (`VectorFunctions.hyperplaneSignature`'s
+  * fallback) builds `bits` separate zip_with/transform/aggregate trees;
+  * Catalyst HOFs are CodegenFallback, so every band-key computation ran
+  * interpreted, re-walking the vector once per bit (48× at the soak's
+  * b16), and the r9 `centerSignature` option multiplied that again by
+  * nesting the mean aggregate inside the transform lambda — re-evaluated
+  * per ELEMENT (measured: the binarydedup soak's signature stage alone
+  * consumed CPU-hours at 300×, r10 finding). This expression is
+  * bit-identical to the HOF form — same Long-wrapping sign mix, same
+  * IEEE double division by 1024, same strict left-fold accumulation in
+  * index order per bit, same `proj > 0` test — so every oracle-replayed
+  * band key is unchanged; it is just compiled.
+  *
+  * `center = true` first computes the vector's mean (left-fold sum /
+  * size, both in doubles) and projects the mean-centered elements —
+  * `SimilarityOps.lshCandidatePairs`' opt-in for all-nonnegative
+  * populations (byte histograms), same arithmetic as the transform
+  * spelling it replaces.
+  */
+case class HyperplaneSignatureExpr(child: Expression, bits: Int,
+                                   center: Boolean)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, "hyperplane_sig bits in [1,63]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "hyperplane_sig"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    def elem(i: Int): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var mu = 0.0
+    if (center && d > 0) {
+      var s = 0.0; var i = 0
+      while (i < d) { s += elem(i); i += 1 }
+      mu = s / d
+    }
+    val projs = new Array[Double](bits)
+    var i = 0
+    while (i < d) {
+      val x = elem(i) - mu
+      var j = 0
+      while (j < bits) {
+        // Long-wrapping mix, IEEE double division, floor-to-long, pmod —
+        // exactly VectorFunctions.hpSign's column arithmetic
+        val mixed = (i + 1L) * (j + 7L) * 2654435761L
+        val q = java.lang.Math.floor(mixed.toDouble / 1024.0).toLong
+        val r = q % 2L
+        val sign = if ((if (r < 0L) r + 2L else r) == 1L) 1.0 else -1.0
+        projs(j) += x * sign
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (projs(j) > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val projs = ctx.addMutableState("double[]", "hpProjs",
+      v => s"$v = new double[$bits];")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val mu = ctx.freshName("mu")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val mixed = ctx.freshName("mixed")
+      val q = ctx.freshName("q")
+      val r = ctx.freshName("r")
+      val centerBlock = if (center) {
+        s"""
+           |if ($d > 0) {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $d; $i++) $s += (double) $a.$getter($i);
+           |  $mu = $s / $d;
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |final int $d = $a.numElements();
+         |double $mu = 0.0;
+         |$centerBlock
+         |java.util.Arrays.fill($projs, 0.0);
+         |for (int $i = 0; $i < $d; $i++) {
+         |  final double $x = ((double) $a.$getter($i)) - $mu;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    final long $mixed = ($i + 1L) * ($j + 7L) * 2654435761L;
+         |    final long $q = (long) java.lang.Math.floor((double) $mixed / 1024.0);
+         |    long $r = $q % 2L;
+         |    if ($r < 0L) $r += 2L;
+         |    $projs[$j] += ($r == 1L) ? $x : -$x;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($projs[$j] > 0.0) ${ev.value} |= (1L << $j);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSignatureExpr = copy(child = newChild)
+}

@@ -70,14 +70,35 @@ object VectorFunctions {
       .otherwise(lit(-1.0))
   }
 
+  /** Set by Graft.install: route the signature through the native
+    * codegen Expression (bit-identical arithmetic — same sign mix,
+    * same strict left-fold order — so band keys are unchanged; the HOF
+    * form below is CodegenFallback and re-walks the vector once per
+    * bit interpreted, which the r10 binarydedup soak measured as the
+    * dominant CPU sink).
+    */
+  @volatile var nativeSignatureEnabled: Boolean = false
+
   /** Random-hyperplane (sign) LSH signature: bit j = [Σ_i sign_ij·v_i > 0].
     * Cosine-similar vectors collide with probability 1 − θ/π per bit;
     * bucketing on the signature is the LSH scale path for similarity
     * search (SimHash-for-embeddings). Strict left-fold accumulation —
-    * engine-portable.
+    * engine-portable. `center = true` projects the mean-centered
+    * elements instead (the all-nonnegative-population fix — see
+    * `SimilarityOps.lshCandidatePairs`); the mean is the left-fold
+    * double sum / size, and identical vectors still share every band.
     */
-  def hyperplaneSignature(v: Column, bits: Int): Column = {
-    val d = toDouble(v)
+  def hyperplaneSignature(v: Column, bits: Int,
+                          center: Boolean = false): Column = {
+    if (nativeSignatureEnabled) return graft.Graft.hyperplaneSig(v, bits, center)
+    val input =
+      if (!center) v
+      else {
+        val mean = aggregate(v, lit(0.0d),
+          (a, x) => a + x.cast("double")) / size(v)
+        transform(v, x => x.cast("double") - mean)
+      }
+    val d = toDouble(input)
     (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(d, transform(d, (_, i) => hpSign(i, j)), (x, s) => x * s),

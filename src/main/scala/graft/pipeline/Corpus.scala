@@ -254,28 +254,41 @@ object Corpus {
     * elsewhere is a candidate to drop from the mix regardless of its
     * size — the cross-source companion of [[boilerplateNgrams]].
     *
-    * Shape: one (source, gram) distinct, one gram-keyed source-count
-    * aggregate, one gram-keyed equi-join back, one |sources|-row
-    * rollup — every shuffle keys on the vocabulary, never pairwise.
+    * Shape: one (source, gram) distinct, then TWO aggregates — a
+    * |sources|-row gram count and a gram-keyed uniqueness aggregate
+    * whose ns=1 rows attribute each globally-unique gram to its single
+    * source (min(source) of one row IS that source) — combined by a
+    * |sources|-row left join. The r9 form joined the per-gram source
+    * counts BACK onto the (source, gram) table, shipping the sg-sized
+    * probe through a second gram-keyed exchange plus a join; the
+    * aggregate-and-attribute form produces identical numbers with ONE
+    * gram-keyed exchange and no vocabulary-sized join (r9 verdict
+    * item 4 — the cache-vs-ReusedExchange question dissolved by
+    * removing the second consumer's bulk instead of caching it).
     */
   def sourceNovelty(df: DataFrame, textCol: String, srcCol: String,
                     n: Int = 3): DataFrame = {
-    // cache: the (source, gram) distinct feeds BOTH the per-gram
-    // source-count aggregate and the join probe — uncached, the full
-    // tokenize+shingle+distinct pass runs twice (r8 ADVICE; same
-    // convention as sourceOverlapMatrix). Lifecycle: lazy, owned by
-    // the caller — harness mains evict via Graft.evictAll between
-    // queries (see the class scaladoc note).
+    // cache: the (source, gram) distinct feeds BOTH aggregates —
+    // uncached, the full tokenize+shingle+distinct pass runs twice
+    // (r8 ADVICE; same convention as sourceOverlapMatrix). Lifecycle:
+    // lazy, owned by the caller — harness mains evict via
+    // Graft.evictAll between queries (see the class scaladoc note).
     val sg = df.select(col(srcCol).as("source"),
         explode(array_distinct(shingles(tokens(col(textCol)), n)))
           .as("gram"))
       .distinct()
       .cache()
-    val g = sg.groupBy(col("gram")).agg(count(lit(1)).as("__ns"))
-    sg.join(g, "gram")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+    val perSource = sg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    // sg is (source, gram)-distinct, so count(*) per gram = number of
+    // distinct sources holding it; at ns=1 the min IS the unique holder
+    val uniq = sg.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__ns"), min(col("source")).as("__src"))
+      .filter(col("__ns") === 1)
+      .groupBy(col("__src")).agg(count(lit(1)).as("n_unique"))
+    perSource.join(uniq, col("source") === col("__src"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .withColumn("novelty_permille",
         expr("(1000L * n_unique) div n_grams"))
   }

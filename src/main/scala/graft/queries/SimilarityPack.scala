@@ -210,6 +210,15 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("query_id"))
     },
 
+    // ---- recall-vs-nprobe ladder: the IVF-PQ deploy-tuning curve —
+    //      how many centroid blocks must a probe read to hit the
+    //      recall target (one ADC pass, rungs are cent_rank slices) ----
+    "q250_ivfpq_nprobe" -> { (s, d) =>
+      SimilarityOps.ivfPqRecallLadder(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, nCentroids = 8,
+        m = 8, nCodes = 16, k = 3, nprobes = Seq(1, 2, 4))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -744,6 +753,80 @@ object SimilarityPack extends QueryPack {
          |  ROUND(COALESCE(h.hits, 0)::DOUBLE / ek.k::DOUBLE, 6) AS recall
          |FROM ek LEFT JOIN h ON ek.query_id = h.query_id
          |ORDER BY ek.query_id""".stripMargin
+    },
+
+    "q250_ivfpq_nprobe" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.embedding", "q.qv")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM c, q) t WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS centroid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e, cents cs) t
+         |  WHERE rn = 1),
+         |qcent AS (SELECT query_id, centroid, cent_rank FROM (
+         |  SELECT q.query_id, cs.centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${l2Sql("q.qv", "cs.cv")} ASC,
+         |        cs.centroid ASC) AS cent_rank
+         |  FROM q, cents cs) t WHERE cent_rank <= 4),
+         |sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |lut AS (SELECT sl.vec_id AS query_id, cb.sub, cb.code,
+         |          CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM sl JOIN cb USING (sub) WHERE sl.vec_id < 10),
+         |adc AS (SELECT qc.query_id, a.vec_id AS neighbor_id, qc.cent_rank,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM a
+         |        JOIN assign g ON a.vec_id = g.vec_id
+         |        JOIN qcent qc ON g.centroid = qc.centroid
+         |        JOIN lut l ON l.query_id = qc.query_id
+         |          AND l.sub = a.sub AND l.code = a.code
+         |        WHERE a.vec_id >= 10
+         |        GROUP BY qc.query_id, a.vec_id, qc.cent_rank),
+         |rungs AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |ap AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT r.nprobe, adc.query_id, adc.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.nprobe, adc.query_id
+         |      ORDER BY adc.dist ASC, adc.neighbor_id ASC) AS rank
+         |  FROM adc, rungs r WHERE adc.cent_rank <= r.nprobe) t
+         |  WHERE rank <= 3),
+         |h AS (SELECT ap.nprobe, COUNT(*)::BIGINT AS n_hits
+         |      FROM ap JOIN ex USING (query_id, neighbor_id)
+         |      GROUP BY ap.nprobe),
+         |tot AS (SELECT COUNT(DISTINCT query_id)::BIGINT AS n_queries,
+         |  COUNT(*)::BIGINT AS n_exact FROM ex)
+         |SELECT r.nprobe::BIGINT AS nprobe, tot.n_queries,
+         |  COALESCE(h.n_hits, 0)::BIGINT AS n_hits, tot.n_exact,
+         |  CAST((1000 * COALESCE(h.n_hits, 0)) // tot.n_exact AS BIGINT)
+         |    AS recall_permille
+         |FROM rungs r CROSS JOIN tot LEFT JOIN h ON r.nprobe = h.nprobe
+         |ORDER BY nprobe""".stripMargin
     },
 
     "q36_label_centroid" ->

@@ -188,17 +188,13 @@ object SimilarityOps {
     // signs and occupancy-constant buckets; identical vectors still
     // collide in every band (the transform is deterministic). Mixed-
     // sign embeddings don't need it, and the default keeps the band
-    // keys the r1-r8 oracles replay.
-    val sigInput =
-      if (!centerSignature) col(vecCol)
-      else {
-        val mean = aggregate(col(vecCol), lit(0.0d),
-          (a, x) => a + x.cast("double")) / size(col(vecCol))
-        transform(col(vecCol), x => x.cast("double") - mean)
-      }
+    // keys the r1-r8 oracles replay. The centering lives INSIDE
+    // hyperplaneSignature (native codegen when installed) — the r9
+    // transform-with-nested-mean spelling re-evaluated the mean
+    // aggregate per element per bit, interpreted (r10 soak finding).
     val banded = emb
       .select(col(idCol), col(vecCol),
-        hyperplaneSignature(sigInput, bits).as("__sig"))
+        hyperplaneSignature(col(vecCol), bits, centerSignature).as("__sig"))
       .select(col(idCol), col(vecCol),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -573,26 +569,55 @@ object SimilarityOps {
       .join(pqAssign(emb, idCol, vecCol, m, nCodes)
         .select(col(idCol), col("sub"), col("code")), Seq(idCol))
 
-  /** IVF-PQ search (nprobe=1): probe ONLY the query's centroid block,
-    * then ADC over the block's codes — [[ivfTopK]]'s pruning composed
+  /** Per-query ranked centroid shortlist — the IVF `nprobe` primitive:
+    * for every row of `queries` = (query_id, __qv), the `nprobe`
+    * nearest of `cents` = (centroid, __cvec) by the 6-dp L2 +
+    * centroid-id total order (`assignToCentroids`' argmin rule — rank
+    * 1 is exactly the assigned cell, so nprobe=1 reproduces it).
+    * Queries are few and the centroid table broadcasts, so this is
+    * query-side work: |queries|×nCentroids rows through one window.
+    */
+  private def probeCentroids(queries: DataFrame, cents: DataFrame,
+                             nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("centroid").asc)
+    queries.crossJoin(broadcast(cents))
+      .withColumn("__dist", round(l2Distance(col("__qv"), col("__cvec")), 6))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") <= nprobe)
+      .select(col("query_id"), col("centroid"), col("cent_rank"))
+  }
+
+  /** IVF-PQ search: probe the query's `nprobe` nearest centroid blocks,
+    * then ADC over the blocks' codes — [[ivfTopK]]'s pruning composed
     * with [[pqAdcTopK]]'s code-only scoring. The serving path touches
-    * no vector math per candidate: the query side collapses to ONE
-    * broadcast centroid row + ONE broadcast m×nCodes LUT, and every
-    * candidate is scored by an equi-join on (sub, code) + an exact
-    * integer-micro sum. Recall trades are the two standard ones
-    * stacked: cross-block neighbors are missed (IVF nprobe=1), and
-    * in-block ranking is approximate at PQ-cell granularity. Top-k by
-    * smallest ADC distance, id tiebreak; query excluded. Output
+    * no vector math per candidate: the query side collapses to
+    * `nprobe` broadcast centroid rows + ONE broadcast m×nCodes LUT,
+    * and every candidate is scored by an equi-join on (sub, code) + an
+    * exact integer-micro sum. Recall trades are the two standard ones
+    * stacked: neighbors outside the probed blocks are missed (tune
+    * `nprobe` against [[ivfPqRecallLadder]]'s curve), and in-block
+    * ranking is approximate at PQ-cell granularity. Top-k by smallest
+    * ADC distance, id tiebreak; query excluded. Output
     * (id, centroid, adc_dist).
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, nCentroids: Int, m: Int = 8,
-                nCodes: Int = 16, k: Int = 10): DataFrame = {
+                nCodes: Int = 16, k: Int = 10, nprobe: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      "nprobe must be in [1, nCentroids]")
     val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
-    // the query's coarse cell — one broadcast row, same as ivfTopK
-    val qc = idx.filter(col(idCol) === queryId)
-      .select(col("centroid").as("__qc")).distinct()
+    // the query's nprobe coarse cells — ≤nprobe broadcast rows; rank 1
+    // is exactly the assigned cell (same 6-dp L2 + id argmin rule), so
+    // nprobe=1 keeps ivfTopK's one-block semantics bit-for-bit
+    val qc = probeCentroids(
+        emb.filter(col(idCol) === queryId)
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        emb.filter(col(idCol) < nCentroids)
+          .select(col(idCol).as("centroid"), col(vecCol).as("__cvec")),
+        nprobe)
+      .select(col("centroid").as("__qc"))
     val q = pqSubvectors(emb.filter(col(idCol) === queryId), idCol, vecCol, m)
       .select(col("sub"), col("subvec").as("__qvec"))
     val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
@@ -663,6 +688,77 @@ object SimilarityOps {
         col("__k").as("k"),
         round(coalesce(col("__hits"), lit(0L)).cast("double") /
           col("__k").cast("double"), 6).as("recall"))
+  }
+
+  /** recall-vs-nprobe ladder — the deploy-tuning curve a 100 TB IVF-PQ
+    * index ships with: [[ivfPqRecall]]'s audit repeated at each probe
+    * width in `nprobes`, ONE row per rung (nprobe, n_queries, n_hits,
+    * n_exact, recall_permille — floored integers only, the engine-proof
+    * output convention). The operator answers "how many blocks must a
+    * probe read to hit the recall target" with measured numbers.
+    *
+    * Shape: the exact top-k and the scored candidate set are built
+    * ONCE (both `localCheckpoint`ed — every rung reads them); the
+    * candidate probe set is the MAX rung's (`probeCentroids` at
+    * max(nprobes) — nested prefixes: rung p is exactly the cent_rank<=p
+    * slice), so each additional rung costs one window + one hit join
+    * over block survivors, never another index pass. ADC scoring stays
+    * the broadcast-LUT (sub, code) equi-join — no vector math per
+    * candidate at any rung.
+    */
+  def ivfPqRecallLadder(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, nCentroids: Int, m: Int = 8,
+                        nCodes: Int = 16, k: Int = 10,
+                        nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
+      "every nprobe must be in [1, nCentroids]")
+    val maxP = nprobes.max
+    val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // every rung's hit join + the totals read it
+    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
+    val cand = idx.join(
+      broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
+      col(idCol) === col("__qid"), "left_anti")
+    val qcent = probeCentroids(
+      emb.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      emb.filter(col(idCol) < nCentroids)
+        .select(col(idCol).as("centroid"), col(vecCol).as("__cvec")),
+      maxP)
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
+      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+    val lut = pqSubvectors(emb.filter(queryPred), idCol, vecCol, m)
+      .select(col(idCol).as("query_id"), col("sub"),
+        col("subvec").as("__qvec"))
+      .join(cb, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        round(sqDistance(col("__qvec"), col("__cbvec")) * 1e6).cast("long")
+          .as("__lm"))
+    // each candidate id lives in exactly one centroid block, so the
+    // (query, id) group carries ONE cent_rank; min() just rides the agg
+    val scored = cand.join(broadcast(qcent), Seq("centroid"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lm")).as("__adc"), min(col("cent_rank")).as("__crank"))
+      .localCheckpoint() // one ADC pass, |nprobes| consumers
+    val exactTot = exact.agg(count_distinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    nprobes.map { p =>
+      val approx = scored.filter(col("__crank") <= p)
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      exactTot.crossJoin(broadcast(hits)) // single row × single row
+        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
+          col("n_hits"), col("n_exact"),
+          expr("(1000 * n_hits) div n_exact").as("recall_permille"))
+    }.reduce(_ unionAll _)
   }
 
   /** Scale twin of `knnForIds` (exact brute-force kNN): candidates come

@@ -402,13 +402,23 @@ object EventStreams {
     * colliding in several bands must emit once): state rows = true
     * report rows, bounded by |eval|×(near-dup train docs) — fine for
     * bounded backfills and for any ingest whose report is expected to
-    * be small (contamination is the exception, not the rule); an
-    * unbounded noisy ingest should window the dedup with a watermark.
+    * be small (contamination is the exception, not the rule). For an
+    * UNBOUNDED noisy ingest, pass `tsCol` (the stream's event-time
+    * column): the pair dedup becomes `dropDuplicatesWithinWatermark`
+    * under a `watermark` delay — state rows expire once the watermark
+    * passes them, so state is bounded by the report rate × the
+    * watermark window instead of growing forever. Semantics trade: a
+    * pair re-colliding AFTER its state expired re-emits (an audit
+    * consumer dedups downstream at its own retention); within the
+    * window, rows are exactly the unwindowed report's (spec-pinned),
+    * with the event-time column carried through as evidence.
     */
   def evalNearDupStream(newTrainDocs: DataFrame, evalCorpus: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3, k: Int = 16, bands: Int = 4,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        tsCol: Option[String] = None,
+                        watermark: String = "1 hour"): DataFrame = {
     import graft.functions.TextFunctions._
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k) or trailing signature rows are silently unused")
@@ -429,18 +439,32 @@ object EventStreams {
           bands, rowsPer)).as("band_key"))
     // stream side: shingle + band-explode are stateless maps; the band
     // join is STRICTLY across the eval/train bipartition by
-    // construction (one side per stream), never train×train
-    val banded = newTrainDocs
-      .select(col(idCol).as("train_id"),
-        array_distinct(shingles(tokens(col(textCol)), n)).as("__sa"))
-      .select(col("train_id"), col("__sa"),
+    // construction (one side per stream), never train×train. The
+    // watermark (when windowed) is declared on the SOURCE so it
+    // propagates through the maps and the stream-static join.
+    val trainSrc = tsCol match {
+      case Some(t) => newTrainDocs.withWatermark(t, watermark)
+      case None    => newTrainDocs
+    }
+    val tsCols = tsCol.map(col).toSeq
+    val banded = trainSrc
+      .select(Seq(col(idCol).as("train_id"),
+        array_distinct(shingles(tokens(col(textCol)), n)).as("__sa")) ++
+        tsCols: _*)
+      .select(Seq(col("train_id"), col("__sa"),
         explode(lshBandKeys(minhashSignature(col("__sa"), k),
-          bands, rowsPer)).as("band_key"))
-    banded.join(bandedE, Seq("band_key"))
+          bands, rowsPer)).as("band_key")) ++ tsCols: _*)
+    val verified = banded.join(bandedE, Seq("band_key"))
       .withColumn("jaccard", round(jaccard(col("__sa"), col("__se")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("eval_id"), col("train_id"), col("jaccard"))
-      .dropDuplicates("eval_id", "train_id")
+      .select(Seq(col("eval_id"), col("train_id"), col("jaccard")) ++
+        tsCols: _*)
+    tsCol match {
+      case Some(_) =>
+        verified.dropDuplicatesWithinWatermark("eval_id", "train_id")
+      case None =>
+        verified.dropDuplicates("eval_id", "train_id")
+    }
   }
 
   /** Stream-stream interval join: pair each right-side event with the

@@ -44,12 +44,9 @@ object BlobProbe {
     val mask = (1L << bits) - 1
     // mirror binaryNearDupPairs' centered signature (histograms are
     // all-nonnegative — see the lshCandidatePairs scaladoc)
-    val mean = aggregate(col("hist"), lit(0.0d),
-      (a, x) => a + x.cast("double")) / size(col("hist"))
     val banded = hist.select(graft.functions.VectorFunctions
-        .hyperplaneSignature(
-          transform(col("hist"), x => x.cast("double") - mean),
-          bands * bits).as("__sig"))
+        .hyperplaneSignature(col("hist"), bands * bits, center = true)
+        .as("__sig"))
       .select(explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * bits).bitwiseAND(lit(mask))

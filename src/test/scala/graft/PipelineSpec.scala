@@ -227,6 +227,37 @@ class PipelineSpec extends SparkSpec {
     assert(sig.values.forall(s => s >= 0 && s < (1L << 12)))
   }
 
+  test("hyperplaneSignature: native codegen expression is bit-identical " +
+       "to the HOF fallback, centered and uncentered") {
+    Graft.install(spark)
+    // real embeddings (mixed-sign floats) + byte histograms (the
+    // all-nonnegative population centering exists for) + edge vectors
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val hist = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select(col("doc_id").as("id"),
+        Graft.byteHistogram(encode(col("text"), "UTF-8"), 64).as("v"))
+    val edges = Seq(
+      (9000001L, Seq.empty[Float]),            // d = 0: signature 0
+      (9000002L, Seq(0f, 0f, 0f)),             // zero vector
+      (9000003L, Seq(-1f, -2f, -3f)),          // all-negative
+      (9000004L, Seq(5f))).toDF("id", "v")     // single element
+    for (df <- Seq(emb, hist, edges); center <- Seq(false, true)) {
+      // the pre-r10 interpreted spelling, built with the flag off
+      val saved = VectorFunctions.nativeSignatureEnabled
+      VectorFunctions.nativeSignatureEnabled = false
+      val hofCol = VectorFunctions.hyperplaneSignature(col("v"), 48, center)
+      VectorFunctions.nativeSignatureEnabled = saved
+      val pairs = df.select(col("id"),
+        VectorFunctions.hyperplaneSignature(col("v"), 48, center)
+          .as("native"),
+        hofCol.as("hof"))
+      assert(pairs.filter(col("native") =!= col("hof")).count() == 0,
+        s"native/HOF signature divergence (center=$center) on ${df.columns.mkString(",")}")
+    }
+  }
+
   test("ivfTopK: results come from the query's block, sorted by sim desc") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assigned = SimilarityOps.assignToCentroids(emb, "vec_id", "embedding", 4)

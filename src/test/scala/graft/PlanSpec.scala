@@ -242,6 +242,10 @@ class PlanSpec extends SparkSpec {
     //    batch — all three are the serving pattern's fixed-size sides;
     //    candidate scoring itself is the (sub, code) equi-join the
     //    dedicated pin below asserts),
+    //    q250 (the recall-vs-nprobe ladder: q247's bounded sides plus
+    //    probeCentroids' |queries|×nCentroids ranked shortlist — both
+    //    factors bounded — and the per-rung single-total-row ×
+    //    single-hit-row combine),
     //    q218 (the single stream-total row of the stop-word shares),
     //    q219 (the |checkpoints|-row broadcast the first-occurrence
     //    comparisons join against — the calendar-periods analog),
@@ -269,7 +273,7 @@ class PlanSpec extends SparkSpec {
       "q179_lang_source_mi", "q182_collocations", "q187_psi_drift",
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
       "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
-      "q246_ivfpq_topk", "q247_ivfpq_recall",
+      "q246_ivfpq_topk", "q247_ivfpq_recall", "q250_ivfpq_nprobe",
       "q212_cluster_labels", "q218_stopwords", "q219_vocab_growth",
       "q222_tfidf_tags",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",

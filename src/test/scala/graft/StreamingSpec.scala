@@ -289,6 +289,80 @@ class StreamingSpec extends SparkSpec {
       "rows [20,30) are verbatim eval copies — non-vacuous")
   }
 
+  test("evalNearDupStream watermark option: in-window pairs match the " +
+       "unwindowed report; expired pair state re-emits (bounded state)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val evalCorpus = docs.filter(col("doc_id") < 30)
+    val copyText = docs.filter(col("doc_id") === 5L)
+      .select("text").collect()(0).getString(0)
+    // three timed micro-batches: b0 plants a verbatim copy of eval doc 5
+    // at T0; b1 is unrelated traffic 10h later (advances the watermark
+    // far past T0 + the 1h delay, expiring b0's pair state); b2 replays
+    // the SAME copy — the windowed dedup must re-emit it, proving state
+    // was dropped, while the unwindowed variant holds the pair forever
+    val t0 = "2024-01-01 00:00:00"
+    def batchDf(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "__raw_ts")
+        .select(col("doc_id"), col("text"),
+          to_timestamp(col("__raw_ts")).as("ts"))
+    val noise = docs.filter(col("doc_id") >= 100 && col("doc_id") < 105)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0) + 9100L, r.getString(1), "2024-01-01 10:00:00"))
+    // the dedup operator evicts expired state at batch COMMIT, so the
+    // watermark must cross T0+1h one full batch BEFORE the replay: b1
+    // advances it (wm = T0+9h after b1), b2's commit evicts b0's pair
+    // state, b3 replays the copy against empty state
+    val batches = Seq(
+      Seq((9005L, copyText, t0)),
+      noise.toSeq,
+      Seq((9200L, "unrelated filler row", "2024-01-01 10:00:30")),
+      Seq((9005L, copyText, "2024-01-01 10:01:00")))
+    val dir = Files.createTempDirectory("docstream-wm").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"wmbatch$i").toString
+      batchDf(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$dir/batch_$i.parquet")
+      Files.copy(part.toPath, dst)
+      // the file source orders micro-batches by mtime — pin it
+      dst.toFile.setLastModified(1700000000000L + i * 10000L)
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def stream() = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val windowed = EventStreams.runToMemory(
+      EventStreams.evalNearDupStream(stream(), evalCorpus,
+        tsCol = Some("ts"), watermark = "1 hour"),
+      "eval_neardup_wm_test", OutputMode.Append())
+    val unwindowed = EventStreams.runToMemory(
+      EventStreams.evalNearDupStream(stream(), evalCorpus),
+      "eval_neardup_unwm_test", OutputMode.Append())
+    // in-window pin: the DISTINCT pair evidence is identical — the
+    // watermark changes state retention, never which pairs qualify
+    val w = windowed.select("eval_id", "train_id", "jaccard").distinct()
+      .orderBy("eval_id", "train_id").collect().map(_.toString).toSeq
+    val u = unwindowed.orderBy("eval_id", "train_id")
+      .collect().map(_.toString).toSeq
+    assert(w.nonEmpty && w == u,
+      "windowed report must match the unwindowed pairs distinct-for-distinct")
+    // bounded state: the replayed pair re-emits AFTER its state expired
+    // (2 rows windowed), while the unwindowed dedup holds it forever (1)
+    assert(windowed.filter(col("eval_id") === 5L &&
+      col("train_id") === 9005L).count() == 2L,
+      "watermark-expired pair state must re-emit on replay")
+    assert(unwindowed.filter(col("eval_id") === 5L &&
+      col("train_id") === 9005L).count() == 1L,
+      "unwindowed dedup keeps pair state forever")
+    // the evidence rows carry the event time through
+    assert(windowed.columns.contains("ts"))
+  }
+
   test("stream-static LSH dedup decision table == batch crossCorpusDedupLsh") {
     import org.apache.spark.sql.types._
     val sf = "/root/testdata/sf0.001"

@@ -581,6 +581,53 @@ class TrainPipelineSpec extends SparkSpec {
     assert(rec.toSeq == Seq((1L, 2L, 2L, 1.0)))
   }
 
+  test("ivfPqRecallLadder: nprobe=1 misses the cross-block neighbor, " +
+       "nprobe=2 recovers it; rung 1 agrees with ivfPqRecall") {
+    // dim 8, m=4 (subDim 2), nCodes=4 (codebook = block one-hots of ids
+    // 0-3, scaled on blocks 2/3 so filler ADC stays far), nCentroids=2
+    // (c0 = vec0, c1 = vec1). Queries 9 (= vec0, cell c0) and 1 (cell
+    // c1). id10 = (.8,.8,1,1,...) sits in cell c1 (L2 1.131 vs 1.442)
+    // but is BOTH queries' nearest non-trivial cosine neighbor — the
+    // planted cross-block miss. Hand-computed ADC micro-distances:
+    // q9: vec0=0, id10=2e6, vec2=vec3=20e6; q1: id10=2e6, vec0=4e6,
+    // vec2=vec3=20e6. Exact top-2 is {0,10} for both queries, so
+    // nprobe=1 scores 1 hit per query (500 permille) and nprobe=2
+    // recovers both (1000).
+    val vecs = Seq(
+      0L -> Array[Float](1, 1, 0, 0, 0, 0, 0, 0),
+      1L -> Array[Float](0, 0, 1, 1, 0, 0, 0, 0),
+      2L -> Array[Float](0, 0, 0, 0, 3, 3, 0, 0),
+      3L -> Array[Float](0, 0, 0, 0, 0, 0, 3, 3),
+      9L -> Array[Float](1, 1, 0, 0, 0, 0, 0, 0),
+      10L -> Array[Float](0.8f, 0.8f, 1, 1, 0, 0, 0, 0))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qp = col("vec_id") === 9L || col("vec_id") === 1L
+    val ladder = SimilarityOps.ivfPqRecallLadder(emb, "vec_id", "embedding",
+        queryPred = qp, nCentroids = 2, m = 4, nCodes = 4, k = 2,
+        nprobes = Seq(1, 2))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(ladder.toSeq == Seq((1L, 2L, 2L, 4L, 500L),
+      (2L, 2L, 4L, 4L, 1000L)))
+    // rung 1 must agree with the per-query nprobe=1 audit
+    val rec1 = SimilarityOps.ivfPqRecall(emb, "vec_id", "embedding",
+        queryPred = qp, nCentroids = 2, m = 4, nCodes = 4, k = 2)
+      .agg(org.apache.spark.sql.functions.sum("n_hits")).collect()(0).getLong(0)
+    assert(rec1 == ladder(0)._3, "ladder rung 1 == ivfPqRecall total hits")
+    // nprobe=1 serving: ivfPqTopK's ranked shortlist must reproduce the
+    // assigned-cell semantics (rank 1 IS the argmin cell): query 9's
+    // block holds {0,2,3}; nprobe=2 adds cross-block id10 at ADC 2.0
+    val t1 = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 9L, nCentroids = 2, m = 4, nCodes = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(t1.toSeq == Seq((0L, 0.0), (2L, 20.0)))
+    val t2 = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 9L, nCentroids = 2, m = 4, nCodes = 4, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(t2.toSeq == Seq((0L, 0.0), (10L, 2.0)))
+  }
+
   test("spanDupStats: only cross-doc windows count as duplicated") {
     val docs = Seq(
       (1L, "s1 s2 s3 s4 s5 s6 s7 s8 a1 a2"), // 3 windows, 1 shared

@@ -17,18 +17,16 @@ cost, re-freeze the baseline in the same commit that explains it.
 Usage: tools/bench_compare.py [bench_out.json] [baseline.json]
                               [--ratio R] [--floor S]
 """
-import json, sys
+import argparse, json, sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-cur_path = args[0] if len(args) > 0 else "bench_out.json"
-base_path = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
-ratio = 1.5
-floor = 0.30
-for i, a in enumerate(sys.argv):
-    if a == "--ratio":
-        ratio = float(sys.argv[i + 1])
-    if a == "--floor":
-        floor = float(sys.argv[i + 1])
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("cur_path", nargs="?", default="bench_out.json")
+ap.add_argument("base_path", nargs="?", default="BENCH_BASELINE.json")
+ap.add_argument("--ratio", type=float, default=1.5)
+ap.add_argument("--floor", type=float, default=0.30)
+ns = ap.parse_args()
+cur_path, base_path = ns.cur_path, ns.base_path
+ratio, floor = ns.ratio, ns.floor
 
 cur = json.load(open(cur_path))
 base = json.load(open(base_path))
