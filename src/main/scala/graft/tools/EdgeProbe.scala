@@ -36,13 +36,24 @@ object EdgeProbe {
     val base = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val n0 = base.count()
-    val embN = (0 until copies).map { c =>
-      val shiftedId = (col("vec_id") + lit(c.toLong * n0)).as("vec_id")
-      val replica = transform(col("embedding"), (x, i) =>
-        (x * when(pmod(hash(i, lit(c)), lit(2)) === 0, 1.0f).otherwise(-1.0f))
-          .cast("float"))
-      base.select(shiftedId, replica.as("embedding"))
-    }.reduce(_ unionAll _)
+    // SAME replicas as ScaleSmoke's constant mode (same Murmur3
+    // Rademacher signs — hash(i, c) is identical whether c is a
+    // literal or the exploded copy column — same id shifts), but built
+    // by ONE explode instead of a copies-way union: at 1000 branches
+    // the union's task binaries are ~7 MB and every task deserializes
+    // the whole plan through a contended classloader — r10 measured
+    // the 1000x verify pass spending its wall clock there, not in the
+    // join. The explode plan is constant-size at any copy count; the
+    // base repartition spreads the 1-partition source so the explode
+    // parallelizes. Validated: 300x/b12 reproduces the union-built
+    // candidate and verified counts exactly.
+    val embN = base.repartition(cpus.toInt)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(copies - 1))).as("__c"))
+      .select((col("vec_id") + col("__c").cast("long") * n0).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * when(pmod(hash(i, col("__c")), lit(2)) === 0, 1.0f)
+            .otherwise(-1.0f)).cast("float")).as("embedding"))
     // the banded self-join's fan-out — the true shuffle driver — is
     // Σ_buckets C(n_b, 2) over all (band, key) buckets, computable
     // with ONE aggregate instead of the join itself
