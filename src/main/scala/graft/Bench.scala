@@ -100,15 +100,52 @@ object Bench {
         -1.0
       }
     }
+    // Outlier guard (r10 order sheet #3): a single host stall landing
+    // inside one query inflated the r10 headline by 56% (q147 128.4 s
+    // driver vs 3.55 s judge-warm — and a first run over 40 s skips the
+    // best-of-2 second chance, so a stall there was UNGUARDED). Any
+    // query whose measured time exceeds `stallFactor`× its frozen
+    // quiet-host BENCH_BASELINE.json entry gets ONE extra cold re-run;
+    // BOTH numbers are reported (`stall_suspects` in the JSON) and the
+    // smaller one rides in `queries` — a transient stall can no longer
+    // dominate a round's headline, while a genuine regression shows up
+    // twice and keeps its (still-slow) re-run time.
+    val baselineTimes: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "BENCH_BASELINE.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        "\"(q[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    val stallFactor = 5.0
+    val stallFloorSec = 2.0 // never flag sub-2s absolute times as stalls
+    val stallSuspects =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val rerunBelowSec = 40.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
-      val dt =
+      val dt0 =
         if (t1 < 0) -1.0
         else if (t1 < rerunBelowSec) {
           val t2 = timeOnce(name, fn)
           if (t2 < 0) -1.0 else math.min(t1, t2)
         } else t1
+      val dt = baselineTimes.get(name) match {
+        case Some(base) if dt0 > math.max(stallFactor * base, stallFloorSec) =>
+          val t3 = timeOnce(name, fn)
+          if (t3 < 0) dt0
+          else {
+            stallSuspects(name) = (dt0, t3)
+            System.err.println(
+              f"[bench] $name STALL-SUSPECT: $dt0%.2fs > ${stallFactor}x " +
+                f"baseline $base%.2fs; re-run $t3%.2fs")
+            math.min(dt0, t3)
+          }
+        case _ => dt0
+      }
       System.err.println(f"[bench] $name: $dt%.2fs (first $t1%.2fs)")
       name -> dt
     }
@@ -122,8 +159,13 @@ object Bench {
     // excludes them from `value`, which would otherwise read as a
     // SPEEDUP to anyone comparing totals across rounds
     val failed = results.count(_._2 < 0)
+    // both numbers for every guard hit: observed (the suspect run, after
+    // best-of-2) and the extra cold re-run whose min rides in `queries`
+    val stalls = stallSuspects.map { case (k, (obs, rerun)) =>
+      "\"" + k + "\":{\"observed\":" + r4(obs) + ",\"rerun\":" + r4(rerun) + "}"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","failed":$failed,"stall_suspects":$stalls,"queries":$qs,"sf":"$sfDir"}"""
     // the file is the driver-parseable artifact; stdout can be truncated
     // by tail-capture (the r2/r3 failure mode)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -143,7 +185,7 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"median":${r4(median)},"failed":$failed,"n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","total":${r4(total)},"median":${r4(median)},"failed":$failed,"stalls":${stallSuspects.size},"n":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
     try spark.stop() catch { case _: Throwable => () }
   }

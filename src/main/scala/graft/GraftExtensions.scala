@@ -225,6 +225,23 @@ object Graft {
     catch { case _: Throwable => () }
   }
 
+  /** True iff `name` is registered on the CURRENT thread's active
+    * session. The `native*Enabled` flags are JVM-global but function
+    * registration is per-session, so a column built for a DIFFERENT
+    * session in the same JVM (one that never ran `install`) must fall
+    * back to the HOF twin instead of failing analysis with "undefined
+    * function" (r10 ADVICE). Callers AND this with the flag: the flag
+    * stays the tests' kill switch, this guard scopes it to sessions
+    * that can actually resolve the function. A registry lookup per
+    * COLUMN BUILD (driver-side, never per row).
+    */
+  def nativeFnAvailable(name: String): Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try s.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier(name))
+      catch { case _: Throwable => false }
+    }
+
   /** Column-level API for the native expression; requires `install`
     * (or the extension) on the session that runs the plan.
     */

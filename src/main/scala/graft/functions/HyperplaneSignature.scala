@@ -30,6 +30,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * `SimilarityOps.lshCandidatePairs`' opt-in for all-nonnegative
   * populations (byte histograms), same arithmetic as the transform
   * spelling it replaces.
+  *
+  * Null ELEMENTS (Parquet arrays usually carry containsNull=true):
+  * the HOF twin's per-bit `aggregate` folds a null element into a null
+  * projection, so every bit's `proj > 0` falls to the `otherwise(0)`
+  * branch and the whole signature is 0L — centered or not (the mean
+  * nulls too). This expression short-circuits to the same 0L the
+  * moment it sees a null slot, instead of reading it as 0.0 (which
+  * would silently give a null-containing vector DIFFERENT band keys
+  * depending on whether the native path was installed — r10 ADVICE).
   */
 case class HyperplaneSignatureExpr(child: Expression, bits: Int,
                                    center: Boolean)
@@ -54,6 +63,12 @@ case class HyperplaneSignatureExpr(child: Expression, bits: Int,
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val d = arr.numElements()
+    // any null element => signature 0L (the HOF twin's null-fold result)
+    var n = 0
+    while (n < d) {
+      if (arr.isNullAt(n)) return 0L
+      n += 1
+    }
     def elem(i: Int): Double =
       if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var mu = 0.0
@@ -111,24 +126,29 @@ case class HyperplaneSignatureExpr(child: Expression, bits: Int,
            |}
          """.stripMargin
       } else ""
+      val hn = ctx.freshName("hasNull")
       s"""
          |final int $d = $a.numElements();
-         |double $mu = 0.0;
-         |$centerBlock
-         |java.util.Arrays.fill($projs, 0.0);
-         |for (int $i = 0; $i < $d; $i++) {
-         |  final double $x = ((double) $a.$getter($i)) - $mu;
-         |  for (int $j = 0; $j < $bits; $j++) {
-         |    final long $mixed = ($i + 1L) * ($j + 7L) * 2654435761L;
-         |    final long $q = (long) java.lang.Math.floor((double) $mixed / 1024.0);
-         |    long $r = $q % 2L;
-         |    if ($r < 0L) $r += 2L;
-         |    $projs[$j] += ($r == 1L) ? $x : -$x;
-         |  }
-         |}
+         |boolean $hn = false;
+         |for (int $i = 0; $i < $d && !$hn; $i++) $hn = $a.isNullAt($i);
          |${ev.value} = 0L;
-         |for (int $j = 0; $j < $bits; $j++) {
-         |  if ($projs[$j] > 0.0) ${ev.value} |= (1L << $j);
+         |if (!$hn) {
+         |  double $mu = 0.0;
+         |  $centerBlock
+         |  java.util.Arrays.fill($projs, 0.0);
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    final double $x = ((double) $a.$getter($i)) - $mu;
+         |    for (int $j = 0; $j < $bits; $j++) {
+         |      final long $mixed = ($i + 1L) * ($j + 7L) * 2654435761L;
+         |      final long $q = (long) java.lang.Math.floor((double) $mixed / 1024.0);
+         |      long $r = $q % 2L;
+         |      if ($r < 0L) $r += 2L;
+         |      $projs[$j] += ($r == 1L) ? $x : -$x;
+         |    }
+         |  }
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    if ($projs[$j] > 0.0) ${ev.value} |= (1L << $j);
+         |  }
          |}
        """.stripMargin
     })

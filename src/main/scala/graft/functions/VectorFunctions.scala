@@ -90,7 +90,12 @@ object VectorFunctions {
     */
   def hyperplaneSignature(v: Column, bits: Int,
                           center: Boolean = false): Column = {
-    if (nativeSignatureEnabled) return graft.Graft.hyperplaneSig(v, bits, center)
+    // per-session guard (r10 ADVICE): the flag is JVM-global, but the
+    // function is registered per-session — a session without the
+    // extension falls back to the HOF twin instead of failing analysis
+    if (nativeSignatureEnabled &&
+        graft.Graft.nativeFnAvailable("hyperplane_sig"))
+      return graft.Graft.hyperplaneSig(v, bits, center)
     val input =
       if (!center) v
       else {

@@ -219,6 +219,26 @@ object SimilarityPack extends QueryPack {
         m = 8, nCodes = 16, k = 3, nprobes = Seq(1, 2, 4))
     },
 
+    // ---- raw vs RESIDUAL encoding at the same code budget — the
+    //      standard IVFADC refinement (codes over x − centroid) as one
+    //      measured comparison table (r10 order sheet #5) ----
+    "q251_ivfpq_residual" -> { (s, d) =>
+      SimilarityOps.ivfPqEncodingLadder(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryPred = col("vec_id") < 10, nCentroids = 8,
+          m = 8, nCodes = 16, k = 3, nprobes = Seq(1, 2, 4))
+        .orderBy(col("encoding"), col("nprobe"))
+    },
+
+    // ---- batch IVF-PQ serving: ONE scored-candidate pass for a whole
+    //      query set — the deployed serving shape (broadcast probe
+    //      shortlist + broadcast LUT + (sub, code) equi-join) ----
+    "q252_ivfpq_batch" -> { (s, d) =>
+      SimilarityOps.ivfPqBatchTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryPred = col("vec_id") < 10, nCentroids = 8,
+          m = 8, nCodes = 16, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_dist"), col("neighbor_id"))
+    },
+
     // ---- per-label centroid profile (element-wise aggregate) ----
     "q36_label_centroid" -> { (s, d) =>
       import s.implicits._
@@ -827,6 +847,195 @@ object SimilarityPack extends QueryPack {
          |    AS recall_permille
          |FROM rungs r CROSS JOIN tot LEFT JOIN h ON r.nprobe = h.nprobe
          |ORDER BY nprobe""".stripMargin
+    },
+
+    "q251_ivfpq_residual" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.embedding", "q.qv")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM c, q) t WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS centroid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e, cents cs) t
+         |  WHERE rn = 1),
+         |qcent AS (SELECT query_id, centroid, cent_rank FROM (
+         |  SELECT q.query_id, cs.centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${l2Sql("q.qv", "cs.cv")} ASC,
+         |        cs.centroid ASC) AS cent_rank
+         |  FROM q, cents cs) t WHERE cent_rank <= 4),
+         |sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |lut AS (SELECT sl.vec_id AS query_id, cb.sub, cb.code,
+         |          CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM sl JOIN cb USING (sub) WHERE sl.vec_id < 10),
+         |adc AS (SELECT qc.query_id, a.vec_id AS neighbor_id, qc.cent_rank,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM a
+         |        JOIN assign g ON a.vec_id = g.vec_id
+         |        JOIN qcent qc ON g.centroid = qc.centroid
+         |        JOIN lut l ON l.query_id = qc.query_id
+         |          AND l.sub = a.sub AND l.code = a.code
+         |        WHERE a.vec_id >= 10
+         |        GROUP BY qc.query_id, a.vec_id, qc.cent_rank),
+         |rungs AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |ap AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT r.nprobe, adc.query_id, adc.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.nprobe, adc.query_id
+         |      ORDER BY adc.dist ASC, adc.neighbor_id ASC) AS rank
+         |  FROM adc, rungs r WHERE adc.cent_rank <= r.nprobe) t
+         |  WHERE rank <= 3),
+         |h AS (SELECT ap.nprobe, COUNT(*)::BIGINT AS n_hits
+         |      FROM ap JOIN ex USING (query_id, neighbor_id)
+         |      GROUP BY ap.nprobe),
+         |tot AS (SELECT COUNT(DISTINCT query_id)::BIGINT AS n_queries,
+         |  COUNT(*)::BIGINT AS n_exact FROM ex),
+         |res AS (SELECT g.vec_id, g.centroid,
+         |    list_transform(list_zip(e.embedding::DOUBLE[], cs.cv::DOUBLE[]),
+         |      p -> p[1] - p[2]) AS rv
+         |  FROM assign g JOIN embeddings e USING (vec_id)
+         |  JOIN cents cs USING (centroid)),
+         |slr AS (SELECT r.vec_id, t.s AS sub,
+         |    list_slice(r.rv, t.s * (len(r.rv) // 8) + 1,
+         |      (t.s + 1) * (len(r.rv) // 8)) AS sv
+         |  FROM res r, (SELECT unnest(range(0, 8)) AS s) t),
+         |cbr AS (SELECT vec_id AS code, sub, sv AS cv FROM slr
+         |  WHERE vec_id < 16),
+         |dr AS (SELECT slr.vec_id, slr.sub, cbr.code,
+         |        CAST(ROUND(${sq("slr.sv", "cbr.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM slr JOIN cbr USING (sub)),
+         |ar AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM dr) t
+         |      WHERE rn = 1),
+         |qres AS (SELECT qc.query_id, qc.centroid, qc.cent_rank,
+         |    list_transform(list_zip(q.qv::DOUBLE[], cs.cv::DOUBLE[]),
+         |      p -> p[1] - p[2]) AS rv
+         |  FROM qcent qc JOIN q USING (query_id)
+         |  JOIN cents cs USING (centroid)),
+         |qslr AS (SELECT query_id, centroid, cent_rank, t.s AS sub,
+         |    list_slice(rv, t.s * (len(rv) // 8) + 1,
+         |      (t.s + 1) * (len(rv) // 8)) AS sv
+         |  FROM qres, (SELECT unnest(range(0, 8)) AS s) t),
+         |lutr AS (SELECT qs.query_id, qs.centroid, qs.cent_rank, cbr.sub,
+         |          cbr.code,
+         |          CAST(ROUND(${sq("qs.sv", "cbr.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM qslr qs JOIN cbr ON qs.sub = cbr.sub),
+         |adcr AS (SELECT l.query_id, a2.vec_id AS neighbor_id, l.cent_rank,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM ar a2
+         |        JOIN assign g ON a2.vec_id = g.vec_id
+         |        JOIN lutr l ON g.centroid = l.centroid
+         |          AND a2.sub = l.sub AND a2.code = l.code
+         |        WHERE a2.vec_id >= 10
+         |        GROUP BY l.query_id, a2.vec_id, l.cent_rank),
+         |apr AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT r.nprobe, adcr.query_id, adcr.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.nprobe, adcr.query_id
+         |      ORDER BY adcr.dist ASC, adcr.neighbor_id ASC) AS rank
+         |  FROM adcr, rungs r WHERE adcr.cent_rank <= r.nprobe) t
+         |  WHERE rank <= 3),
+         |hr AS (SELECT apr.nprobe, COUNT(*)::BIGINT AS n_hits
+         |      FROM apr JOIN ex USING (query_id, neighbor_id)
+         |      GROUP BY apr.nprobe)
+         |SELECT * FROM (
+         |  SELECT 'raw' AS encoding, r.nprobe::BIGINT AS nprobe,
+         |    tot.n_queries, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+         |    tot.n_exact,
+         |    CAST((1000 * COALESCE(h.n_hits, 0)) // tot.n_exact AS BIGINT)
+         |      AS recall_permille
+         |  FROM rungs r CROSS JOIN tot LEFT JOIN h ON r.nprobe = h.nprobe
+         |  UNION ALL
+         |  SELECT 'residual' AS encoding, r.nprobe::BIGINT AS nprobe,
+         |    tot.n_queries, COALESCE(hr.n_hits, 0)::BIGINT AS n_hits,
+         |    tot.n_exact,
+         |    CAST((1000 * COALESCE(hr.n_hits, 0)) // tot.n_exact AS BIGINT)
+         |      AS recall_permille
+         |  FROM rungs r CROSS JOIN tot LEFT JOIN hr ON r.nprobe = hr.nprobe) u
+         |ORDER BY encoding, nprobe""".stripMargin
+    },
+
+    "q252_ivfpq_batch" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |cents AS (SELECT vec_id AS centroid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e, cents cs) t
+         |  WHERE rn = 1),
+         |qcent AS (SELECT query_id, centroid FROM (
+         |  SELECT q.query_id, cs.centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${l2Sql("q.qv", "cs.cv")} ASC,
+         |        cs.centroid ASC) AS cent_rank
+         |  FROM q, cents cs) t WHERE cent_rank <= 2),
+         |sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |lut AS (SELECT sl.vec_id AS query_id, cb.sub, cb.code,
+         |          CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM sl JOIN cb USING (sub) WHERE sl.vec_id < 10),
+         |adc AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM a
+         |        JOIN assign g ON a.vec_id = g.vec_id
+         |        JOIN qcent qc ON g.centroid = qc.centroid
+         |        JOIN lut l ON l.query_id = qc.query_id
+         |          AND l.sub = a.sub AND l.code = a.code
+         |        WHERE a.vec_id >= 10
+         |        GROUP BY qc.query_id, a.vec_id)
+         |SELECT query_id, neighbor_id,
+         |  CAST(dist AS DOUBLE) / 1e6 AS adc_dist
+         |FROM (SELECT query_id, neighbor_id, dist,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY dist ASC, neighbor_id ASC) AS rank
+         |      FROM adc) t
+         |WHERE rank <= 3
+         |ORDER BY query_id, adc_dist, neighbor_id""".stripMargin
     },
 
     "q36_label_centroid" ->

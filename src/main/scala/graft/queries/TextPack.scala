@@ -184,10 +184,13 @@ object TextPack extends QueryPack {
         .orderBy(col("id"))
     },
 
-    // ---- SimHash near-dup pairs (chunk-blocked, exact ≤3 bits) ----
+    // ---- SimHash near-dup pairs (chunk-blocked, exact ≤3 bits).
+    //      48-bit sketch (r11): the old 24-bit default had 64-value
+    //      chunk keys and kept 13% of ALL pairs at sf0.1 — quadratic-
+    //      shaped in both candidates and output (r10 judge finding) ----
     "q48_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-          bits = 24, chunks = 4, maxDist = 3)
+          bits = 48, chunks = 4, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -890,7 +893,7 @@ object TextPack extends QueryPack {
       "q47_simhash" -> simhashSql(24),
 
       "q48_simhash_pairs" ->
-        s"""WITH sh AS (${simhashSqlBody(24)})
+        s"""WITH sh AS (${simhashSqlBody(48)})
            |SELECT a.id AS id_a, b.id AS id_b,
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
            |FROM sh a, sh b

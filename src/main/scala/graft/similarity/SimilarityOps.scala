@@ -41,7 +41,11 @@ object SimilarityOps {
   @volatile var nativeCosineEnabled: Boolean = false
 
   private def cosineImpl(a: Column, b: Column): Column =
-    if (nativeCosineEnabled) graft.Graft.cosineSim(a, b) else cosine(a, b)
+    // per-session guard (r10 ADVICE): registration is per-session, the
+    // flag is JVM-global — sessions without the extension use the HOF twin
+    if (nativeCosineEnabled && graft.Graft.nativeFnAvailable("cosine_sim"))
+      graft.Graft.cosineSim(a, b)
+    else cosine(a, b)
 
   /** Rounded cosine similarity — the canonical comparison key. */
   def sim6(a: Column, b: Column): Column = round(cosineImpl(a, b), 6)
@@ -155,6 +159,27 @@ object SimilarityOps {
         col("__enc").bitwiseAND(lit(1023L)).as("centroid"),
         (shiftright(col("__enc"), 10).cast("double") / 1e6).as("dist"))
     emb.join(best, idCol)
+  }
+
+  /** Occupancy-derived key width — the shared natural-width policy for
+    * every fixed-width blocking family (LSH band keys, sign cells,
+    * SimHash chunks): the smallest `b` with n / 2^b ≤ targetOccupancy,
+    * clamped to [floor, cap]. A width HELD FIXED across a data decade
+    * saturates — candidates grow ~n²/2^b once buckets fill (measured
+    * three times: EdgeProbe band keys, BlobProbe sign cells, and q48's
+    * 64-value SimHash chunks emitting 13% of ALL pairs at sf0.1) — so
+    * any operator sizing a key space should derive it from n here
+    * rather than hard-code it. Promoted out of `tools/ScaleSmoke`
+    * (r10 order sheet #2); the defaults reproduce ScaleSmoke's band
+    * policy bit-for-bit (≈500 rows per bucket per band, 4..16 bits).
+    */
+  def naturalBits(n: Long, targetOccupancy: Double = 500.0,
+                  floor: Int = 4, cap: Int = 16): Int = {
+    require(targetOccupancy > 0 && floor >= 1 && cap >= floor,
+      "occupancy > 0 and 1 <= floor <= cap")
+    math.min(cap, math.max(floor,
+      (math.log(math.max(n, 1L) / targetOccupancy) / math.log(2))
+        .ceil.toInt))
   }
 
   /** Scale path for the similarity GRAPH (V2→V4 composition): candidate
@@ -759,6 +784,189 @@ object SimilarityOps {
           col("n_hits"), col("n_exact"),
           expr("(1000 * n_hits) div n_exact").as("recall_permille"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Per-vector coarse residuals — x − centroid(assign(x)) element-wise
+    * in doubles — the quantity residual-encoded IVFADC compresses
+    * (Jégou et al.: residual variance is smaller than raw variance, so
+    * the same code budget ranks finer). Output (id, centroid, __res:
+    * array<double>); the centroid side is the ≤1024-row broadcast.
+    */
+  private def residualVectors(emb: DataFrame, idCol: String,
+                              vecCol: String, nCentroids: Int): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("centroid"), col(vecCol))
+      .join(broadcast(emb.filter(col(idCol) < nCentroids)
+        .select(col(idCol).as("centroid"), col(vecCol).as("__cv"))),
+        Seq("centroid"))
+      .select(col(idCol), col("centroid"),
+        zip_with(col(vecCol), col("__cv"),
+          (x, c) => x.cast("double") - c.cast("double")).as("__res"))
+
+  /** [[ivfPqIndex]] with RESIDUAL encoding — the standard IVFADC
+    * refinement: PQ codes are assigned over x − assigned-centroid
+    * instead of raw x, and the codebook is the first `nCodes` vectors'
+    * RESIDUALS (the same deterministic seed rule, shifted to residual
+    * space, so the oracle replays it). Same output shape and the same
+    * serving plan as the raw index — 4-byte codes scanned, (sub, code)
+    * equi-joins, no per-candidate vector math — only the LUT build
+    * changes (per probed centroid, see [[ivfPqRecallLadderResidual]]).
+    */
+  def ivfPqIndexResidual(emb: DataFrame, idCol: String, vecCol: String,
+                         nCentroids: Int, m: Int = 8,
+                         nCodes: Int = 16): DataFrame = {
+    val res = residualVectors(emb, idCol, vecCol, nCentroids)
+    res.select(col(idCol), col("centroid"))
+      .join(pqAssign(res.select(col(idCol), col("__res")), idCol, "__res",
+          m, nCodes,
+          cbSource = Some(res.select(col(idCol), col("__res")))),
+        Seq(idCol))
+  }
+
+  /** [[ivfPqRecallLadder]] over the residual-encoded index. The one
+    * structural difference: ADC lookup tables are per (query, PROBED
+    * centroid) — the query's residual w.r.t. EACH probed cell, |queries|
+    * × nprobe × m × nCodes broadcast rows — because residual space is
+    * relative to the cell. Candidates still join on (centroid, sub,
+    * code) against 4-byte codes; no vector math per candidate at any
+    * rung (the PlanSpec-pinned serving shape, unchanged).
+    */
+  def ivfPqRecallLadderResidual(emb: DataFrame, idCol: String,
+                                vecCol: String, queryPred: Column,
+                                nCentroids: Int, m: Int = 8,
+                                nCodes: Int = 16, k: Int = 10,
+                                nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
+      "every nprobe must be in [1, nCentroids]")
+    val maxP = nprobes.max
+    val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val res = residualVectors(emb, idCol, vecCol, nCentroids)
+    val idx = ivfPqIndexResidual(emb, idCol, vecCol, nCentroids, m, nCodes)
+    val cand = idx.join(
+      broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
+      col(idCol) === col("__qid"), "left_anti")
+    val cents = emb.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("centroid"), col(vecCol).as("__cvec"))
+    val qcent = probeCentroids(
+      emb.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      cents, maxP)
+    // query residual w.r.t. each PROBED centroid, sliced with the one
+    // shared PQ slicing rule (composite key rides as a struct id)
+    val qres = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(qcent, Seq("query_id"))
+      .join(broadcast(cents), Seq("centroid"))
+      .select(struct(col("query_id"), col("centroid"), col("cent_rank"))
+          .as("__qk"),
+        zip_with(col("__qv"), col("__cvec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("__qres"))
+    val cbR = pqSubvectors(res.filter(col(idCol) < nCodes)
+        .select(col(idCol), col("__res")), idCol, "__res", m)
+      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+    val lutR = pqSubvectors(qres, "__qk", "__qres", m)
+      .join(cbR, "sub")
+      .select(col("__qk.query_id").as("query_id"),
+        col("__qk.centroid").as("centroid"),
+        col("__qk.cent_rank").as("cent_rank"), col("sub"), col("code"),
+        round(sqDistance(col("subvec"), col("__cbvec")) * 1e6).cast("long")
+          .as("__lm"))
+    // each candidate's cell is unique, so joining the per-cell LUT on
+    // (centroid, sub, code) scores it against exactly the probed cells
+    // whose shortlist contains its cell; ONE cent_rank per (query, id)
+    val scored = cand.join(broadcast(lutR), Seq("centroid", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lm")).as("__adc"), min(col("cent_rank")).as("__crank"))
+      .localCheckpoint() // one ADC pass, |nprobes| consumers
+    val exactTot = exact.agg(count_distinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    nprobes.map { p =>
+      val approx = scored.filter(col("__crank") <= p)
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      exactTot.crossJoin(broadcast(hits)) // single row × single row
+        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
+          col("n_hits"), col("n_exact"),
+          expr("(1000 * n_hits) div n_exact").as("recall_permille"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Raw vs residual encoding at the same (m, nCodes, nprobe) budget —
+    * the IVFADC design decision as ONE measured table: both ladders,
+    * tagged by `encoding`. At a fixed 4-byte code budget the residual
+    * rows should dominate (smaller variance per quantized unit), and a
+    * deployment reads the cheapest (encoding, nprobe) row that clears
+    * its recall target.
+    */
+  def ivfPqEncodingLadder(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, nCentroids: Int, m: Int = 8,
+                          nCodes: Int = 16, k: Int = 10,
+                          nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame =
+    ivfPqRecallLadder(emb, idCol, vecCol, queryPred, nCentroids, m,
+        nCodes, k, nprobes)
+      .select(lit("raw").as("encoding"), col("nprobe"), col("n_queries"),
+        col("n_hits"), col("n_exact"), col("recall_permille"))
+      .unionAll(
+        ivfPqRecallLadderResidual(emb, idCol, vecCol, queryPred,
+            nCentroids, m, nCodes, k, nprobes)
+          .select(lit("residual").as("encoding"), col("nprobe"),
+            col("n_queries"), col("n_hits"), col("n_exact"),
+            col("recall_permille")))
+
+  /** Batch IVF-PQ serving — [[ivfPqTopK]] for a query SET (the shape a
+    * deployed 100 TB index actually runs: one scored-candidate pass for
+    * the whole batch, not a plan per query). Candidates are pruned to
+    * each query's `nprobe` nearest cells (broadcast shortlist), scored
+    * by the broadcast LUT (sub, code) equi-join + integer-micro sums —
+    * 4-byte codes only, no vector math per candidate — and ranked per
+    * query. Output (query_id, neighbor_id, adc_dist), top-k by smallest
+    * ADC distance, neighbor-id tiebreak; queries excluded as candidates.
+    */
+  def ivfPqBatchTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, nCentroids: Int, m: Int = 8,
+                     nCodes: Int = 16, k: Int = 10,
+                     nprobe: Int = 1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      "nprobe must be in [1, nCentroids]")
+    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
+    val cand = idx.join(
+      broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
+      col(idCol) === col("__qid"), "left_anti")
+    val qcent = probeCentroids(
+      emb.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      emb.filter(col(idCol) < nCentroids)
+        .select(col(idCol).as("centroid"), col(vecCol).as("__cvec")),
+      nprobe)
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
+      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+    val lut = pqSubvectors(emb.filter(queryPred), idCol, vecCol, m)
+      .select(col(idCol).as("query_id"), col("sub"),
+        col("subvec").as("__qvec"))
+      .join(cb, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        round(sqDistance(col("__qvec"), col("__cbvec")) * 1e6).cast("long")
+          .as("__lm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    cand.join(broadcast(qcent.select(col("query_id"), col("centroid"))),
+        Seq("centroid"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lm")).as("__adc"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (col("__adc").cast("double") / 1e6).as("adc_dist"))
   }
 
   /** Scale twin of `knnForIds` (exact brute-force kNN): candidates come

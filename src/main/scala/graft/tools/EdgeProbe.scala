@@ -89,20 +89,42 @@ object EdgeProbe {
         // index order (VectorFunctions.cosine's fsum), HALF_UP 6-dp
         // round, >= threshold, distinct pairs. Validated: at 300x/b12
         // this path reproduces r9's engine-measured 1,143,752 exactly.
-        val n = copies * n0
-        require(n < Int.MaxValue, "id-indexed vector table")
-        val vecs = new Array[Array[Float]](n.toInt)
-        embN.collect().foreach { r =>
+        // Collect the n0 BASE vectors only (r10 ADVICE: collecting the
+        // replicated table put copies×n0 rows on the driver — at 1000x
+        // that collect was the new OOM ceiling). Replica c's vector is
+        // a deterministic sign-flip of its base (the same Murmur3
+        // Rademacher rule the DF construction above uses, replayed
+        // element-wise at lookup: id = c*n0 + base), so driver and
+        // broadcast memory are copy-count-INDEPENDENT.
+        require(n0 < Int.MaxValue, "id-indexed base vector table")
+        val vecs = new Array[Array[Float]](n0.toInt)
+        base.collect().foreach { r =>
           vecs(r.getLong(0).toInt) = r.getSeq[Float](1).toArray
         }
         require(!vecs.contains(null),
           "base vec_ids must be contiguous [0, n0) for the id-indexed table")
         val bcVecs = spark.sparkContext.broadcast(vecs)
         val threshold = 0.4
-        def cos6(a: Array[Float], b: Array[Float]): Double = {
+        val nBase = n0
+        // hash(i, c) = Murmur3(int c, seed = Murmur3(int i, seed = 42));
+        // pmod 2 == 0 -> +1 — bit-identical to the column spelling in
+        // the replica construction (hash/pmod on two int columns)
+        def rade(i: Int, c: Int): Float = {
+          var h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, 42)
+          h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(c, h)
+          val m = h % 2
+          if ((if (m < 0) m + 2 else m) == 0) 1.0f else -1.0f
+        }
+        // cos over two replica ids: element i of replica c is the FLOAT
+        // product base(i) * sign(i, c) — same IEEE float multiply the
+        // DF transform applied — then the engine's strict double fold
+        def cos6(v: Array[Array[Float]], idA: Long, idB: Long): Double = {
+          val ca = (idA / nBase).toInt; val a = v((idA % nBase).toInt)
+          val cb = (idB / nBase).toInt; val b = v((idB % nBase).toInt)
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) {
-            val x = a(i).toDouble; val y = b(i).toDouble
+            val x = (a(i) * rade(i, ca)).toDouble
+            val y = (b(i) * rade(i, cb)).toDouble
             dot += x * y; na += x * x; nb += y * y; i += 1
           }
           val (sa, sb) = (math.sqrt(na), math.sqrt(nb))
@@ -125,8 +147,7 @@ object EdgeProbe {
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b")).as[(Long, Long)]
           .filter { p =>
-            val v = bcVecs.value
-            cos6(v(p._1.toInt), v(p._2.toInt)) >= threshold
+            cos6(bcVecs.value, p._1, p._2) >= threshold
           }
           .distinct().count().toString
       } else "null"

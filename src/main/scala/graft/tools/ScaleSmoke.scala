@@ -47,9 +47,9 @@ import org.apache.spark.sql.functions._
   *     scale_smoke_constant.json; constant at copies≠100 stamps the
   *     multiplier into the name, e.g. scale_smoke_constant_1000x.json)
   *   only = optional comma list of sections (cc,pagerank,kmeans,lpa,
-  *     dedup,pq_adc,bloom,editdist,tfidfcos,curation,contamination,
-  *     binarydedup) — a deep soak at 1000× runs just the dominant
-  *     pipelines instead of all twelve
+  *     dedup,pq_adc,ivfpq,bloom,editdist,tfidfcos,curation,
+  *     contamination,binarydedup,simhash) — a deep soak at 1000× runs
+  *     just the dominant pipelines instead of all fourteen
   *   bits = optional bitsPerBand OVERRIDE for the LSH band key. The
   *     default sizes the key space to n (constant bucket occupancy —
   *     what production does), but a cross-decade shuffle-ratio
@@ -65,8 +65,8 @@ object ScaleSmoke {
     val mode = args.drop(2).headOption.getOrElse("dense")
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
     val SectionNames = Set("cc", "pagerank", "kmeans", "lpa", "dedup",
-      "pq_adc", "bloom", "editdist", "tfidfcos", "curation",
-      "contamination", "binarydedup")
+      "pq_adc", "ivfpq", "bloom", "editdist", "tfidfcos", "curation",
+      "contamination", "binarydedup", "simhash")
     // "all" = run every section (the explicit spelling lets the shell
     // pass a bits override without the positional slot shifting)
     val only: Set[String] = args.drop(3).headOption
@@ -101,7 +101,8 @@ object ScaleSmoke {
     })
 
     val vectorSections =
-      Seq("cc", "pagerank", "kmeans", "lpa", "pq_adc").exists(enabled)
+      Seq("cc", "pagerank", "kmeans", "lpa", "pq_adc", "ivfpq")
+        .exists(enabled)
     val base = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val n0 = if (vectorSections) base.count() else 0L
@@ -127,9 +128,11 @@ object ScaleSmoke {
     val n = if (vectorSections) embN.count() else 0L
 
     // size the band-key space to the data: ~500 vectors per bucket per
-    // band keeps the verify join linear in n (see scaladoc)
-    val bitsPerBand = bitsOverride.getOrElse(math.min(16, math.max(4,
-      (math.log(math.max(n, 1L) / 500.0) / math.log(2)).ceil.toInt)))
+    // band keeps the verify join linear in n (see scaladoc). The policy
+    // itself lives in SimilarityOps.naturalBits (r10 order #2) so
+    // operators share it instead of hard-coding widths.
+    val bitsPerBand = bitsOverride.getOrElse(
+      graft.similarity.SimilarityOps.naturalBits(n))
 
     val fields = scala.collection.mutable.ListBuffer[String]()
 
@@ -273,7 +276,7 @@ object ScaleSmoke {
     // probe must do real work, not just the md5 exact gate) ---
     val corpusSections =
       Seq("dedup", "bloom", "editdist", "tfidfcos", "curation",
-        "contamination", "binarydedup").exists(enabled)
+        "contamination", "binarydedup", "simhash").exists(enabled)
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val d0 = if (corpusSections) docs.count() else 0L
@@ -298,6 +301,57 @@ object ScaleSmoke {
       flushPartial(outFile)
     }
 
+    // --- q48 shape: SimHash chunk-blocked near-dup pairs at the
+    // naturalBits-derived width (r10 order sheet #2 — the old fixed
+    // 24-bit sketch had 64-value chunk keys and went quadratic at
+    // sf0.1). Corpus: per-copy LETTER-ROTATED replicas — within a copy
+    // every token is rotated the same way, so within-copy sketch
+    // relations (incl. the base corpus's natural near-dups) are
+    // preserved exactly, while cross-copy token hashes decorrelate —
+    // the text analogue of the vector sections' Rademacher replicas
+    // (verbatim twins would make the OUTPUT quadratic by construction
+    // and measure the workload, not the blocking). Candidates =
+    // Σ_buckets C(n_b, 2) via one aggregate — the same fan-out probe
+    // EdgeProbe/BlobProbe use — and must stay ~n × occupancy across
+    // the decade; pairs is the operator's real output ---
+    if (enabled("simhash")) {
+      val lower = ('a' to 'z').mkString
+      val upper = ('A' to 'Z').mkString
+      val digits = "0123456789"
+      def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+      lazy val corpusSim = (0 until copies).map { c =>
+        val k1 = (c * 7 + 3) % 26
+        val k2 = (c / 26) % 10
+        docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"),
+          translate(col("text"), lower + upper + digits,
+            rot(lower, k1) + rot(upper, k1) + rot(digits, k2)).as("text"))
+      }.reduce(_ unionAll _)
+      val chunks = 4
+      val chunkBits = graft.similarity.SimilarityOps.naturalBits(
+        nCorpus, targetOccupancy = 16.0, floor = 6, cap = 60 / chunks)
+      val shBits = chunks * chunkBits
+      val ((shCand, shPairs), shSec, shShuf) = timed {
+        val sh = graft.pipeline.Dedup.simhashTable(
+          corpusSim, "doc_id", "text", bits = shBits).cache()
+        val mask = (1L << chunkBits) - 1
+        val cand = sh.select(explode(array((0 until chunks).map { ci =>
+            struct(lit(ci).as("ci"),
+              shiftright(col("simhash"), ci * chunkBits).bitwiseAND(mask)
+                .as("cv"))
+          }: _*)).as("__ck"))
+          .groupBy(col("__ck")).agg(count(lit(1)).as("__n"))
+          .agg(sum(expr("__n * (__n - 1) div 2")).as("__pairs"))
+          .collect()(0).getLong(0)
+        val pairs = forceAll(graft.pipeline.Dedup.simhashPairs(
+          corpusSim, "doc_id", "text", bits = shBits, chunks = chunks,
+          maxDist = 3))
+        sh.unpersist(blocking = false)
+        (cand, pairs)
+      }
+      fields += s""""simhash_bits":$shBits,"simhash_candidates":$shCand,"simhash_rows":$shPairs,"simhash_sec":${f"$shSec%.2f"},"simhash_shuffle_bytes":$shShuf"""
+      flushPartial(outFile)
+    }
+
     // --- q113 shape: PQ ADC search over the replicated vectors. Codes
     // are 8×10-bit per vector vs 64 floats — the scan-side compression
     // an ANN index ships; the LUT is broadcast and the probe is an
@@ -312,7 +366,33 @@ object ScaleSmoke {
       fields += s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf"""
       flushPartial(outFile)
     }
-    // pq_adc is the LAST consumer of the replicated-vector cache: drop
+
+    // --- q252 shape: the IVF-PQ SERVING path (r10 order sheet #6) —
+    // index build (one coarse-assign pass + one PQ-assign pass, both
+    // broadcast joins reduced map-side) measured apart from batch
+    // serving at nprobe ∈ {1, 4}, so the soak separates the one-time
+    // linear-in-n build from the probe cost, which should scale with
+    // nprobe (blocks read), never with n ---
+    if (enabled("ivfpq")) {
+      val nCents = 256
+      val (ixRows, ixSec, ixShuf) = timed {
+        forceAll(graft.similarity.SimilarityOps.ivfPqIndex(
+          embN, "vec_id", "embedding", nCentroids = nCents, m = 8,
+          nCodes = 16))
+      }
+      fields += s""""ivfpq_index_rows":$ixRows,"ivfpq_index_sec":${f"$ixSec%.2f"},"ivfpq_index_shuffle_bytes":$ixShuf"""
+      flushPartial(outFile)
+      for (p <- Seq(1, 4)) {
+        val (svRows, svSec, svShuf) = timed {
+          forceAll(graft.similarity.SimilarityOps.ivfPqBatchTopK(
+            embN, "vec_id", "embedding", queryPred = col("vec_id") < 64,
+            nCentroids = nCents, m = 8, nCodes = 16, k = 10, nprobe = p))
+        }
+        fields += s""""ivfpq_serve${p}_rows":$svRows,"ivfpq_serve${p}_sec":${f"$svSec%.2f"},"ivfpq_serve${p}_shuffle_bytes":$svShuf"""
+        flushPartial(outFile)
+      }
+    }
+    // ivfpq is the LAST consumer of the replicated-vector cache: drop
     // it before the corpus sections so the text half of an all-sections
     // run doesn't pay the vector half's heap (the r7 OOM mechanism)
     if (vectorSections) embN.unpersist(blocking = true)
@@ -452,8 +532,8 @@ object ScaleSmoke {
     // measured, toRdd-forced ---
     if (enabled("binarydedup")) {
       val nBlobs = (copies.toLong + 1) * d0
-      val blobBits = bitsOverride.getOrElse(math.min(16, math.max(4,
-        (math.log(nBlobs / 500.0) / math.log(2)).ceil.toInt)))
+      val blobBits = bitsOverride.getOrElse(
+        graft.similarity.SimilarityOps.naturalBits(nBlobs))
       // 64 histogram bins, not the operator's 16-bin default: the
       // sign-cell count of b hyperplanes in a bins-dim space caps the
       // band-key population, and 16-dim histograms saturate ~12k keys

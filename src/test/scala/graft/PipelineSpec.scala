@@ -183,6 +183,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)))
   }
 
+  test("naturalBits: occupancy policy — exact values, clamps, and " +
+       "simhashPairsAuto finds the planted near-dup at the derived width") {
+    // 2^b buckets reach target occupancy 500 at n = 500 * 2^b
+    assert(SimilarityOps.naturalBits(1L) == 4, "floor clamp")
+    assert(SimilarityOps.naturalBits(500L * 16) == 4)
+    assert(SimilarityOps.naturalBits(500L * 16 + 1) == 5)
+    assert(SimilarityOps.naturalBits(500L * (1 << 12)) == 12)
+    assert(SimilarityOps.naturalBits(Long.MaxValue) == 16, "cap clamp")
+    assert(SimilarityOps.naturalBits(5000L, 16.0, floor = 6, cap = 15) == 9,
+      "q48-shaped corpus: 5,000 docs at occupancy 16 -> 9-bit chunks")
+    // auto width on the fixture corpus: identical docs still pair at
+    // hamming 0 (identical sketches at ANY width), near-identical
+    // blocking semantics preserved
+    val pairs = Dedup.simhashPairsAuto(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)), "exact dup pairs at hamming 0")
+  }
+
   test("bpeTokenCount: exact piece arithmetic; empty text costs 0") {
     val out = Seq((1L, "hello world!"), (2L, "abcdefgh 12345"), (3L, ""))
       .toDF("id", "text")
@@ -244,17 +262,83 @@ class PipelineSpec extends SparkSpec {
       (9000003L, Seq(-1f, -2f, -3f)),          // all-negative
       (9000004L, Seq(5f))).toDF("id", "v")     // single element
     for (df <- Seq(emb, hist, edges); center <- Seq(false, true)) {
-      // the pre-r10 interpreted spelling, built with the flag off
+      // the pre-r10 interpreted spelling, built with the flag off;
+      // try/finally so a throw can't leave the forked JVM's remaining
+      // tests silently on the interpreted path (r10 ADVICE)
       val saved = VectorFunctions.nativeSignatureEnabled
-      VectorFunctions.nativeSignatureEnabled = false
-      val hofCol = VectorFunctions.hyperplaneSignature(col("v"), 48, center)
-      VectorFunctions.nativeSignatureEnabled = saved
+      val hofCol =
+        try {
+          VectorFunctions.nativeSignatureEnabled = false
+          VectorFunctions.hyperplaneSignature(col("v"), 48, center)
+        } finally VectorFunctions.nativeSignatureEnabled = saved
       val pairs = df.select(col("id"),
         VectorFunctions.hyperplaneSignature(col("v"), 48, center)
           .as("native"),
         hofCol.as("hof"))
       assert(pairs.filter(col("native") =!= col("hof")).count() == 0,
         s"native/HOF signature divergence (center=$center) on ${df.columns.mkString(",")}")
+    }
+  }
+
+  test("hyperplaneSignature: native==HOF on randomized float vectors " +
+       "(property-style, r10 order #7) and on null-containing arrays") {
+    Graft.install(spark)
+    // seeded generator: varied dims (incl. 0), magnitudes across 6
+    // decades, sign mixes, exact zeros — the band-key drift guard for
+    // future codegen edits beyond the three fixture classes
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val rows = (0 until 400).map { id =>
+      val d = rnd.nextInt(96) // 0..95
+      val scale = math.pow(10.0, rnd.nextInt(7) - 3).toFloat
+      val v = Seq.fill(d) {
+        val x = (rnd.nextFloat() - (if (rnd.nextBoolean()) 0.75f else 0.25f)) * scale
+        if (rnd.nextInt(13) == 0) 0f else x
+      }
+      (id.toLong, v)
+    }
+    val df = rows.toDF("id", "v").repartition(7)
+    for (center <- Seq(false, true); bits <- Seq(1, 24, 63)) {
+      val saved = VectorFunctions.nativeSignatureEnabled
+      val hofCol =
+        try {
+          VectorFunctions.nativeSignatureEnabled = false
+          VectorFunctions.hyperplaneSignature(col("v"), bits, center)
+        } finally VectorFunctions.nativeSignatureEnabled = saved
+      val diverged = df.select(col("id"),
+          VectorFunctions.hyperplaneSignature(col("v"), bits, center)
+            .as("native"),
+          hofCol.as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diverged == 0,
+        s"native/HOF divergence on random vectors (center=$center, bits=$bits)")
+    }
+    // null ELEMENTS (containsNull=true, the Parquet default): the HOF
+    // fold nulls every projection -> signature 0L; the native path must
+    // agree (r10 ADVICE medium) instead of reading null slots as 0.0
+    val withNulls = df.select(col("id"),
+      transform(col("v"), (x, i) =>
+        when(pmod(col("id") + i, lit(5)) === 0, lit(null)).otherwise(x)
+          .cast("float")).as("v"))
+    for (center <- Seq(false, true)) {
+      val saved = VectorFunctions.nativeSignatureEnabled
+      val hofCol =
+        try {
+          VectorFunctions.nativeSignatureEnabled = false
+          VectorFunctions.hyperplaneSignature(col("v"), 48, center)
+        } finally VectorFunctions.nativeSignatureEnabled = saved
+      val out = withNulls.select(col("id"),
+        VectorFunctions.hyperplaneSignature(col("v"), 48, center)
+          .as("native"),
+        hofCol.as("hof"))
+      assert(out.filter(col("native") =!= col("hof")).count() == 0,
+        s"native/HOF divergence on null-element vectors (center=$center)")
+      // and the agreed value for a vector that actually CONTAINS a
+      // null element IS 0L
+      assert(withNulls.filter(exists(col("v"), _.isNull))
+        .select(VectorFunctions.hyperplaneSignature(col("v"), 48, center)
+          .as("native"))
+        .filter(col("native") =!= 0L).count() == 0,
+        "null-containing vectors must collapse to signature 0")
     }
   }
 
@@ -271,6 +355,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
       "descending similarity")
     assert(!out.exists(_._1 == 0L), "self excluded")
+  }
+
+  test("ivfPqBatchTopK at nprobe=nCentroids reduces to full ADC " +
+       "(pqAdcTopK) for a single query; encoding ladder is well-formed") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // probing EVERY cell removes the IVF prune, so batch serving must
+    // reproduce the unpruned ADC ranking exactly
+    val full = SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding",
+        queryId = 0L, m = 8, nCodes = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val batch = SimilarityOps.ivfPqBatchTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") === 0L, nCentroids = 4, m = 8,
+        nCodes = 16, k = 5, nprobe = 4)
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(batch == full,
+      s"all-cells batch serving must equal full ADC: $batch vs $full")
+    // encoding ladder: one row per (encoding, nprobe), recall bounded
+    val ladder = SimilarityOps.ivfPqEncodingLadder(emb, "vec_id",
+        "embedding", queryPred = col("vec_id") < 5, nCentroids = 4,
+        m = 8, nCodes = 16, k = 3, nprobes = Seq(1, 4))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(5)))
+    assert(ladder.map(_._1).toSet ==
+      Set(("raw", 1L), ("raw", 4L), ("residual", 1L), ("residual", 4L)))
+    assert(ladder.forall { case (_, p) => p >= 0 && p <= 1000 })
+    // more probes can never lower recall (nested prefixes)
+    val byEnc = ladder.toMap
+    assert(byEnc(("raw", 4L)) >= byEnc(("raw", 1L)))
+    assert(byEnc(("residual", 4L)) >= byEnc(("residual", 1L)))
   }
 
   test("asofJoin matches the naive latest-at-or-before definition; no match => null") {

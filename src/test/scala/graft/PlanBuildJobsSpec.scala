@@ -77,6 +77,8 @@ class PlanBuildJobsSpec extends SparkSpec {
     "q217_ann_recall" -> "IVF k-means loop",
     "q247_ivfpq_recall" -> "exact top-k localCheckpoint (q217's sibling)",
     "q250_ivfpq_nprobe" -> "exact top-k + scored-candidate localCheckpoint",
+    "q251_ivfpq_residual" ->
+      "raw + residual ladders: exact top-k + scored-candidate localCheckpoints",
     // BPE merge training
     "q158_bpe_merges" -> "BPE merge loop",
     "q163_bpe_vocab" -> "BPE merge loop",

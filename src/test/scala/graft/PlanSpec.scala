@@ -246,6 +246,11 @@ class PlanSpec extends SparkSpec {
     //    probeCentroids' |queries|×nCentroids ranked shortlist — both
     //    factors bounded — and the per-rung single-total-row ×
     //    single-hit-row combine),
+    //    q251 (q250's sides for BOTH encodings — the residual ladder
+    //    adds only a per-(query, probed-cell) LUT, |queries|×nprobe×
+    //    m×nCodes broadcast rows, still bounded),
+    //    q252 (batch serving: probeCentroids' shortlist + the batch
+    //    LUT — the q250 serving sides without the recall audit),
     //    q218 (the single stream-total row of the stop-word shares),
     //    q219 (the |checkpoints|-row broadcast the first-occurrence
     //    comparisons join against — the calendar-periods analog),
@@ -274,6 +279,7 @@ class PlanSpec extends SparkSpec {
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
       "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
       "q246_ivfpq_topk", "q247_ivfpq_recall", "q250_ivfpq_nprobe",
+      "q251_ivfpq_residual", "q252_ivfpq_batch",
       "q212_cluster_labels", "q218_stopwords", "q219_vocab_growth",
       "q222_tfidf_tags",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",

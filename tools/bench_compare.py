@@ -48,6 +48,13 @@ for name in sorted(cq):
 new = sorted(set(cq) - set(bq))
 missing = sorted(set(bq) - set(cq))
 
+# r11 outlier guard: Bench re-runs any query measured >5x its baseline
+# and reports both numbers; surface them here so a stall is legible in
+# the gate output too (the min already rides in cur["queries"]).
+for name, s in sorted(cur.get("stall_suspects", {}).items()):
+    print(f"  STALL-SUSPECT {name}: observed {s['observed']:.2f}s, "
+          f"re-run {s['rerun']:.2f}s (min reported)")
+
 print(f"baseline {base_path}: {base.get('value')}s / {len(bq)} queries")
 print(f"current  {cur_path}: {cur.get('value')}s / {len(cq)} queries")
 print(f"compared {checked} common queries at ratio>{ratio} floor>{floor}s")
