@@ -164,9 +164,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Per-(token-hash, bit) sign for the SimHash sketch — an
+    * INDEPENDENT ±1 per bit via an integer mix, NOT bit b of the raw
+    * hash. Raw-bit signs are structurally dead above ~bit 21 on real
+    * corpora: `polyHash` is a 31-base char fold mod 1e9+7, and Zipf
+    * puts most occurrence mass on SHORT tokens whose fold never
+    * reaches the high bits, so every high bit's weighted sum is
+    * all-(−1) and the sketch width silently caps (r11 finding, sf0.1:
+    * bits 22–47 had p(bit=1) ≈ 0, a "48-bit" sketch carried ~22 bits,
+    * hamming≤3 kept 1.6 M of 12.5 M possible pairs, and contiguous
+    * chunk blocking over the dead range went degenerate — 25.3 M
+    * candidate slots). The mix below spreads every bit (same corpus:
+    * all 48 bits live, output 1.6 M → 57 k pairs, candidates 25.3 M →
+    * 1.96 M). Arithmetic is exact int64 in BOTH engines: hb < 1e9+7 so
+    * (hb+1)·2654435761 < 2.7e18 fits a long, and the /1024 is a SHIFT
+    * (a long÷long Divide would go through IEEE double, which cannot
+    * represent 2.7e18 exactly).
+    */
+  private def simhashBitSign(h: Column, b: Int): Column =
+    shiftright((pmod(h * (b + 7) + b, lit(1000000007L)) + 1) *
+      lit(2654435761L), 10).bitwiseAND(1)
+
   /** Frequency-weighted SimHash over tokens, `bits` wide (≤ 62).
     * Token hash = portable polynomial hash; bit b of the sketch is the
-    * sign of Σ_tokens (±1 by token-hash bit b).
+    * sign of Σ_tokens (±1 by the per-(hash, bit) mix above).
     * Docs with no tokens are dropped (no signal to sketch).
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
@@ -180,7 +201,7 @@ object Dedup {
       .select(col("tok"), polyHash(col("tok")).as("h"))
     val toks = occ.join(tokHash, "tok").select(col("id"), col("h"))
     val bitSums = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      sum(when(simhashBitSign(col("h"), b) === 1, 1).otherwise(-1))
         .as(s"s$b")
     }
     val sketch = (0 until bits).map { b =>

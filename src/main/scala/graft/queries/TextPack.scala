@@ -1150,12 +1150,17 @@ object TextPack extends QueryPack {
     )
   }
 
-  /** SimHash SQL: bit b of the sketch = sign of Σ_tokens ±1 by token-hash
-    * bit b — identical to Dedup.simhashTable.
+  /** SimHash SQL: bit b of the sketch = sign of Σ_tokens ±1 by the
+    * per-(hash, bit) integer mix — identical to Dedup.simhashTable
+    * (see simhashBitSign's scaladoc: raw hash bits are dead above ~21
+    * under Zipf-short tokens, so each bit gets an independent mixed
+    * sign; hb+1 times 2654435761 stays < 2.7e18, exact BIGINT, and the
+    * /1024 is integer division on a nonnegative value = the Spark
+    * shift).
     */
   private def simhashSqlBody(bits: Int): String = {
     val terms = (0 until bits).map { b =>
-      s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+      s"CASE WHEN SUM(CASE WHEN ((((h * ${b + 7} + $b) % 1000000007) + 1) * 2654435761 >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
     s"""SELECT doc_id AS id, ($terms) AS simhash
        |FROM (SELECT doc_id, ${polyhashSql("tok")} AS h
