@@ -901,10 +901,19 @@ object SimilarityOps {
 
   /** Raw vs residual encoding at the same (m, nCodes, nprobe) budget —
     * the IVFADC design decision as ONE measured table: both ladders,
-    * tagged by `encoding`. At a fixed 4-byte code budget the residual
-    * rows should dominate (smaller variance per quantized unit), and a
-    * deployment reads the cheapest (encoding, nprobe) row that clears
-    * its recall target.
+    * tagged by `encoding`. A deployment reads the cheapest (encoding,
+    * nprobe) row that clears its recall target. The literature's
+    * residual advantage (smaller variance per quantized unit) assumes
+    * a TRAINED product quantizer over clustered data; with this
+    * engine's deterministic seed-sample codebooks on the synthetic
+    * fixture the table reads raw ≥ residual (r11, sf0.1, 256 codes /
+    * 32 cells / k=10: raw 264‰ vs residual 228‰ at nprobe=1, 276 vs
+    * 270 at nprobe=8) — which is exactly the kind of answer the
+    * ladder exists to give before a 100 TB index commits to an
+    * encoding. Note the first nCentroids rows' residuals are zero
+    * (they ARE the seed centroids), so the residual codebook's
+    * effective size is nCodes − nCentroids when they overlap; an
+    * offset seed was measured within noise of this (230‰/282‰).
     */
   def ivfPqEncodingLadder(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, nCentroids: Int, m: Int = 8,
