@@ -251,6 +251,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Multi-word SimHash: `words` longs of `bitsPerWord` bits each —
+    * the sketch that keeps following `naturalBits` past the one-long
+    * cap (r11 ScaleSmoke: with the width frozen at 60 bits, 3× docs
+    * re-entered the quadratic regime at 8.87× candidates; a 4×60-bit
+    * sketch gives 2^60-value chunk keys, unsaturatable at any corpus
+    * this engine will meet). Bit j of word w uses the SAME
+    * per-(hash, bit) sign mix as [[simhashTable]] at global bit index
+    * w·bitsPerWord + j, so a multi-word sketch at (words, bitsPerWord)
+    * = (4, 12) is exactly the 48-bit single-long sketch cut at word
+    * boundaries — PipelineSpec pins that equivalence. Output
+    * (id, simhash: array<long>), word 0 first.
+    */
+  def simhashTableWide(df: DataFrame, idCol: String, textCol: String,
+                       words: Int = 4, bitsPerWord: Int = 60): DataFrame = {
+    require(words >= 1 && words <= 8 && bitsPerWord >= 1 && bitsPerWord <= 62,
+      "words in [1,8], bitsPerWord in [1,62]")
+    val occ = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tokHash = occ.select(col("tok")).distinct()
+      .select(col("tok"), polyHash(col("tok")).as("h"))
+    val toks = occ.join(tokHash, "tok").select(col("id"), col("h"))
+    val bitSums = (0 until words * bitsPerWord).map { b =>
+      sum(when(simhashBitSign(col("h"), b) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val wordCols = (0 until words).map { w =>
+      (0 until bitsPerWord).map { j =>
+        when(col(s"s${w * bitsPerWord + j}") > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), array(wordCols: _*).as("simhash"))
+  }
+
+  /** Near-dup pairs over the multi-word sketch: ONE chunk per word
+    * (pigeonhole-exact for maxDist ≤ words−1, any partition of the
+    * bits works and word boundaries cost nothing to extract), so the
+    * blocking equi-join runs on (wordIdx, wordValue) with a
+    * 2^bitsPerWord key space per word. Hamming is the summed popcount
+    * over the zipped words, filtered BEFORE the pair-dedup shuffle
+    * like [[simhashPairs]].
+    */
+  def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+                       words: Int = 4, bitsPerWord: Int = 60,
+                       maxDist: Int = 3): DataFrame = {
+    require(maxDist <= words - 1,
+      "word blocking is exact only for maxDist <= words-1")
+    val sh = simhashTableWide(df, idCol, textCol, words, bitsPerWord)
+      .cache()
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(col("simhash")).as(Seq("wi", "wv")))
+    val hamming = aggregate(
+      zip_with(col("x.simhash"), col("y.simhash"),
+        (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    chunked.as("x").join(chunked.as("y"), Seq("wi", "wv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** [[simhashPairs]] with the chunk width derived from the corpus size
     * instead of hard-coded: chunkBits = `naturalBits(n, occupancy)` so
     * each chunk value holds ~`targetOccupancy` docs regardless of n,

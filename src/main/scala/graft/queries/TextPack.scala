@@ -194,6 +194,16 @@ object TextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- multi-word SimHash near-dup pairs: 4 words × 60 bits, one
+    //      chunk per word — 2^60-value keys, the blocking that keeps
+    //      following naturalBits past the one-long cap the r11 smoke
+    //      measured saturating at 300× ----
+    "q253_simhash_wide" -> { (s, d) =>
+      Dedup.simhashPairsWide(Tables.documents(s, d), "doc_id", "text",
+          words = 4, bitsPerWord = 60, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- quality scoring ----
     "q49_quality_score" -> { (s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -899,6 +909,30 @@ object TextPack extends QueryPack {
            |FROM sh a, sh b
            |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q253_simhash_wide" -> {
+        val words = 4; val bpw = 60
+        val wordExprs = (0 until words).map { w =>
+          (0 until bpw).map { j =>
+            val b = w * bpw + j
+            s"CASE WHEN SUM(CASE WHEN ((((h * ${b + 7} + $b) % 1000000007) + 1) * 2654435761 >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+          }.mkString(" + ")
+        }
+        val cols = wordExprs.zipWithIndex
+          .map { case (e, w) => s"($e) AS w$w" }.mkString(",\n  ")
+        val ham = (0 until words)
+          .map(w => s"bit_count(xor(a.w$w, b.w$w))").mkString(" + ")
+        s"""WITH sh AS (SELECT doc_id AS id,
+           |  $cols
+           |FROM (SELECT doc_id, ${polyhashSql("tok")} AS h
+           |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) u) w
+           |GROUP BY doc_id)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  CAST($ham AS INT) AS hamming
+           |FROM sh a, sh b
+           |WHERE a.id < b.id AND $ham <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       // the k offsets are a bounded 2-row set (window size), not data
       "q228_skipgram" ->

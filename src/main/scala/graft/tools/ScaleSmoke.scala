@@ -66,7 +66,7 @@ object ScaleSmoke {
     require(mode == "dense" || mode == "constant", s"unknown mode $mode")
     val SectionNames = Set("cc", "pagerank", "kmeans", "lpa", "dedup",
       "pq_adc", "ivfpq", "bloom", "editdist", "tfidfcos", "curation",
-      "contamination", "binarydedup", "simhash")
+      "contamination", "binarydedup", "simhash", "simhashwide")
     // "all" = run every section (the explicit spelling lets the shell
     // pass a bits override without the positional slot shifting)
     val only: Set[String] = args.drop(3).headOption
@@ -276,7 +276,8 @@ object ScaleSmoke {
     // probe must do real work, not just the md5 exact gate) ---
     val corpusSections =
       Seq("dedup", "bloom", "editdist", "tfidfcos", "curation",
-        "contamination", "binarydedup", "simhash").exists(enabled)
+        "contamination", "binarydedup", "simhash", "simhashwide")
+        .exists(enabled)
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val d0 = if (corpusSections) docs.count() else 0L
@@ -314,18 +315,19 @@ object ScaleSmoke {
     // Σ_buckets C(n_b, 2) via one aggregate — the same fan-out probe
     // EdgeProbe/BlobProbe use — and must stay ~n × occupancy across
     // the decade; pairs is the operator's real output ---
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String =
+      s.drop(k % s.length) + s.take(k % s.length)
+    lazy val corpusSim = (0 until copies).map { c =>
+      val k1 = (c * 7 + 3) % 26
+      val k2 = (c / 26) % 10
+      docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"),
+        translate(col("text"), lower + upper + digits,
+          rot(lower, k1) + rot(upper, k1) + rot(digits, k2)).as("text"))
+    }.reduce(_ unionAll _)
     if (enabled("simhash")) {
-      val lower = ('a' to 'z').mkString
-      val upper = ('A' to 'Z').mkString
-      val digits = "0123456789"
-      def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
-      lazy val corpusSim = (0 until copies).map { c =>
-        val k1 = (c * 7 + 3) % 26
-        val k2 = (c / 26) % 10
-        docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"),
-          translate(col("text"), lower + upper + digits,
-            rot(lower, k1) + rot(upper, k1) + rot(digits, k2)).as("text"))
-      }.reduce(_ unionAll _)
       val chunks = 4
       val chunkBits = graft.similarity.SimilarityOps.naturalBits(
         nCorpus, targetOccupancy = 16.0, floor = 6, cap = 60 / chunks)
@@ -349,6 +351,30 @@ object ScaleSmoke {
         (cand, pairs)
       }
       fields += s""""simhash_bits":$shBits,"simhash_candidates":$shCand,"simhash_rows":$shPairs,"simhash_sec":${f"$shSec%.2f"},"simhash_shuffle_bytes":$shShuf"""
+      flushPartial(outFile)
+    }
+
+    // --- q253 shape: MULTI-WORD SimHash (4 words × 60 bits, one chunk
+    // per word) on the same letter-rotated corpus — the blocking whose
+    // 2^60-value word keys cannot saturate (the r11 single-long section
+    // measured candidates re-entering the quadratic regime at 300×
+    // where the 60-bit cap froze the chunk width at 2^15 values) ---
+    if (enabled("simhashwide")) {
+      val words = 4
+      val bpw = 60
+      val ((swCand, swPairs), swSec, swShuf) = timed {
+        val sh = graft.pipeline.Dedup.simhashTableWide(
+          corpusSim, "doc_id", "text", words, bpw).cache()
+        val cand = sh.select(posexplode(col("simhash")).as(Seq("wi", "wv")))
+          .groupBy(col("wi"), col("wv")).agg(count(lit(1)).as("__n"))
+          .agg(sum(expr("__n * (__n - 1) div 2")).as("__pairs"))
+          .collect()(0).getLong(0)
+        val pairs = forceAll(graft.pipeline.Dedup.simhashPairsWide(
+          corpusSim, "doc_id", "text", words, bpw, maxDist = 3))
+        sh.unpersist(blocking = false)
+        (cand, pairs)
+      }
+      fields += s""""simhashwide_words":$words,"simhashwide_candidates":$swCand,"simhashwide_rows":$swPairs,"simhashwide_sec":${f"$swSec%.2f"},"simhashwide_shuffle_bytes":$swShuf"""
       flushPartial(outFile)
     }
 

@@ -201,6 +201,31 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)), "exact dup pairs at hamming 0")
   }
 
+  test("simhashPairsWide at (4 words x 12 bits) is EXACTLY simhashPairs " +
+       "at (48 bits, 4 chunks): same sign mix, word = chunk") {
+    val wide = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        words = 4, bitsPerWord = 12, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val narrow = Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 48, chunks = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide == narrow, s"wide/narrow divergence: $wide vs $narrow")
+    // and the sketch words really are the single-long sketch's chunks
+    val sk = Dedup.simhashTable(docs, "doc_id", "text", bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wk = Dedup.simhashTableWide(docs, "doc_id", "text",
+        words = 4, bitsPerWord = 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, s) <- sk; w <- 0 until 4)
+      assert(wk(id)(w) == ((s >> (w * 12)) & 0xfffL),
+        s"word $w of doc $id diverges from the 48-bit sketch slice")
+    // identical docs collide in every word at the wide scale config too
+    val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        words = 4, bitsPerWord = 60, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)), "exact dups at hamming 0 of 240")
+  }
+
   test("bpeTokenCount: exact piece arithmetic; empty text costs 0") {
     val out = Seq((1L, "hello world!"), (2L, "abcdefgh 12345"), (3L, ""))
       .toDF("id", "text")
