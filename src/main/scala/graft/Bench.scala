@@ -133,8 +133,13 @@ object Bench {
           val t2 = timeOnce(name, fn)
           if (t2 < 0) -1.0 else math.min(t1, t2)
         } else t1
+      // guard only against POSITIVE baseline entries: a -1 (failed-in-
+      // baseline) entry would make the threshold max(5×(-1), 2 s) = 2 s
+      // and unconditionally burn a third cold run on any 2 s+ query
+      // (r11 ADVICE)
       val dt = baselineTimes.get(name) match {
-        case Some(base) if dt0 > math.max(stallFactor * base, stallFloorSec) =>
+        case Some(base) if base > 0 &&
+            dt0 > math.max(stallFactor * base, stallFloorSec) =>
           val t3 = timeOnce(name, fn)
           if (t3 < 0) dt0
           else {

@@ -320,13 +320,75 @@ object ScaleSmoke {
     val digits = "0123456789"
     def rot(s: String, k: Int): String =
       s.drop(k % s.length) + s.take(k % s.length)
+    // transform keyspace (r11 ADVICE): lower/upper/digit rotations keyed
+    // by INDEPENDENT digits of c (c%26, (c/26)%26, (c/676)%10) give
+    // 26×26×10 = 6,760 distinct transforms — no two copies share one at
+    // any soak scale this engine runs (the old k1=(c*7+3)%26,
+    // k2=(c/26)%10 pair repeated every 260 copies, so a 1000× run had
+    // ~740 verbatim twin corpora inflating output pairs superlinearly);
+    // the c/6760 salt token is the backstop beyond that
     lazy val corpusSim = (0 until copies).map { c =>
       val k1 = (c * 7 + 3) % 26
-      val k2 = (c / 26) % 10
+      val k3 = ((c / 26) * 11 + 5) % 26
+      val k2 = (c / 676) % 10
+      val rotated = translate(col("text"), lower + upper + digits,
+        rot(lower, k1) + rot(upper, k3) + rot(digits, k2))
       docs.select((col("doc_id") + lit(c.toLong * d0)).as("doc_id"),
-        translate(col("text"), lower + upper + digits,
-          rot(lower, k1) + rot(upper, k1) + rot(digits, k2)).as("text"))
+        (if (c / 6760 == 0) rotated
+         else concat(rotated, lit(s" zsalt${c / 6760}"))).as("text"))
     }.reduce(_ unionAll _)
+    // (the simhash/simhashwide sections run AFTER the vector half's
+    // embN.unpersist — r11 ADVICE: an all-sections run at high copy
+    // counts must not hold the replicated-vector cache and the sketch
+    // cache simultaneously, the r7 OOM mechanism)
+
+    // --- q113 shape: PQ ADC search over the replicated vectors. Codes
+    // are 8×10-bit per vector vs 64 floats — the scan-side compression
+    // an ANN index ships; the LUT is broadcast and the probe is an
+    // equi-join on (sub, code) + integer sums, so cost is one pass over
+    // codes regardless of dimensionality ---
+    if (enabled("pq_adc")) {
+      val (pqRows, pqSec, pqShuf) = timed {
+        graft.similarity.SimilarityOps.pqAdcTopK(
+          embN, "vec_id", "embedding", queryId = 0L,
+          m = 8, nCodes = 256, k = 10).count()
+      }
+      fields += s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf"""
+      flushPartial(outFile)
+    }
+
+    // --- q252 shape: the IVF-PQ SERVING path (r10 order sheet #6) —
+    // index build (one coarse-assign pass + one PQ-assign pass, both
+    // broadcast joins reduced map-side) measured apart from batch
+    // serving at nprobe ∈ {1, 4}, so the soak separates the one-time
+    // linear-in-n build from the probe cost, which should scale with
+    // nprobe (blocks read), never with n ---
+    if (enabled("ivfpq")) {
+      val nCents = 256
+      val (ixRows, ixSec, ixShuf) = timed {
+        forceAll(graft.similarity.SimilarityOps.ivfPqIndex(
+          embN, "vec_id", "embedding", nCentroids = nCents, m = 8,
+          nCodes = 16))
+      }
+      fields += s""""ivfpq_index_rows":$ixRows,"ivfpq_index_sec":${f"$ixSec%.2f"},"ivfpq_index_shuffle_bytes":$ixShuf"""
+      flushPartial(outFile)
+      for (p <- Seq(1, 4)) {
+        val (svRows, svSec, svShuf) = timed {
+          forceAll(graft.similarity.SimilarityOps.ivfPqBatchTopK(
+            embN, "vec_id", "embedding", queryPred = col("vec_id") < 64,
+            nCentroids = nCents, m = 8, nCodes = 16, k = 10, nprobe = p))
+        }
+        fields += s""""ivfpq_serve${p}_rows":$svRows,"ivfpq_serve${p}_sec":${f"$svSec%.2f"},"ivfpq_serve${p}_shuffle_bytes":$svShuf"""
+        flushPartial(outFile)
+      }
+    }
+    // ivfpq is the LAST consumer of the replicated-vector cache: drop
+    // it before the corpus sections so the text half of an all-sections
+    // run doesn't pay the vector half's heap (the r7 OOM mechanism)
+    if (vectorSections) embN.unpersist(blocking = true)
+
+    // --- q48 shape: SimHash chunk-blocked near-dup pairs at the
+    // naturalBits-derived width on the letter-rotated corpus ---
     if (enabled("simhash")) {
       val chunks = 4
       val chunkBits = graft.similarity.SimilarityOps.naturalBits(
@@ -377,51 +439,6 @@ object ScaleSmoke {
       fields += s""""simhashwide_words":$words,"simhashwide_candidates":$swCand,"simhashwide_rows":$swPairs,"simhashwide_sec":${f"$swSec%.2f"},"simhashwide_shuffle_bytes":$swShuf"""
       flushPartial(outFile)
     }
-
-    // --- q113 shape: PQ ADC search over the replicated vectors. Codes
-    // are 8×10-bit per vector vs 64 floats — the scan-side compression
-    // an ANN index ships; the LUT is broadcast and the probe is an
-    // equi-join on (sub, code) + integer sums, so cost is one pass over
-    // codes regardless of dimensionality ---
-    if (enabled("pq_adc")) {
-      val (pqRows, pqSec, pqShuf) = timed {
-        graft.similarity.SimilarityOps.pqAdcTopK(
-          embN, "vec_id", "embedding", queryId = 0L,
-          m = 8, nCodes = 256, k = 10).count()
-      }
-      fields += s""""pq_adc_rows":$pqRows,"pq_adc_sec":${f"$pqSec%.2f"},"pq_adc_shuffle_bytes":$pqShuf"""
-      flushPartial(outFile)
-    }
-
-    // --- q252 shape: the IVF-PQ SERVING path (r10 order sheet #6) —
-    // index build (one coarse-assign pass + one PQ-assign pass, both
-    // broadcast joins reduced map-side) measured apart from batch
-    // serving at nprobe ∈ {1, 4}, so the soak separates the one-time
-    // linear-in-n build from the probe cost, which should scale with
-    // nprobe (blocks read), never with n ---
-    if (enabled("ivfpq")) {
-      val nCents = 256
-      val (ixRows, ixSec, ixShuf) = timed {
-        forceAll(graft.similarity.SimilarityOps.ivfPqIndex(
-          embN, "vec_id", "embedding", nCentroids = nCents, m = 8,
-          nCodes = 16))
-      }
-      fields += s""""ivfpq_index_rows":$ixRows,"ivfpq_index_sec":${f"$ixSec%.2f"},"ivfpq_index_shuffle_bytes":$ixShuf"""
-      flushPartial(outFile)
-      for (p <- Seq(1, 4)) {
-        val (svRows, svSec, svShuf) = timed {
-          forceAll(graft.similarity.SimilarityOps.ivfPqBatchTopK(
-            embN, "vec_id", "embedding", queryPred = col("vec_id") < 64,
-            nCentroids = nCents, m = 8, nCodes = 16, k = 10, nprobe = p))
-        }
-        fields += s""""ivfpq_serve${p}_rows":$svRows,"ivfpq_serve${p}_sec":${f"$svSec%.2f"},"ivfpq_serve${p}_shuffle_bytes":$svShuf"""
-        flushPartial(outFile)
-      }
-    }
-    // ivfpq is the LAST consumer of the replicated-vector cache: drop
-    // it before the corpus sections so the text half of an all-sections
-    // run doesn't pay the vector half's heap (the r7 OOM mechanism)
-    if (vectorSections) embN.unpersist(blocking = true)
 
     // --- q114 shape: Bloom decontamination. The eval side (the base
     // corpus, fixed size) collapses into ONE bit array — 512 KiB here,
