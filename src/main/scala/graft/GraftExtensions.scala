@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, HyperplaneSignatureExpr, JaroWinklerSim, JpegDimsExpr, KmvSketch, Mp3Header, Mp4Meta, PngDimsExpr, WebpDimsExpr}
+import graft.functions.{BloomSketch, ByteHistogram, CmsSketch, CosineSimilarity, ExifOrientationExpr, FlacStreaminfo, HyperplaneSignatureExpr, HyperplaneSignatureWideExpr, JaroWinklerSim, JpegDimsExpr, KmvSketch, Mp3Header, Mp4Meta, PngDimsExpr, WebpDimsExpr}
 
 /** Session extension registering graft's native Catalyst expressions.
   * Install via `.withExtensions(new GraftExtensions)` or
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Graft.cmsSketchDescriptor)
     ext.injectFunction(Graft.byteHistogramDescriptor)
     ext.injectFunction(Graft.hyperplaneSigDescriptor)
+    ext.injectFunction(Graft.hyperplaneSigWideDescriptor)
     ext.injectFunction(Graft.bloomSketchDescriptor)
     ext.injectFunction(Graft.jaroWinklerDescriptor)
     ext.injectFunction(Graft.exifOrientationDescriptor)
@@ -96,6 +97,23 @@ object Graft {
           HyperplaneSignatureExpr(children.head, bits, center)
         case other => throw new IllegalArgumentException(
           s"hyperplane_sig bits/center must be literals, got $other")
+      }
+    })
+
+  private[graft] val hyperplaneSigWideDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_sig_wide"),
+    new ExpressionInfo(classOf[HyperplaneSignatureWideExpr].getName,
+      "hyperplane_sig_wide"),
+    (children: Seq[Expression]) => {
+      require(children.length == 4,
+        "hyperplane_sig_wide expects (vec, words, bitsPerWord, center)")
+      (children(1), children(2), children(3)) match {
+        case (Literal(words: Int, _), Literal(bpw: Int, _),
+              Literal(center: Boolean, _)) =>
+          HyperplaneSignatureWideExpr(children.head, words, bpw, center)
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_sig_wide words/bitsPerWord/center must be literals, got $other")
       }
     })
 
@@ -189,6 +207,7 @@ object Graft {
   def install(spark: SparkSession): SparkSession = {
     Seq(cosineSimDescriptor, kmvSketchDescriptor, cmsSketchDescriptor,
         byteHistogramDescriptor, hyperplaneSigDescriptor,
+        hyperplaneSigWideDescriptor,
         bloomSketchDescriptor,
         jaroWinklerDescriptor, exifOrientationDescriptor,
         flacStreaminfoDescriptor, mp3HeaderDescriptor,
@@ -320,6 +339,18 @@ object Graft {
   def hyperplaneSig(v: Column, bits: Int, center: Boolean = false): Column =
     call_function("hyperplane_sig", v,
       org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(center))
+
+  /** Multi-word sign-LSH signature (`array<long>`, native codegen, one
+    * fused loop for all words×bitsPerWord bits). Bit-identical to
+    * `VectorFunctions.hyperplaneSignatureWide`'s HOF fallback and to
+    * word-boundary slices of the single-long form.
+    */
+  def hyperplaneSigWide(v: Column, words: Int, bitsPerWord: Int,
+                        center: Boolean = false): Column =
+    call_function("hyperplane_sig_wide", v,
+      org.apache.spark.sql.functions.lit(words),
+      org.apache.spark.sql.functions.lit(bitsPerWord),
       org.apache.spark.sql.functions.lit(center))
 
   /** Bloom filter (packed bit words) over a pre-hashed bigint column. */

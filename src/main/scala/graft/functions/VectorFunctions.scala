@@ -111,4 +111,41 @@ object VectorFunctions {
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** MULTI-WORD hyperplane signature: `words` longs of `bitsPerWord`
+    * sign bits each (`array<long>`, word 0 first) — the vector-side
+    * sketch that keeps following the occupancy policy past the one-long
+    * cap (the saturation `SimilarityOps.naturalBits`' scaladoc records,
+    * measured on the vector side by EdgeProbe/BlobProbe). Bit j of
+    * word w uses the SAME sign mix as [[hyperplaneSignature]] at global
+    * bit index w·bitsPerWord + j, so a wide signature whose total width
+    * fits one long is exactly the single-long signature cut at word
+    * boundaries — band keys routed through word extraction are
+    * byte-identical to the old shift-and-mask slices (spec-pinned).
+    * Identical vectors share every word; `center` behaves exactly as in
+    * the single-long form.
+    */
+  def hyperplaneSignatureWide(v: Column, words: Int, bitsPerWord: Int,
+                              center: Boolean = false): Column = {
+    if (nativeSignatureEnabled &&
+        graft.Graft.nativeFnAvailable("hyperplane_sig_wide"))
+      return graft.Graft.hyperplaneSigWide(v, words, bitsPerWord, center)
+    val input =
+      if (!center) v
+      else {
+        val mean = aggregate(v, lit(0.0d),
+          (a, x) => a + x.cast("double")) / size(v)
+        transform(v, x => x.cast("double") - mean)
+      }
+    val d = toDouble(input)
+    array((0 until words).map { w =>
+      (0 until bitsPerWord).map { j =>
+        val g = w * bitsPerWord + j
+        val proj = aggregate(
+          zip_with(d, transform(d, (_, i) => hpSign(i, g)), (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
 }

@@ -335,6 +335,71 @@ object Dedup {
       maxDist)
   }
 
+  /** The multi-word sketch as ONE per-row column over a pre-hashed
+    * token array — bit-identical to [[simhashTableWide]]'s aggregate
+    * form (same per-(hash, global-bit) sign mix, same integer bit
+    * sums), but STATELESS: no explode, no groupBy, so a streaming plan
+    * can sketch each incoming doc before its stream-static probe join
+    * (aggregates before joins are not stream-legal). Each bit re-walks
+    * the hash array (words×bitsPerWord interpreted HOF folds) — priced
+    * per batch doc, the probe side's proportional cost; the CORPUS side
+    * always uses the distinct-token aggregate form.
+    */
+  private[graft] def simhashWideFromHashes(hashes: Column, words: Int,
+                                           bitsPerWord: Int): Column =
+    array((0 until words).map { w =>
+      (0 until bitsPerWord).map { j =>
+        val g = w * bitsPerWord + j
+        val s = aggregate(hashes, lit(0),
+          (acc, h) => acc + when(simhashBitSign(h, g) === 1, 1)
+            .otherwise(-1))
+        when(s > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Cross-corpus near-dup gate on the MULTI-WORD SimHash sketch — the
+    * [[crossCorpusDedupLsh]] sibling for the hamming-distance family
+    * (r11 order sheet #4 brought the streaming arm; this is its batch
+    * twin): every batch doc is probed against the corpus's wide-sketch
+    * index by a (wordIdx, wordValue) equi-join — pigeonhole-exact for
+    * maxDist ≤ words−1, so the verified set is exactly
+    * {corpus docs at hamming ≤ maxDist} — and rolled up to one decision
+    * row per batch doc: (id, n_near, is_new). Docs with no tokens have
+    * no sketch and decide (0, true) in both the batch and streaming
+    * forms. Index side is buildable once and reusable
+    * (the 100 TB shape: corpus sketches precomputed, probe cost
+    * batch-proportional).
+    */
+  def crossCorpusDedupSimhash(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              words: Int = 4, bitsPerWord: Int = 60,
+                              maxDist: Int = 3): DataFrame = {
+    require(maxDist <= words - 1,
+      "word blocking is exact only for maxDist <= words-1")
+    val idx = simhashTableWide(corpus, idCol, textCol, words, bitsPerWord)
+      .select(col("id").as("__cid"), col("simhash").as("__csk"))
+      .cache()
+    val chunkedC = idx.select(col("__cid"), col("__csk"),
+      posexplode(col("__csk")).as(Seq("wi", "wv")))
+    // left joins keep token-less batch docs (they have no sketch rows)
+    val probeSk = batch.select(col(idCol).as("id")).distinct()
+      .join(simhashTableWide(batch, idCol, textCol, words, bitsPerWord),
+        Seq("id"), "left")
+    val chunked = probeSk.select(col("id"), col("simhash"),
+      posexplode_outer(col("simhash")).as(Seq("wi", "wv")))
+    val hamming = aggregate(
+      zip_with(col("simhash"), col("__csk"),
+        (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    chunked.join(chunkedC, Seq("wi", "wv"), "left")
+      .select(col("id"),
+        when(col("__cid").isNotNull && hamming <= maxDist, col("__cid"))
+          .as("__near_id"))
+      .groupBy(col("id"))
+      .agg(size(collect_set(col("__near_id"))).cast("long").as("n_near"))
+      .select(col("id"), col("n_near"), (col("n_near") === 0).as("is_new"))
+  }
+
   /** Exact pairwise Jaccard via ONE equi-join on exploded shingles:
     * |∩| is the per-pair match count, |∪| = |A| + |B| − |∩|. Inputs
     * must both have columns (id, __sz, __s); `pairFilter` selects which

@@ -90,6 +90,18 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("sig"))
     },
 
+    // ---- WIDE-band sign-LSH pairs: 6 bands × 11-bit keys = 66 total
+    //      signature bits, more than a single long holds — the scale
+    //      twin of the q53/q55 blocking at post-cap width (band keys
+    //      ride the multi-word array<long> signature, r11 order sheet
+    //      #1; EdgeProbe measured the frozen single-long width growing
+    //      candidates 11.1× for 3.33× data) ----
+    "q254_lsh_wide" -> { (s, d) =>
+      SimilarityOps.lshCandidatePairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.3, bands = 6, bitsPerBand = 11)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- k-means M-step: element-wise member means per IVF centroid ----
     "q75_kmeans_step" -> { (s, d) =>
       SimilarityOps.updateCentroids(Tables.embeddings(s, d), "vec_id",
@@ -229,6 +241,19 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("encoding"), col("nprobe"))
     },
 
+    // ---- raw vs residual vs TRAINED encoding at the same code budget:
+    //      coarse centroids from 2 Lloyd rounds + per-subspace
+    //      Lloyd-trained codebooks (r11 order sheet #2 — the measured
+    //      no-gain of residual encoding was attributed to seed-sampled
+    //      codebooks; this row closes the loop) ----
+    "q256_ivfpq_trained" -> { (s, d) =>
+      SimilarityOps.ivfPqEncodingLadder(Tables.embeddings(s, d), "vec_id",
+          "embedding", queryPred = col("vec_id") < 10, nCentroids = 8,
+          m = 8, nCodes = 16, k = 3, nprobes = Seq(1, 2, 4),
+          includeTrained = true, trainIters = 2)
+        .orderBy(col("encoding"), col("nprobe"))
+    },
+
     // ---- batch IVF-PQ serving: ONE scored-candidate pass for a whole
     //      query set — the deployed serving shape (broadcast probe
     //      shortlist + broadcast LUT + (sub, code) equi-join) ----
@@ -319,6 +344,34 @@ object SimilarityPack extends QueryPack {
       s"""SELECT sig, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
          |FROM (SELECT vec_id, ($terms) AS sig FROM embeddings) t
          |GROUP BY sig ORDER BY sig""".stripMargin
+    },
+
+    "q254_lsh_wide" -> {
+      val bands = 6; val bpw = 11
+      // band key w = bits [w·11, (w+1)·11) of the sign signature, each
+      // bit the q55 projection fold at GLOBAL bit index g (i is
+      // DuckDB's 1-based position = Spark's 0-based index + 1; the
+      // mix i·(g+7)·2654435761 ≤ 64·73·2654435761 ≈ 1.2e13 < 2⁵³, so
+      // DuckDB's exact // agrees with the engines' double division)
+      def keyExpr(w: Int): String = (0 until bpw).map { j =>
+        val g = w * bpw + j
+        val sign = s"(CASE WHEN (i::BIGINT * ${g + 7} * 2654435761) // 1024 % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        val proj = s"list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * $sign)), (a, b) -> a + b)"
+        s"CASE WHEN $proj > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      val keys = (0 until bands)
+        .map(w => s"(${keyExpr(w)}) AS k$w").mkString(",\n  ")
+      val anyBand = (0 until bands).map(w => s"a.k$w = b.k$w")
+        .mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  $keys
+         |FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM s a JOIN s b
+         |  ON a.vec_id < b.vec_id AND ($anyBand)
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q52_ivf_topk" ->
@@ -978,6 +1031,235 @@ object SimilarityPack extends QueryPack {
          |    CAST((1000 * COALESCE(hr.n_hits, 0)) // tot.n_exact AS BIGINT)
          |      AS recall_permille
          |  FROM rungs r CROSS JOIN tot LEFT JOIN hr ON r.nprobe = hr.nprobe) u
+         |ORDER BY encoding, nprobe""".stripMargin
+    },
+
+    // q251's replay + a TRAINED branch: 2 unrolled k-means rounds (the
+    // q118 pattern) for the coarse centroids, 2 unrolled per-subspace
+    // Lloyd rounds for the PQ codebooks (assign = d2m/code argmin,
+    // means = ROUND(AVG, 6) per (sub, code, pos)), then the same
+    // rung arithmetic against the trained models
+    "q256_ivfpq_trained" -> {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+      // one Lloyd round: assign every embedding to `cin` (6-dp L2 +
+      // centroid-id argmin), 6-dp means, rebuild centroid lists
+      def kmRound(cin: String, aN: String, mN: String, cout: String) =
+        s"""$aN AS (
+           |  SELECT vec_id, embedding, centroid FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2Sql("e.embedding", "c.cv")} ASC,
+           |          c.centroid ASC) AS rn
+           |    FROM embeddings e, $cin c) t
+           |  WHERE rn = 1),
+           |$mN AS (
+           |  SELECT centroid, pos, ROUND(AVG(v), 6) AS avg_v
+           |  FROM (SELECT centroid, unnest(embedding)::DOUBLE AS v,
+           |          generate_subscripts(embedding, 1) AS pos FROM $aN) t
+           |  GROUP BY centroid, pos),
+           |$cout AS (SELECT centroid, list(avg_v ORDER BY pos) AS cv
+           |  FROM $mN GROUP BY centroid)""".stripMargin
+      // one per-subspace Lloyd round: micro-unit argmin vs `cbin`,
+      // 6-dp means per (sub, code, pos), rebuild codebook lists
+      def pqRound(cbin: String, dN: String, aN: String, mN: String,
+                  cbout: String) =
+        s"""$dN AS (SELECT sl.vec_id, sl.sub, c.code,
+           |        CAST(ROUND(${sq("sl.sv", "c.cv")} * 1e6) AS BIGINT) AS d2m
+           |      FROM sl JOIN $cbin c USING (sub)),
+           |$aN AS (SELECT vec_id, sub, code FROM (
+           |        SELECT vec_id, sub, code,
+           |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+           |            ORDER BY d2m ASC, code ASC) AS rn FROM $dN) t
+           |      WHERE rn = 1),
+           |$mN AS (SELECT sub, code, pos, ROUND(AVG(v), 6) AS avg_v
+           |  FROM (SELECT a2.sub, a2.code, unnest(sl.sv)::DOUBLE AS v,
+           |          generate_subscripts(sl.sv, 1) AS pos
+           |        FROM $aN a2 JOIN sl ON a2.vec_id = sl.vec_id
+           |          AND a2.sub = sl.sub) t
+           |  GROUP BY sub, code, pos),
+           |$cbout AS (SELECT code, sub, list(avg_v ORDER BY pos) AS cv
+           |  FROM $mN GROUP BY code, sub)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("c.embedding", "q.qv")} DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM c, q) t WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS centroid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e, cents cs) t
+         |  WHERE rn = 1),
+         |qcent AS (SELECT query_id, centroid, cent_rank FROM (
+         |  SELECT q.query_id, cs.centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${l2Sql("q.qv", "cs.cv")} ASC,
+         |        cs.centroid ASC) AS cent_rank
+         |  FROM q, cents cs) t WHERE cent_rank <= 4),
+         |sl AS (
+         |  SELECT e.vec_id, t.s AS sub,
+         |    list_slice(e.embedding, t.s * (len(e.embedding) // 8) + 1,
+         |      (t.s + 1) * (len(e.embedding) // 8)) AS sv
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sl WHERE vec_id < 16),
+         |d AS (SELECT sl.vec_id, sl.sub, cb.code,
+         |        CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN cb USING (sub)),
+         |a AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM d) t
+         |      WHERE rn = 1),
+         |lut AS (SELECT sl.vec_id AS query_id, cb.sub, cb.code,
+         |          CAST(ROUND(${sq("sl.sv", "cb.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM sl JOIN cb USING (sub) WHERE sl.vec_id < 10),
+         |adc AS (SELECT qc.query_id, a.vec_id AS neighbor_id, qc.cent_rank,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM a
+         |        JOIN assign g ON a.vec_id = g.vec_id
+         |        JOIN qcent qc ON g.centroid = qc.centroid
+         |        JOIN lut l ON l.query_id = qc.query_id
+         |          AND l.sub = a.sub AND l.code = a.code
+         |        WHERE a.vec_id >= 10
+         |        GROUP BY qc.query_id, a.vec_id, qc.cent_rank),
+         |rungs AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |ap AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT r.nprobe, adc.query_id, adc.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.nprobe, adc.query_id
+         |      ORDER BY adc.dist ASC, adc.neighbor_id ASC) AS rank
+         |  FROM adc, rungs r WHERE adc.cent_rank <= r.nprobe) t
+         |  WHERE rank <= 3),
+         |h AS (SELECT ap.nprobe, COUNT(*)::BIGINT AS n_hits
+         |      FROM ap JOIN ex USING (query_id, neighbor_id)
+         |      GROUP BY ap.nprobe),
+         |tot AS (SELECT COUNT(DISTINCT query_id)::BIGINT AS n_queries,
+         |  COUNT(*)::BIGINT AS n_exact FROM ex),
+         |res AS (SELECT g.vec_id, g.centroid,
+         |    list_transform(list_zip(e.embedding::DOUBLE[], cs.cv::DOUBLE[]),
+         |      p -> p[1] - p[2]) AS rv
+         |  FROM assign g JOIN embeddings e USING (vec_id)
+         |  JOIN cents cs USING (centroid)),
+         |slr AS (SELECT r.vec_id, t.s AS sub,
+         |    list_slice(r.rv, t.s * (len(r.rv) // 8) + 1,
+         |      (t.s + 1) * (len(r.rv) // 8)) AS sv
+         |  FROM res r, (SELECT unnest(range(0, 8)) AS s) t),
+         |cbr AS (SELECT vec_id AS code, sub, sv AS cv FROM slr
+         |  WHERE vec_id < 16),
+         |dr AS (SELECT slr.vec_id, slr.sub, cbr.code,
+         |        CAST(ROUND(${sq("slr.sv", "cbr.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM slr JOIN cbr USING (sub)),
+         |ar AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM dr) t
+         |      WHERE rn = 1),
+         |qres AS (SELECT qc.query_id, qc.centroid, qc.cent_rank,
+         |    list_transform(list_zip(q.qv::DOUBLE[], cs.cv::DOUBLE[]),
+         |      p -> p[1] - p[2]) AS rv
+         |  FROM qcent qc JOIN q USING (query_id)
+         |  JOIN cents cs USING (centroid)),
+         |qslr AS (SELECT query_id, centroid, cent_rank, t.s AS sub,
+         |    list_slice(rv, t.s * (len(rv) // 8) + 1,
+         |      (t.s + 1) * (len(rv) // 8)) AS sv
+         |  FROM qres, (SELECT unnest(range(0, 8)) AS s) t),
+         |lutr AS (SELECT qs.query_id, qs.centroid, qs.cent_rank, cbr.sub,
+         |          cbr.code,
+         |          CAST(ROUND(${sq("qs.sv", "cbr.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM qslr qs JOIN cbr ON qs.sub = cbr.sub),
+         |adcr AS (SELECT l.query_id, a2.vec_id AS neighbor_id, l.cent_rank,
+         |          SUM(l.lm)::BIGINT AS dist
+         |        FROM ar a2
+         |        JOIN assign g ON a2.vec_id = g.vec_id
+         |        JOIN lutr l ON g.centroid = l.centroid
+         |          AND a2.sub = l.sub AND a2.code = l.code
+         |        WHERE a2.vec_id >= 10
+         |        GROUP BY l.query_id, a2.vec_id, l.cent_rank),
+         |apr AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT r.nprobe, adcr.query_id, adcr.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.nprobe, adcr.query_id
+         |      ORDER BY adcr.dist ASC, adcr.neighbor_id ASC) AS rank
+         |  FROM adcr, rungs r WHERE adcr.cent_rank <= r.nprobe) t
+         |  WHERE rank <= 3),
+         |hr AS (SELECT apr.nprobe, COUNT(*)::BIGINT AS n_hits
+         |      FROM apr JOIN ex USING (query_id, neighbor_id)
+         |      GROUP BY apr.nprobe),
+         |${kmRound("cents", "ka1", "km1", "kc1")},
+         |${kmRound("kc1", "ka2", "km2", "kc2")},
+         |tassign AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT e.vec_id, cs.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "cs.cv")} ASC,
+         |          cs.centroid ASC) AS rn
+         |    FROM embeddings e, kc2 cs) t
+         |  WHERE rn = 1),
+         |tqcent AS (SELECT query_id, centroid, cent_rank FROM (
+         |  SELECT q.query_id, cs.centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${l2Sql("q.qv", "cs.cv")} ASC,
+         |        cs.centroid ASC) AS cent_rank
+         |  FROM q, kc2 cs) t WHERE cent_rank <= 4),
+         |${pqRound("cb", "pd1", "pa1", "pm1", "pcb1")},
+         |${pqRound("pcb1", "pd2", "pa2", "pm2", "pcb2")},
+         |td AS (SELECT sl.vec_id, sl.sub, c2.code,
+         |        CAST(ROUND(${sq("sl.sv", "c2.cv")} * 1e6) AS BIGINT) AS d2m
+         |      FROM sl JOIN pcb2 c2 USING (sub)),
+         |ta AS (SELECT vec_id, sub, code FROM (
+         |        SELECT vec_id, sub, code,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |            ORDER BY d2m ASC, code ASC) AS rn FROM td) t
+         |      WHERE rn = 1),
+         |tlut AS (SELECT sl.vec_id AS query_id, c2.sub, c2.code,
+         |          CAST(ROUND(${sq("sl.sv", "c2.cv")} * 1e6) AS BIGINT) AS lm
+         |        FROM sl JOIN pcb2 c2 USING (sub) WHERE sl.vec_id < 10),
+         |tadc AS (SELECT qc.query_id, a3.vec_id AS neighbor_id,
+         |          qc.cent_rank, SUM(l.lm)::BIGINT AS dist
+         |        FROM ta a3
+         |        JOIN tassign g ON a3.vec_id = g.vec_id
+         |        JOIN tqcent qc ON g.centroid = qc.centroid
+         |        JOIN tlut l ON l.query_id = qc.query_id
+         |          AND l.sub = a3.sub AND l.code = a3.code
+         |        WHERE a3.vec_id >= 10
+         |        GROUP BY qc.query_id, a3.vec_id, qc.cent_rank),
+         |tap AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT r.nprobe, tadc.query_id, tadc.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.nprobe, tadc.query_id
+         |      ORDER BY tadc.dist ASC, tadc.neighbor_id ASC) AS rank
+         |  FROM tadc, rungs r WHERE tadc.cent_rank <= r.nprobe) t
+         |  WHERE rank <= 3),
+         |th AS (SELECT tap.nprobe, COUNT(*)::BIGINT AS n_hits
+         |      FROM tap JOIN ex USING (query_id, neighbor_id)
+         |      GROUP BY tap.nprobe)
+         |SELECT * FROM (
+         |  SELECT 'raw' AS encoding, r.nprobe::BIGINT AS nprobe,
+         |    tot.n_queries, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+         |    tot.n_exact,
+         |    CAST((1000 * COALESCE(h.n_hits, 0)) // tot.n_exact AS BIGINT)
+         |      AS recall_permille
+         |  FROM rungs r CROSS JOIN tot LEFT JOIN h ON r.nprobe = h.nprobe
+         |  UNION ALL
+         |  SELECT 'residual' AS encoding, r.nprobe::BIGINT AS nprobe,
+         |    tot.n_queries, COALESCE(hr.n_hits, 0)::BIGINT AS n_hits,
+         |    tot.n_exact,
+         |    CAST((1000 * COALESCE(hr.n_hits, 0)) // tot.n_exact AS BIGINT)
+         |      AS recall_permille
+         |  FROM rungs r CROSS JOIN tot LEFT JOIN hr ON r.nprobe = hr.nprobe
+         |  UNION ALL
+         |  SELECT 'trained' AS encoding, r.nprobe::BIGINT AS nprobe,
+         |    tot.n_queries, COALESCE(th.n_hits, 0)::BIGINT AS n_hits,
+         |    tot.n_exact,
+         |    CAST((1000 * COALESCE(th.n_hits, 0)) // tot.n_exact AS BIGINT)
+         |      AS recall_permille
+         |  FROM rungs r CROSS JOIN tot LEFT JOIN th ON r.nprobe = th.nprobe) u
          |ORDER BY encoding, nprobe""".stripMargin
     },
 

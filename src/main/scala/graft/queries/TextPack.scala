@@ -204,6 +204,30 @@ object TextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- cross-corpus SimHash gate: batch docs probed against the
+    //      corpus's wide-sketch word index (pigeonhole-exact blocking),
+    //      one decision row per batch doc — the batch twin of the 18th
+    //      stream==batch pin (corpusDedupStreamSimhash) ----
+    "q257_cross_simhash" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusDedupSimhash(
+          corpus = docs.filter(col("doc_id") < 400),
+          batch = docs.filter(col("doc_id") >= 350),
+          "doc_id", "text", words = 4, bitsPerWord = 60, maxDist = 3)
+        .orderBy(col("id"))
+    },
+
+    // ---- corpus-sized SimHash pairs: the chunk width DERIVED from n
+    //      via the shared naturalBits occupancy policy (r11 order
+    //      sheet #5 — the policy was unit-tested but no oracle ran it;
+    //      the width is deterministic given n, so DuckDB replays it
+    //      from its own COUNT(*)) ----
+    "q255_simhash_auto" -> { (s, d) =>
+      Dedup.simhashPairsAuto(Tables.documents(s, d), "doc_id", "text",
+          chunks = 4, maxDist = 3, targetOccupancy = 16.0)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- quality scoring ----
     "q49_quality_score" -> { (s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -931,6 +955,66 @@ object TextPack extends QueryPack {
            |  CAST($ham AS INT) AS hamming
            |FROM sh a, sh b
            |WHERE a.id < b.id AND $ham <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // both sides' wide sketches via q253's 4×60-bit construction;
+      // word blocking needs no replay (pigeonhole-exact for maxDist ≤
+      // words−1): n_near = |corpus docs at hamming ≤ 3|, left-joined
+      // so token-less batch docs decide (0, true)
+      "q257_cross_simhash" -> {
+        val words = 4; val bpw = 60
+        val wordExprs = (0 until words).map { w =>
+          (0 until bpw).map { j =>
+            val b = w * bpw + j
+            s"CASE WHEN SUM(CASE WHEN ((((h * ${b + 7} + $b) % 1000000007) + 1) * 2654435761 >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+          }.mkString(" + ")
+        }
+        val cols = wordExprs.zipWithIndex
+          .map { case (e, w) => s"($e) AS w$w" }.mkString(",\n  ")
+        val ham = (0 until words)
+          .map(w => s"bit_count(xor(b.w$w, c.w$w))").mkString(" + ")
+        s"""WITH sh AS (SELECT doc_id AS id,
+           |  $cols
+           |FROM (SELECT doc_id, ${polyhashSql("tok")} AS h
+           |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) u) w
+           |GROUP BY doc_id),
+           |nr AS (SELECT b.id, COUNT(*)::BIGINT AS n_near
+           |  FROM sh b JOIN sh c
+           |    ON b.id >= 350 AND c.id < 400 AND $ham <= 3
+           |  GROUP BY b.id)
+           |SELECT d.doc_id AS id, COALESCE(nr.n_near, 0)::BIGINT AS n_near,
+           |  COALESCE(nr.n_near, 0) = 0 AS is_new
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 350) d
+           |LEFT JOIN nr ON d.doc_id = nr.id
+           |ORDER BY id""".stripMargin
+      },
+
+      // simhashPairsAuto replay: the chunk width comes from DuckDB's
+      // own COUNT(*) through the SAME clamp arithmetic as
+      // SimilarityOps.naturalBits (ceil(log2(n/occ)), clamp [6, 15]) —
+      // a scalar CTE, so the 60 statically-built bit terms are MASKED
+      // to the first 4·cb bits instead of the SQL shape depending on
+      // data. Chunk blocking needs no replay at all: pigeonhole makes
+      // it EXACT for maxDist ≤ chunks−1, so the pair set is just
+      // "hamming ≤ 3 over all pairs" at the derived width (q48's form)
+      "q255_simhash_auto" -> {
+        val maxBits = 60 // chunks=4 × cap 15
+        val terms = (0 until maxBits).map { b =>
+          s"CASE WHEN $b < 4 * p.cb AND SUM(CASE WHEN ((((h * ${b + 7} + $b) % 1000000007) + 1) * 2654435761 >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH p AS (SELECT LEAST(15, GREATEST(6,
+           |    CAST(CEIL(LOG2(COUNT(*) / 16.0)) AS INT))) AS cb
+           |  FROM documents),
+           |sh AS (SELECT doc_id AS id, ($terms) AS simhash
+           |  FROM (SELECT doc_id, ${polyhashSql("tok")} AS h
+           |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) u)
+           |    w, p
+           |  GROUP BY doc_id, p.cb)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM sh a, sh b
+           |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
       },
 

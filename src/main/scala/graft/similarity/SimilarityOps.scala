@@ -200,8 +200,6 @@ object SimilarityOps {
                         threshold: Double, bands: Int = 3,
                         bitsPerBand: Int = 4,
                         centerSignature: Boolean = false): DataFrame = {
-    val bits = bands * bitsPerBand
-    val mask = (1L << bitsPerBand) - 1
     // centerSignature: mean-center each vector BEFORE projecting (the
     // verify cosine still reads the raw vectors). On an all-nonnegative
     // population — byte histograms, TF vectors — the plain sign bits
@@ -214,20 +212,22 @@ object SimilarityOps {
     // collide in every band (the transform is deterministic). Mixed-
     // sign embeddings don't need it, and the default keeps the band
     // keys the r1-r8 oracles replay. The centering lives INSIDE
-    // hyperplaneSignature (native codegen when installed) — the r9
+    // the signature expression (native codegen when installed) — the r9
     // transform-with-nested-mean spelling re-evaluated the mean
     // aggregate per element per bit, interpreted (r10 soak finding).
+    //
+    // Band keys come from the MULTI-WORD signature (r11 order sheet #1):
+    // word b of hyperplaneSignatureWide(bands, bitsPerBand) IS band b's
+    // key — bit-identical to the old single-long shift-and-mask slices
+    // whenever bands×bitsPerBand ≤ 63 (spec-pinned), so every existing
+    // oracle replays unchanged, and the key space now follows the
+    // occupancy policy PAST the one-long cap (EdgeProbe measured 11.1×
+    // candidates for 3.33× data at the frozen b12; BlobProbe 1000×/b16
+    // realized 83% of all sign cells — the old form had no knob left).
     val banded = emb
       .select(col(idCol), col(vecCol),
-        hyperplaneSignature(col(vecCol), bits, centerSignature).as("__sig"))
-      .select(col(idCol), col(vecCol),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(mask))
-              .as("key"))
-        }: _*)).as("__bk"))
-      .select(col(idCol), col(vecCol),
-        col("__bk.band").as("band"), col("__bk.key").as("key"))
+        posexplode(hyperplaneSignatureWide(col(vecCol), bands, bitsPerBand,
+          centerSignature)).as(Seq("band", "key")))
     val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a"),
       col("band"), col("key"))
     val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"),
@@ -273,7 +273,21 @@ object SimilarityOps {
     * flat in `iters` and nothing upstream re-executes.
     */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                iters: Int): DataFrame = {
+                iters: Int): DataFrame =
+    kmeansCentroids(emb, idCol, vecCol, k, iters)
+      .select(col("centroid"), col("n_members"),
+        posexplode(col("__cvec")).as(Seq("pos0", "avg_v")))
+      .select(col("centroid"), (col("pos0") + 1).cast("int").as("pos"),
+        col("avg_v"), col("n_members"))
+
+  /** [[kmeansFit]]'s loop returning the ASSEMBLED model — (centroid,
+    * __cvec: array<double>, n_members) — the form the trained IVF-PQ
+    * path consumes directly (assignment, probe shortlist); kmeansFit
+    * explodes it to the long contract shape. The returned DF is
+    * `localCheckpoint`ed by the final round.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
     require(k <= 1024, "packed argmin keeps centroid in 10 bits")
     require(iters >= 1, "at least one Lloyd round")
     var cents = emb.filter(col(idCol) < k)
@@ -297,10 +311,6 @@ object SimilarityOps {
         .localCheckpoint(true)
     }
     cents
-      .select(col("centroid"), col("n_members"),
-        posexplode(col("__cvec")).as(Seq("pos0", "avg_v")))
-      .select(col("centroid"), (col("pos0") + 1).cast("int").as("pos"),
-        col("avg_v"), col("n_members"))
   }
 
   /** IVF search: probe only the query vector's centroid block, then
@@ -490,11 +500,20 @@ object SimilarityOps {
                        cbSource: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && nCodes > 0 && nCodes <= 1024,
       "packed argmin keeps the code in 10 bits")
-    val parts = pqSubvectors(emb, idCol, vecCol, m)
     val cb = pqSubvectors(cbSource.getOrElse(emb).filter(col(idCol) < nCodes),
         idCol, vecCol, m)
       .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
-    parts.join(broadcast(cb), "sub")
+    pqAssignGiven(emb, idCol, vecCol, m, cb)
+  }
+
+  /** [[pqAssign]] against an EXPLICIT per-subspace codebook
+    * `cb` = (code: long in [0, 1024), sub, __cbvec) — the trained-
+    * quantizer path shares the one packed-argmin assignment with the
+    * seed-sampled operators so the two can never desynchronize.
+    */
+  private def pqAssignGiven(emb: DataFrame, idCol: String, vecCol: String,
+                            m: Int, cb: DataFrame): DataFrame =
+    pqSubvectors(emb, idCol, vecCol, m).join(broadcast(cb), "sub")
       .withColumn("__d2m",
         round(sqDistance(col("subvec"), col("__cbvec")) * 1e6).cast("long"))
       .withColumn("__enc", col("__d2m") * 1024L + col("code"))
@@ -503,6 +522,83 @@ object SimilarityOps {
       .select(col(idCol), col("sub"),
         col("__enc").bitwiseAND(lit(1023L)).as("code"),
         shiftright(col("__enc"), 10).as("d2m"))
+
+  /** Lloyd-trained per-subspace PQ codebooks — the training the r11
+    * encoding-ladder measurement identified as the missing piece
+    * (residual encoding showed no gain BECAUSE the codebooks were
+    * seed-sampled first-n rows; Jégou et al. train them with k-means
+    * per subspace). ALL m subspaces train in ONE loop over the long
+    * form (id, sub, subvec): seed = the first `nCodes` rows' slices
+    * (the deterministic rule every PQ operator shares), then `iters`
+    * rounds of packed-argmin assignment (d2m micro-units, code
+    * tiebreak) → per-(sub, code, pos) 6-dp-rounded means. Every mean
+    * is exactly representable after rounding, so the whole fit is
+    * replayable cross-engine like [[kmeansFit]]; codes that lose all
+    * members drop out in both engines. Output (code, sub, __cbvec).
+    *
+    * Scale: the slice explode is map-side; each round is one broadcast
+    * m×nCodes join + two HashAggregates with map-side partials (the
+    * shuffle carries n×m assignment rows, then m×nCodes×subDim partial
+    * sums — never vectors pairwise). The per-round model is
+    * localCheckpoint'ed so lineage stays flat in `iters`.
+    */
+  def pqCodebookFit(emb: DataFrame, idCol: String, vecCol: String,
+                    m: Int, nCodes: Int, iters: Int): DataFrame = {
+    require(m > 0 && nCodes > 0 && nCodes <= 1024,
+      "packed argmin keeps the code in 10 bits")
+    require(iters >= 1, "at least one Lloyd round")
+    // every round's E-step reads the slices; checkpoint once so the
+    // explode (and the upstream scan) doesn't re-run per round
+    val parts = pqSubvectors(emb, idCol, vecCol, m)
+      .select(col(idCol).as("__pid"), col("sub"), col("subvec"))
+      .localCheckpoint()
+    var cb = parts.filter(col("__pid") < nCodes)
+      .select(col("__pid").cast("long").as("code"), col("sub"),
+        col("subvec").as("__cbvec"))
+    for (_ <- 1 to iters) {
+      // subvec is constant per (__pid, sub) group, so first() rides the
+      // packed-argmin HashAggregate deterministically — no join back
+      val assigned = parts.join(broadcast(cb), "sub")
+        .withColumn("__d2m",
+          round(sqDistance(col("subvec"), col("__cbvec")) * 1e6).cast("long"))
+        .withColumn("__enc", col("__d2m") * 1024L + col("code"))
+        .groupBy(col("__pid"), col("sub"))
+        .agg(min(col("__enc")).as("__enc"), first(col("subvec")).as("subvec"))
+        .select(col("sub"), col("__enc").bitwiseAND(lit(1023L)).as("code"),
+          col("subvec"))
+      cb = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("subvec")).as(Seq("pos0", "v")))
+        .groupBy(col("sub"), col("code"),
+          (col("pos0") + 1).cast("int").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("avg_v"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("avg_v")))),
+          s => s("avg_v")).as("__cbvec"))
+        .localCheckpoint(true)
+    }
+    cb.select(col("code"), col("sub"), col("__cbvec"))
+  }
+
+  /** [[ivfPqIndex]] with TRAINED quantizers — coarse centroids from
+    * `iters` Lloyd rounds ([[kmeansFit]]) and per-subspace codebooks
+    * from [[pqCodebookFit]] — closing the loop the r11 measurement
+    * opened (seed-sampled codebooks were why residual encoding showed
+    * no gain). Same output shape and serving plan as the seed index:
+    * 4-byte codes scanned, (sub, code) equi-joins, no per-candidate
+    * vector math.
+    */
+  def ivfPqIndexTrained(emb: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int, m: Int = 8, nCodes: Int = 16,
+                        iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCentroids, iters)
+      .select(col("centroid"), col("__cvec"))
+    val cb = pqCodebookFit(emb, idCol, vecCol, m, nCodes, iters)
+    assignToGivenCentroids(emb, idCol, vecCol, cents)
+      .select(col(idCol), col("centroid"))
+      .join(pqAssignGiven(emb, idCol, vecCol, m, cb)
+        .select(col(idCol), col("sub"), col("code")), Seq(idCol))
   }
 
   /** Product-quantization encode: each vector compressed to one packed
@@ -735,25 +831,40 @@ object SimilarityOps {
                         queryPred: Column, nCentroids: Int, m: Int = 8,
                         nCodes: Int = 16, k: Int = 10,
                         nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
-    require(k > 0, "k must be positive")
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
       "every nprobe must be in [1, nCentroids]")
+    val cents = emb.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("centroid"), col(vecCol).as("__cvec"))
+    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
+      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
+    recallLadderCore(emb, idCol, vecCol, queryPred, cents, cb, idx, m, k,
+      nprobes)
+  }
+
+  /** The ladder body over an EXPLICIT (coarse centroids, per-subspace
+    * codebook, index) triple — shared by the seed-sampled
+    * [[ivfPqRecallLadder]] and the trained [[ivfPqRecallLadderTrained]]
+    * so the rung semantics (nested-prefix probe sets, one checkpointed
+    * ADC pass, integer-permille recall) live exactly once.
+    */
+  private def recallLadderCore(emb: DataFrame, idCol: String,
+                               vecCol: String, queryPred: Column,
+                               cents: DataFrame, cb: DataFrame,
+                               idx: DataFrame, m: Int, k: Int,
+                               nprobes: Seq[Int]): DataFrame = {
+    require(k > 0, "k must be positive")
     val maxP = nprobes.max
     val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint() // every rung's hit join + the totals read it
-    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
     val cand = idx.join(
       broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
       col(idCol) === col("__qid"), "left_anti")
     val qcent = probeCentroids(
       emb.filter(queryPred)
         .select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      emb.filter(col(idCol) < nCentroids)
-        .select(col(idCol).as("centroid"), col(vecCol).as("__cvec")),
-      maxP)
-    val cb = pqSubvectors(emb.filter(col(idCol) < nCodes), idCol, vecCol, m)
-      .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
+      cents, maxP)
     val lut = pqSubvectors(emb.filter(queryPred), idCol, vecCol, m)
       .select(col(idCol).as("query_id"), col("sub"),
         col("subvec").as("__qvec"))
@@ -784,6 +895,33 @@ object SimilarityOps {
           col("n_hits"), col("n_exact"),
           expr("(1000 * n_hits) div n_exact").as("recall_permille"))
     }.reduce(_ unionAll _)
+  }
+
+  /** [[ivfPqRecallLadder]] over the TRAINED index: coarse centroids
+    * from `iters` Lloyd rounds, per-subspace codebooks from
+    * [[pqCodebookFit]] — the measured answer to "does training the
+    * quantizers buy recall at the same code budget" (r11 order sheet
+    * #2). Both trained models are localCheckpoint'ed so the ladder's
+    * assignment, probe shortlist, and LUT all read one materialized
+    * k×d / m×nCodes×subDim table.
+    */
+  def ivfPqRecallLadderTrained(emb: DataFrame, idCol: String,
+                               vecCol: String, queryPred: Column,
+                               nCentroids: Int, m: Int = 8,
+                               nCodes: Int = 16, k: Int = 10,
+                               nprobes: Seq[Int] = Seq(1, 2, 4),
+                               iters: Int = 2): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
+      "every nprobe must be in [1, nCentroids]")
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCentroids, iters)
+      .select(col("centroid"), col("__cvec"))
+    val cb = pqCodebookFit(emb, idCol, vecCol, m, nCodes, iters)
+    val idx = assignToGivenCentroids(emb, idCol, vecCol, cents)
+      .select(col(idCol), col("centroid"))
+      .join(pqAssignGiven(emb, idCol, vecCol, m, cb)
+        .select(col(idCol), col("sub"), col("code")), Seq(idCol))
+    recallLadderCore(emb, idCol, vecCol, queryPred, cents, cb, idx, m, k,
+      nprobes)
   }
 
   /** Per-vector coarse residuals — x − centroid(assign(x)) element-wise
@@ -918,9 +1056,11 @@ object SimilarityOps {
   def ivfPqEncodingLadder(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, nCentroids: Int, m: Int = 8,
                           nCodes: Int = 16, k: Int = 10,
-                          nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame =
-    ivfPqRecallLadder(emb, idCol, vecCol, queryPred, nCentroids, m,
-        nCodes, k, nprobes)
+                          nprobes: Seq[Int] = Seq(1, 2, 4),
+                          includeTrained: Boolean = false,
+                          trainIters: Int = 2): DataFrame = {
+    val rawAndResidual = ivfPqRecallLadder(emb, idCol, vecCol, queryPred,
+        nCentroids, m, nCodes, k, nprobes)
       .select(lit("raw").as("encoding"), col("nprobe"), col("n_queries"),
         col("n_hits"), col("n_exact"), col("recall_permille"))
       .unionAll(
@@ -929,6 +1069,18 @@ object SimilarityOps {
           .select(lit("residual").as("encoding"), col("nprobe"),
             col("n_queries"), col("n_hits"), col("n_exact"),
             col("recall_permille")))
+    // third encoding (r11 order sheet #2): Lloyd-TRAINED coarse
+    // centroids + per-subspace codebooks at the same code budget — the
+    // row the r11 measurement said was needed before residual-vs-raw
+    // could be read as more than a seed-sampling artifact
+    if (!includeTrained) rawAndResidual
+    else rawAndResidual.unionAll(
+      ivfPqRecallLadderTrained(emb, idCol, vecCol, queryPred, nCentroids,
+          m, nCodes, k, nprobes, trainIters)
+        .select(lit("trained").as("encoding"), col("nprobe"),
+          col("n_queries"), col("n_hits"), col("n_exact"),
+          col("recall_permille")))
+  }
 
   /** Batch IVF-PQ serving — [[ivfPqTopK]] for a query SET (the shape a
     * deployed 100 TB index actually runs: one scored-candidate pass for

@@ -291,6 +291,61 @@ object EventStreams {
         (!col("exact_dup") && col("n_near") === 0).as("is_new"))
   }
 
+  /** Stream-static SimHash dedup gate — the streaming twin of
+    * `Dedup.crossCorpusDedupSimhash` and the 18th stream==batch pin
+    * (r11 order sheet #4: the streaming arm covered MinHash-LSH but
+    * nothing in the SimHash family). The static corpus compresses once
+    * at plan time into the multi-word wide-sketch index
+    * (`Dedup.simhashTableWide` — precomputable at 100 TB); every batch
+    * doc is sketched STATELESSLY (per-row HOF folds over its token
+    * hashes — `Dedup.simhashWideFromHashes`, bit-identical to the
+    * aggregate form; a streaming plan cannot aggregate before its
+    * probe join), probed by the (wordIdx, wordValue) equi-join —
+    * pigeonhole-exact for maxDist ≤ words−1 — and rolled up by ONE
+    * update-mode aggregate keyed by doc id. Decision rows
+    * (id, n_near, is_new) are identical to the batch operator's
+    * (spec-pinned); token-less docs carry no sketch and decide
+    * (0, true) in both forms.
+    */
+  def corpusDedupStreamSimhash(newDocs: DataFrame, corpus: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text", words: Int = 4,
+                               bitsPerWord: Int = 60,
+                               maxDist: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    require(maxDist <= words - 1,
+      "word blocking is exact only for maxDist <= words-1")
+    val chunkedC = graft.pipeline.Dedup
+      .simhashTableWide(corpus, idCol, textCol, words, bitsPerWord)
+      .select(col("id").as("__cid"), col("simhash").as("__csk"))
+      .cache()
+      .select(col("__cid"), col("__csk"),
+        posexplode(col("__csk")).as(Seq("wi", "wv")))
+    // hash once per token into its own projection (a non-cheap alias,
+    // so CollapseProject keeps the barrier and the words×bitsPerWord
+    // sketch folds below read the materialized array, not the char fold)
+    val hashed = newDocs.select(col(idCol),
+      transform(tokens(col(textCol)), t => polyHash(t)).as("__hashes"))
+    val withSk = hashed.select(col(idCol),
+      when(size(col("__hashes")) > 0,
+        graft.pipeline.Dedup.simhashWideFromHashes(col("__hashes"), words,
+          bitsPerWord)).as("__sk"))
+    val hamming = aggregate(
+      zip_with(col("__sk"), col("__csk"),
+        (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    withSk
+      .select(col(idCol), col("__sk"),
+        posexplode_outer(col("__sk")).as(Seq("wi", "wv")))
+      .join(chunkedC, Seq("wi", "wv"), "left")
+      .select(col(idCol),
+        when(col("__cid").isNotNull && hamming <= maxDist, col("__cid"))
+          .as("__near_id"))
+      .groupBy(col(idCol))
+      .agg(size(collect_set(col("__near_id"))).cast("long").as("n_near"))
+      .select(col(idCol), col("n_near"), (col("n_near") === 0).as("is_new"))
+  }
+
   /** Streaming Bloom decontamination — the streaming twin of
     * `Corpus.bloomDecontaminate` and the cheapest member of the
     * stream-screening family: the static eval/blocklist corpus

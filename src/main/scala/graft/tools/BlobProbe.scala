@@ -41,17 +41,17 @@ object BlobProbe {
     val hist = graft.pipeline.Dedup
       .binaryHistograms(blobN, "doc_id", "bin", bins)
     val bands = 3
-    val mask = (1L << bits) - 1
     // mirror binaryNearDupPairs' centered signature (histograms are
-    // all-nonnegative — see the lshCandidatePairs scaladoc)
-    val banded = hist.select(graft.functions.VectorFunctions
-        .hyperplaneSignature(col("hist"), bands * bits, center = true)
-        .as("__sig"))
-      .select(explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * bits).bitwiseAND(lit(mask))
-            .as("key"))
-      }: _*)).as("__bk"))
+    // all-nonnegative — see the lshCandidatePairs scaladoc). Band keys
+    // come from the MULTI-WORD signature, identical to the old
+    // single-long slices for bands×bits ≤ 63 and well-defined past it
+    // (r11 order sheet #1: the 1000×/b16 run realized 83% of the
+    // 3·2¹⁶ sign cells — the next decade needs wider keys than one
+    // long can carry).
+    val banded = hist.select(posexplode(graft.functions.VectorFunctions
+        .hyperplaneSignatureWide(col("hist"), bands, bits, center = true))
+        .as(Seq("band", "key")))
+      .select(struct(col("band"), col("key")).as("__bk"))
     val t0 = System.nanoTime()
     val c = banded.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
       .agg(sum(expr("__n * (__n - 1) div 2")).as("__p"),

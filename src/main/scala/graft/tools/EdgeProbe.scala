@@ -56,17 +56,18 @@ object EdgeProbe {
             .otherwise(-1.0f)).cast("float")).as("embedding"))
     // the banded self-join's fan-out — the true shuffle driver — is
     // Σ_buckets C(n_b, 2) over all (band, key) buckets, computable
-    // with ONE aggregate instead of the join itself
+    // with ONE aggregate instead of the join itself. Band keys come
+    // from the MULTI-WORD signature (word b = band b's key — identical
+    // to the old single-long slices for bands×bits ≤ 63, spec-pinned),
+    // so the probe can measure widths PAST the one-long cap (r11 order
+    // sheet #1: at the frozen b12 this probe grew candidates 11.1× for
+    // 3.33× data — the escape needs keys wider than 63/bands bits).
     val bands = 3
-    val mask = (1L << bits) - 1
     val banded = embN
-      .select(graft.functions.VectorFunctions
-        .hyperplaneSignature(col("embedding"), bands * bits).as("__sig"))
-      .select(explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * bits).bitwiseAND(lit(mask))
-            .as("key"))
-      }: _*)).as("__bk"))
+      .select(posexplode(graft.functions.VectorFunctions
+        .hyperplaneSignatureWide(col("embedding"), bands, bits))
+        .as(Seq("band", "key")))
+      .select(struct(col("band"), col("key")).as("__bk"))
     val cand = banded.groupBy(col("__bk"))
       .agg(count(lit(1)).as("__n"))
       .agg(sum(expr("__n * (__n - 1) div 2")).as("__pairs"))
@@ -133,13 +134,11 @@ object EdgeProbe {
             .toDouble
         }
         val bandedIds = embN
-          .select(col("vec_id"), graft.functions.VectorFunctions
-            .hyperplaneSignature(col("embedding"), bands * bits).as("__sig"))
-          .select(col("vec_id"), explode(array((0 until bands).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("__sig"), b * bits).bitwiseAND(lit(mask))
-                .as("key"))
-          }: _*)).as("__bk"))
+          .select(col("vec_id"), posexplode(graft.functions.VectorFunctions
+            .hyperplaneSignatureWide(col("embedding"), bands, bits))
+            .as(Seq("band", "key")))
+          .select(col("vec_id"),
+            struct(col("band"), col("key")).as("__bk"))
         val a = bandedIds.select(col("vec_id").as("id_a"), col("__bk"))
         val b = bandedIds.select(col("vec_id").as("id_b"), col("__bk"))
         import spark.implicits._

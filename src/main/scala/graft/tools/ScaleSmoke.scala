@@ -74,8 +74,11 @@ object ScaleSmoke {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     val bitsOverride: Option[Int] = args.drop(4).headOption.map(_.toInt)
-    bitsOverride.foreach(b => require(b >= 4 && b <= 16,
-      s"bits override $b outside the sane band-key range [4,16]"))
+    // band keys ride the multi-word signature (r12), so widths past the
+    // old one-long 63/bands cap are legal; 40 is still far beyond any
+    // occupancy the soak ladder needs
+    bitsOverride.foreach(b => require(b >= 4 && b <= 40,
+      s"bits override $b outside the sane band-key range [4,40]"))
     // a typo'd section name must fail HERE, not silently disable every
     // section and waste an hours-long soak window
     val unknown = only -- SectionNames

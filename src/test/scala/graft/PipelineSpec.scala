@@ -367,6 +367,89 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hyperplaneSignatureWide: word w IS the single-long signature's " +
+       "w-th slice (the SimHash-twin pin), native==HOF, null collapse, " +
+       "and band keys survive past the one-long cap") {
+    Graft.install(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val hist = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select(col("doc_id").as("id"),
+        Graft.byteHistogram(encode(col("text"), "UTF-8"), 64).as("v"))
+    val edges = Seq(
+      (9000001L, Seq.empty[Float]),
+      (9000002L, Seq(0f, 0f, 0f)),
+      (9000003L, Seq(-1f, -2f, -3f)),
+      (9000004L, Seq(5f))).toDF("id", "v")
+    // 1) slice equality wherever words×bitsPerWord fits one long: the
+    //    lshCandidatePairs band-key routing through the wide form is
+    //    byte-identical to the old shift-and-mask slices exactly when
+    //    this holds (same global bit index mix)
+    for (df <- Seq(emb, hist, edges); center <- Seq(false, true);
+         (words, bpw) <- Seq((4, 12), (3, 4), (2, 31))) {
+      val mask = (1L << bpw) - 1
+      val diverged = df.select(
+          VectorFunctions.hyperplaneSignature(col("v"), words * bpw, center)
+            .as("narrow"),
+          VectorFunctions.hyperplaneSignatureWide(col("v"), words, bpw, center)
+            .as("wide"))
+        .filter((0 until words).map { w =>
+          element_at(col("wide"), w + 1) =!=
+            shiftright(col("narrow"), w * bpw).bitwiseAND(lit(mask))
+        }.reduce(_ || _))
+        .count()
+      assert(diverged == 0,
+        s"wide($words,$bpw) diverges from single-long slices (center=$center)")
+    }
+    // 2) native codegen == HOF fallback, INCLUDING a width no single
+    //    long can hold (4×20 = 80 bits) and null-element arrays
+    val rnd = new scala.util.Random(0xBEEF12)
+    val rows = (0 until 200).map { id =>
+      val d = rnd.nextInt(96)
+      val v = Seq.fill(d)((rnd.nextFloat() - 0.5f) *
+        math.pow(10.0, rnd.nextInt(5) - 2).toFloat)
+      (id.toLong, v)
+    }
+    val rdf = rows.toDF("id", "v").repartition(5)
+    val withNulls = rdf.select(col("id"),
+      transform(col("v"), (x, i) =>
+        when(pmod(col("id") + i, lit(7)) === 0, lit(null)).otherwise(x)
+          .cast("float")).as("v"))
+    for (df <- Seq(rdf, withNulls); center <- Seq(false, true)) {
+      val saved = VectorFunctions.nativeSignatureEnabled
+      val hofCol =
+        try {
+          VectorFunctions.nativeSignatureEnabled = false
+          VectorFunctions.hyperplaneSignatureWide(col("v"), 4, 20, center)
+        } finally VectorFunctions.nativeSignatureEnabled = saved
+      val out = df.select(col("id"),
+        VectorFunctions.hyperplaneSignatureWide(col("v"), 4, 20, center)
+          .as("native"),
+        hofCol.as("hof"))
+      assert(out.filter(col("native") =!= col("hof")).count() == 0,
+        s"wide native/HOF divergence (center=$center)")
+    }
+    // null-containing vectors collapse to ALL-ZERO words (the single-
+    // long form's 0L, word-wise)
+    assert(withNulls.filter(exists(col("v"), _.isNull))
+      .select(VectorFunctions.hyperplaneSignatureWide(col("v"), 4, 20)
+        .as("w"))
+      .filter(exists(col("w"), _ =!= 0L)).count() == 0,
+      "null-containing vectors must collapse to all-zero words")
+    // 3) the routed operator still finds planted twins BEYOND the old
+    //    bands×bitsPerBand ≤ 63 cap: identical vectors agree in every
+    //    64-bit-total band key
+    val twins = emb.limit(50).unionAll(
+      emb.limit(50).select((col("id") + 1000000L).as("id"), col("v")))
+    val pairs = SimilarityOps.lshCandidatePairs(twins, "id", "v",
+        threshold = 0.999, bands = 4, bitsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 50 &&
+      pairs.count(p => p._2 == p._1 + 1000000L) == 50,
+      s"planted twins must all collide at 4x16-bit bands, got ${pairs.length}")
+  }
+
   test("ivfTopK: results come from the query's block, sorted by sim desc") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assigned = SimilarityOps.assignToCentroids(emb, "vec_id", "embedding", 4)

@@ -79,6 +79,10 @@ class PlanBuildJobsSpec extends SparkSpec {
     "q250_ivfpq_nprobe" -> "exact top-k + scored-candidate localCheckpoint",
     "q251_ivfpq_residual" ->
       "raw + residual ladders: exact top-k + scored-candidate localCheckpoints",
+    "q256_ivfpq_trained" ->
+      ("q251's checkpoints + the trained branch's Lloyd loops " +
+        "(kmeansCentroids rounds, pqCodebookFit rounds — the rounds ARE " +
+        "the algorithm, models are k×d / m×nCodes×subDim checkpoints)"),
     // BPE merge training
     "q158_bpe_merges" -> "BPE merge loop",
     "q163_bpe_vocab" -> "BPE merge loop",
@@ -86,6 +90,9 @@ class PlanBuildJobsSpec extends SparkSpec {
     "q232_tokenizer_fertility" -> "BPE merge loop",
     // bounded scalar probes + selection checkpoints in dedup/text ops
     "q42_ngram_jaccard_pairs" -> "Dedup scale-switch scalar",
+    "q255_simhash_auto" ->
+      ("simhashPairsAuto width probe: ONE count() sizes the chunk keys " +
+        "from n (the naturalBits policy) — documented in its scaladoc"),
     "q166_winnowing" -> "Dedup selection checkpoint",
     "q188_sorted_neighborhood" -> "Dedup selection checkpoint",
     "q190_jaro_winkler" -> "Dedup selection checkpoint",

@@ -249,6 +249,11 @@ class PlanSpec extends SparkSpec {
     //    q251 (q250's sides for BOTH encodings — the residual ladder
     //    adds only a per-(query, probed-cell) LUT, |queries|×nprobe×
     //    m×nCodes broadcast rows, still bounded),
+    //    q256 (q251's sides for raw+residual, PLUS the trained branch:
+    //    kmeansCentroids' ≤1024-row model per Lloyd round — q118's one
+    //    BNLJ per round — and pqCodebookFit's m×nCodes≤1024·m-row
+    //    codebook per round; every trained-side broadcast is a model
+    //    table, never corpus rows),
     //    q252 (batch serving: probeCentroids' shortlist + the batch
     //    LUT — the q250 serving sides without the recall audit),
     //    q218 (the single stream-total row of the stop-word shares),
@@ -279,7 +284,7 @@ class PlanSpec extends SparkSpec {
       "q192_knn_outliers", "q198_chi_square", "q205_churn_labels",
       "q209_dup_profile", "q216_batch_ann", "q217_ann_recall",
       "q246_ivfpq_topk", "q247_ivfpq_recall", "q250_ivfpq_nprobe",
-      "q251_ivfpq_residual", "q252_ivfpq_batch",
+      "q251_ivfpq_residual", "q252_ivfpq_batch", "q256_ivfpq_trained",
       "q212_cluster_labels", "q218_stopwords", "q219_vocab_growth",
       "q222_tfidf_tags",
       "q34_centroid_assign", "q53_blocked_allpairs", "q75_kmeans_step",

@@ -403,6 +403,50 @@ class StreamingSpec extends SparkSpec {
       "overlap rows [20,30) are exact corpus duplicates — non-vacuous")
   }
 
+  test("stream-static SimHash dedup gate == batch crossCorpusDedupSimhash " +
+       "(the 18th stream==batch pin — wide-sketch word probe)") {
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 30)
+    val batchDocs = docs.filter(col("doc_id") >= 20 && col("doc_id") < 60)
+    val dir = Files.createTempDirectory("docstream-simhash").toString
+    Seq((20, 40, "b0"), (40, 60, "b1")).foreach { case (lo, hi, name) =>
+      val tmp = Files.createTempDirectory(s"shbatch$name").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch_$name.parquet"))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // small sketch config keeps the stateless per-row fold tree modest;
+    // the WIDTH semantics are identical at any (words, bitsPerWord)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.corpusDedupStreamSimhash(stream, corpus,
+        words = 4, bitsPerWord = 12),
+      "corpus_simhash_test", OutputMode.Update())
+    val batch = graft.pipeline.Dedup.crossCorpusDedupSimhash(
+      corpus, batchDocs, "doc_id", "text", words = 4, bitsPerWord = 12)
+    val s = streamed.orderBy("doc_id")
+      .select("doc_id", "n_near", "is_new")
+      .collect().map(_.toString).toSeq
+    val b = batch.orderBy("id")
+      .select("id", "n_near", "is_new")
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b,
+      "streamed word-probe decisions must equal the batch SimHash gate")
+    // the [20, 30) overlap rows ARE corpus docs: hamming 0 ⇒ near
+    assert(streamed.filter(col("doc_id") < 30 && !col("is_new"))
+      .count() == 10, "overlap rows must all flag near-dups — non-vacuous")
+  }
+
   test("streaming transitions aggregate to the batch transition matrix") {
     val dir = Files.createTempDirectory("evstream_tr").toString
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
