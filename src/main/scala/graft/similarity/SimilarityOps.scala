@@ -1094,11 +1094,28 @@ object SimilarityOps {
   def ivfPqBatchTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, nCentroids: Int, m: Int = 8,
                      nCodes: Int = 16, k: Int = 10,
-                     nprobe: Int = 1): DataFrame = {
+                     nprobe: Int = 1): DataFrame =
+    ivfPqBatchTopKIndexed(
+      ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes),
+      emb, idCol, vecCol, queryPred, nCentroids, m, nCodes, k, nprobe)
+
+  /** [[ivfPqBatchTopK]] over a PREBUILT index `idx` = (id, centroid,
+    * sub, code) — the deployed serving path (r11 order sheet #3): at
+    * 100 TB the index is written ONCE, partitioned/bucketed by
+    * `centroid`, and a probe reads 4-byte codes from the shortlisted
+    * cells only (the broadcast centroid join triggers dynamic partition
+    * pruning on a centroid-partitioned layout), never touching vectors
+    * or paying the build again. The query side still reads `emb` for
+    * the query batch, the ≤1024-row centroid table, and the m×nCodes
+    * codebook — all broadcast-sized.
+    */
+  def ivfPqBatchTopKIndexed(idx: DataFrame, emb: DataFrame, idCol: String,
+                            vecCol: String, queryPred: Column,
+                            nCentroids: Int, m: Int = 8, nCodes: Int = 16,
+                            k: Int = 10, nprobe: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
     require(nprobe >= 1 && nprobe <= nCentroids,
       "nprobe must be in [1, nCentroids]")
-    val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
     val cand = idx.join(
       broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
       col(idCol) === col("__qid"), "left_anti")
