@@ -172,6 +172,25 @@ object SimilarityOps {
     * rather than hard-code it. Promoted out of `tools/ScaleSmoke`
     * (r10 order sheet #2); the defaults reproduce ScaleSmoke's band
     * policy bit-for-bit (≈500 rows per bucket per band, 4..16 bits).
+    *
+    * The cap is no longer structural (r12): band keys ride the
+    * multi-word signature, so widths past 63/bands bits are legal.
+    * WIDTH IS NOT FREE, though — it trades RECALL at the operator's
+    * similarity threshold: a sign bit agrees for a θ-apart pair with
+    * probability 1 − θ/π, so a b-bit band collides at (1 − θ/π)^b and
+    * widening b cuts moderate-similarity recall exponentially while
+    * the OR-construction over `bands` claws it back. Measured
+    * (EdgeProbe, 2 M replicated vectors, threshold 0.4): b12 emits
+    * 1.68 B candidates, b20 emits 9.8 M — but b20's candidate set is
+    * SMALLER than b12's VERIFIED edge set at 300× (0.88 M candidates
+    * vs 1.14 M true edges), i.e. wide keys at 3 bands drop real
+    * 0.4-similarity edges. Near-EXACT families are immune — a
+    * verbatim/identical pair agrees in every bit, so dedup at
+    * threshold ≈ 1 (binaryNearDupPairs at 0.999, the planted-twin
+    * soaks) keeps 100% of its targets at any width. Policy: raise
+    * width freely for high-threshold dedup; for moderate-threshold
+    * similarity GRAPHS, raise `bands` together with width (standard
+    * (r, b) LSH tuning), or keep the cap.
     */
   def naturalBits(n: Long, targetOccupancy: Double = 500.0,
                   floor: Int = 4, cap: Int = 16): Int = {
@@ -1052,6 +1071,20 @@ object SimilarityOps {
     * (they ARE the seed centroids), so the residual codebook's
     * effective size is nCodes − nCentroids when they overlap; an
     * offset seed was measured within noise of this (230‰/282‰).
+    *
+    * `includeTrained = true` adds the loop-closing third row the r11
+    * measurement called for: 2-round-Lloyd coarse centroids
+    * ([[kmeansCentroids]]) + per-subspace trained codebooks
+    * ([[pqCodebookFit]]) at the same code budget. MEASURED (r12, same
+    * fixture and budget, `ladder_probe_sf01_r12.json`): trained wins
+    * every rung — 314/330/346/380‰ at nprobe 1/2/4/8 vs raw's
+    * 264/282/290/276 — and is the only encoding whose recall rises
+    * MONOTONICALLY with nprobe (raw and residual both plateau or dip:
+    * with seed-sampled cells, extra probed blocks add badly-quantized
+    * candidates that displace true hits). The r11 hypothesis is
+    * confirmed: the residual no-gain was a codebook-training artifact,
+    * and two Lloyd rounds buy +19%…+38% relative recall before any
+    * width/probe budget change.
     */
   def ivfPqEncodingLadder(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, nCentroids: Int, m: Int = 8,
