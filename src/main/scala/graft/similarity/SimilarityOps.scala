@@ -1149,9 +1149,6 @@ object SimilarityOps {
     require(k > 0, "k must be positive")
     require(nprobe >= 1 && nprobe <= nCentroids,
       "nprobe must be in [1, nCentroids]")
-    val cand = idx.join(
-      broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
-      col(idCol) === col("__qid"), "left_anti")
     val qcent = probeCentroids(
       emb.filter(queryPred)
         .select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
@@ -1169,8 +1166,17 @@ object SimilarityOps {
           .as("__lm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col(idCol).asc)
-    cand.join(broadcast(qcent.select(col("query_id"), col("centroid"))),
+    // centroid prune FIRST, query-exclusion after (the joins filter on
+    // disjoint keys, so order commutes on results — gate-verified):
+    // the broadcast centroid join is on the index's PARTITION column,
+    // so a centroid-partitioned layout dynamic-partition-prunes the
+    // scan to the probed cells' files BEFORE any row is read; with the
+    // anti-join first (the r11 shape), the full index scanned ahead of
+    // the prune — n rows instead of n·nprobe/nCells at 100 TB
+    idx.join(broadcast(qcent.select(col("query_id"), col("centroid"))),
         Seq("centroid"))
+      .join(broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
+        col(idCol) === col("__qid"), "left_anti")
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("__lm")).as("__adc"))

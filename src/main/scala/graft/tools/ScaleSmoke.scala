@@ -391,16 +391,27 @@ object ScaleSmoke {
       fields += s""""ivfpq_index_rows":$ixRows,"ivfpq_index_sec":${f"$ixSec%.2f"},"ivfpq_index_shuffle_bytes":$ixShuf,"ivfpq_index_disk_bytes":$ixBytes"""
       flushPartial(outFile)
       val idx = spark.read.parquet(ixDir)
+      // the serve plan's QUERY side (batch vectors, ≤nCents centroid
+      // rows, ≤nCodes codebook rows — every emb reference filters to
+      // id < nCents) is a small MATERIALIZED table in a deployment;
+      // passing the raw copies-way replica union instead made the
+      // first measured "probe-only" number mostly plan overhead —
+      // every task deserializing a 300-branch union subplan ×4
+      // references (the r10 EdgeProbe task-binary mechanism), 94.8 s
+      // at 300× against 1.9 MB of actual probe shuffle
+      val qside = embN.filter(col("vec_id") < math.max(nCents, 64))
+        .localCheckpoint(true)
       for (p <- Seq(1, 4)) {
         val (svRows, svSec, svShuf) = timed {
           forceAll(graft.similarity.SimilarityOps.ivfPqBatchTopKIndexed(
-            idx, embN, "vec_id", "embedding",
+            idx, qside, "vec_id", "embedding",
             queryPred = col("vec_id") < 64,
             nCentroids = nCents, m = 8, nCodes = 16, k = 10, nprobe = p))
         }
         fields += s""""ivfpq_serve${p}_rows":$svRows,"ivfpq_serve${p}_sec":${f"$svSec%.2f"},"ivfpq_serve${p}_shuffle_bytes":$svShuf"""
         flushPartial(outFile)
       }
+      qside.unpersist(blocking = false)
     }
     // ivfpq is the LAST consumer of the replicated-vector cache: drop
     // it before the corpus sections so the text half of an all-sections
