@@ -195,13 +195,28 @@ object Dedup {
     val occ = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
     // hash each DISTINCT token once (char-fold polyHash is the pricey
-    // part; occurrences follow a Zipf law, so distinct << total) and
-    // hash-join the occurrences back — same value per occurrence
+    // part; occurrences follow a Zipf law, so distinct << total), and
+    // evaluate ALL `bits` per-(hash, bit) sign mixes on that distinct
+    // side too, packed into one long (bit b = sign b) — the modular
+    // sign arithmetic runs |vocab| times instead of |occurrences| ×
+    // bits times, and the per-occurrence aggregate below degrades to
+    // shift-and-mask bit extraction (r12 optimization: the sign mix
+    // was the bench-dominant expression in every simhash query)
+    val signPack = (0 until bits)
+      .map(b => shiftleft(simhashBitSign(col("h"), b), b))
+      .reduce(_ + _)
     val tokHash = occ.select(col("tok")).distinct()
       .select(col("tok"), polyHash(col("tok")).as("h"))
-    val toks = occ.join(tokHash, "tok").select(col("id"), col("h"))
+      .select(col("tok"), signPack.as("__sw"))
+    // broadcast the VOCABULARY side: without the hint AQE sizes the
+    // occurrence side by its pre-explode shuffle bytes and broadcasts
+    // THAT — a single task re-tokenizing the whole corpus to build a
+    // |occurrences|-row hash relation (measured 4.8 s of q253's 9 s).
+    // The sign dictionary is the side that fits at every scale.
+    val toks = occ.join(broadcast(tokHash), "tok")
+      .select(col("id"), col("__sw"))
     val bitSums = (0 until bits).map { b =>
-      sum(when(simhashBitSign(col("h"), b) === 1, 1).otherwise(-1))
+      sum(shiftright(col("__sw"), b).bitwiseAND(1) * lit(2) - lit(1))
         .as(s"s$b")
     }
     val sketch = (0 until bits).map { b =>
@@ -269,12 +284,24 @@ object Dedup {
       "words in [1,8], bitsPerWord in [1,62]")
     val occ = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
+    // same distinct-side sign packing as [[simhashTable]] (r12), one
+    // packed long per word: the words×bitsPerWord modular sign mixes
+    // run once per DISTINCT token; occurrences aggregate bit extracts
+    val signCols = (0 until words).map { w =>
+      (0 until bitsPerWord)
+        .map(j => shiftleft(simhashBitSign(col("h"), w * bitsPerWord + j), j))
+        .reduce(_ + _).as(s"__sw$w")
+    }
     val tokHash = occ.select(col("tok")).distinct()
       .select(col("tok"), polyHash(col("tok")).as("h"))
-    val toks = occ.join(tokHash, "tok").select(col("id"), col("h"))
+      .select(col("tok") +: signCols: _*)
+    // broadcast the vocabulary side — see [[simhashTable]] (the
+    // unhinted plan broadcast the OCCURRENCES via one task)
+    val toks = occ.join(broadcast(tokHash), "tok")
+      .select(col("id") +: (0 until words).map(w => col(s"__sw$w")): _*)
     val bitSums = (0 until words * bitsPerWord).map { b =>
-      sum(when(simhashBitSign(col("h"), b) === 1, 1).otherwise(-1))
-        .as(s"s$b")
+      sum(shiftright(col(s"__sw${b / bitsPerWord}"), b % bitsPerWord)
+        .bitwiseAND(1) * lit(2) - lit(1)).as(s"s$b")
     }
     val wordCols = (0 until words).map { w =>
       (0 until bitsPerWord).map { j =>

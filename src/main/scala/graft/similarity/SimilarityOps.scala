@@ -849,7 +849,27 @@ object SimilarityOps {
   def ivfPqRecallLadder(emb: DataFrame, idCol: String, vecCol: String,
                         queryPred: Column, nCentroids: Int, m: Int = 8,
                         nCodes: Int = 16, k: Int = 10,
-                        nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+                        nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame =
+    ivfPqRecallLadderShared(emb, idCol, vecCol, queryPred, nCentroids, m,
+      nCodes, k, nprobes, exactTopK(emb, idCol, vecCol, queryPred, k))
+
+  /** The exact-top-k ground truth every recall ladder scores against —
+    * built (and `localCheckpoint`ed) exactly ONCE per ladder *group*:
+    * [[ivfPqEncodingLadder]] compares 2–3 encodings of the SAME
+    * (emb, queryPred, k), so sharing this pass across its arms removes
+    * 1–2 redundant brute-force scans per query (r12 optimization).
+    */
+  private def exactTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int): DataFrame =
+    batchTopK(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // every rung's hit join + the totals read it
+
+  private def ivfPqRecallLadderShared(emb: DataFrame, idCol: String,
+                                      vecCol: String, queryPred: Column,
+                                      nCentroids: Int, m: Int, nCodes: Int,
+                                      k: Int, nprobes: Seq[Int],
+                                      exact: DataFrame): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
       "every nprobe must be in [1, nCentroids]")
     val cents = emb.filter(col(idCol) < nCentroids)
@@ -858,7 +878,7 @@ object SimilarityOps {
       .select(col(idCol).as("code"), col("sub"), col("subvec").as("__cbvec"))
     val idx = ivfPqIndex(emb, idCol, vecCol, nCentroids, m, nCodes)
     recallLadderCore(emb, idCol, vecCol, queryPred, cents, cb, idx, m, k,
-      nprobes)
+      nprobes, exact)
   }
 
   /** The ladder body over an EXPLICIT (coarse centroids, per-subspace
@@ -871,12 +891,10 @@ object SimilarityOps {
                                vecCol: String, queryPred: Column,
                                cents: DataFrame, cb: DataFrame,
                                idx: DataFrame, m: Int, k: Int,
-                               nprobes: Seq[Int]): DataFrame = {
+                               nprobes: Seq[Int],
+                               exact: DataFrame): DataFrame = {
     require(k > 0, "k must be positive")
     val maxP = nprobes.max
-    val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint() // every rung's hit join + the totals read it
     val cand = idx.join(
       broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
       col(idCol) === col("__qid"), "left_anti")
@@ -929,7 +947,18 @@ object SimilarityOps {
                                nCentroids: Int, m: Int = 8,
                                nCodes: Int = 16, k: Int = 10,
                                nprobes: Seq[Int] = Seq(1, 2, 4),
-                               iters: Int = 2): DataFrame = {
+                               iters: Int = 2): DataFrame =
+    ivfPqRecallLadderTrainedShared(emb, idCol, vecCol, queryPred,
+      nCentroids, m, nCodes, k, nprobes, iters,
+      exactTopK(emb, idCol, vecCol, queryPred, k))
+
+  private def ivfPqRecallLadderTrainedShared(emb: DataFrame, idCol: String,
+                                             vecCol: String,
+                                             queryPred: Column,
+                                             nCentroids: Int, m: Int,
+                                             nCodes: Int, k: Int,
+                                             nprobes: Seq[Int], iters: Int,
+                                             exact: DataFrame): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
       "every nprobe must be in [1, nCentroids]")
     val cents = kmeansCentroids(emb, idCol, vecCol, nCentroids, iters)
@@ -940,7 +969,7 @@ object SimilarityOps {
       .join(pqAssignGiven(emb, idCol, vecCol, m, cb)
         .select(col(idCol), col("sub"), col("code")), Seq(idCol))
     recallLadderCore(emb, idCol, vecCol, queryPred, cents, cb, idx, m, k,
-      nprobes)
+      nprobes, exact)
   }
 
   /** Per-vector coarse residuals — x − centroid(assign(x)) element-wise
@@ -992,16 +1021,34 @@ object SimilarityOps {
                                 vecCol: String, queryPred: Column,
                                 nCentroids: Int, m: Int = 8,
                                 nCodes: Int = 16, k: Int = 10,
-                                nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+                                nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame =
+    ivfPqRecallLadderResidualShared(emb, idCol, vecCol, queryPred,
+      nCentroids, m, nCodes, k, nprobes,
+      exactTopK(emb, idCol, vecCol, queryPred, k))
+
+  private def ivfPqRecallLadderResidualShared(emb: DataFrame, idCol: String,
+                                              vecCol: String,
+                                              queryPred: Column,
+                                              nCentroids: Int, m: Int,
+                                              nCodes: Int, k: Int,
+                                              nprobes: Seq[Int],
+                                              exact: DataFrame): DataFrame = {
     require(k > 0, "k must be positive")
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
       "every nprobe must be in [1, nCentroids]")
     val maxP = nprobes.max
-    val exact = batchTopK(emb, idCol, vecCol, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+    // the residual table feeds the codebook, the index ASSIGNMENT and
+    // the index CODES — materialize it once instead of re-deriving the
+    // centroid assignment + zip_with subtraction per consumer (the
+    // pre-r12 shape called residualVectors here AND inside
+    // ivfPqIndexResidual: two full assignment passes per ladder)
     val res = residualVectors(emb, idCol, vecCol, nCentroids)
-    val idx = ivfPqIndexResidual(emb, idCol, vecCol, nCentroids, m, nCodes)
+      .localCheckpoint()
+    val idx = res.select(col(idCol), col("centroid"))
+      .join(pqAssign(res.select(col(idCol), col("__res")), idCol, "__res",
+          m, nCodes,
+          cbSource = Some(res.select(col(idCol), col("__res")))),
+        Seq(idCol))
     val cand = idx.join(
       broadcast(emb.filter(queryPred).select(col(idCol).as("__qid"))),
       col(idCol) === col("__qid"), "left_anti")
@@ -1092,13 +1139,17 @@ object SimilarityOps {
                           nprobes: Seq[Int] = Seq(1, 2, 4),
                           includeTrained: Boolean = false,
                           trainIters: Int = 2): DataFrame = {
-    val rawAndResidual = ivfPqRecallLadder(emb, idCol, vecCol, queryPred,
-        nCentroids, m, nCodes, k, nprobes)
+    // every arm scores against the SAME exact ground truth — build the
+    // brute-force pass once and share it (r12: was recomputed per arm,
+    // 2–3 identical batchTopK scans per ladder query)
+    val exact = exactTopK(emb, idCol, vecCol, queryPred, k)
+    val rawAndResidual = ivfPqRecallLadderShared(emb, idCol, vecCol,
+        queryPred, nCentroids, m, nCodes, k, nprobes, exact)
       .select(lit("raw").as("encoding"), col("nprobe"), col("n_queries"),
         col("n_hits"), col("n_exact"), col("recall_permille"))
       .unionAll(
-        ivfPqRecallLadderResidual(emb, idCol, vecCol, queryPred,
-            nCentroids, m, nCodes, k, nprobes)
+        ivfPqRecallLadderResidualShared(emb, idCol, vecCol, queryPred,
+            nCentroids, m, nCodes, k, nprobes, exact)
           .select(lit("residual").as("encoding"), col("nprobe"),
             col("n_queries"), col("n_hits"), col("n_exact"),
             col("recall_permille")))
@@ -1108,8 +1159,8 @@ object SimilarityOps {
     // could be read as more than a seed-sampling artifact
     if (!includeTrained) rawAndResidual
     else rawAndResidual.unionAll(
-      ivfPqRecallLadderTrained(emb, idCol, vecCol, queryPred, nCentroids,
-          m, nCodes, k, nprobes, trainIters)
+      ivfPqRecallLadderTrainedShared(emb, idCol, vecCol, queryPred,
+          nCentroids, m, nCodes, k, nprobes, trainIters, exact)
         .select(lit("trained").as("encoding"), col("nprobe"),
           col("n_queries"), col("n_hits"), col("n_exact"),
           col("recall_permille")))
