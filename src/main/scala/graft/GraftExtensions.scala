@@ -218,6 +218,37 @@ object Graft {
     }
     graft.similarity.SimilarityOps.nativeCosineEnabled = true
     graft.functions.VectorFunctions.nativeSignatureEnabled = true
+    // Engine session tuning (r12 optimization round, measured at sf0.1
+    // and reasoned for scale; both are semantics-preserving):
+    //
+    // 1. InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+    //    isnotnull(e)` under every explode(e). For this engine's
+    //    generators e is a tokenize/shingle/slice HOF chain, so the
+    //    inferred filter re-evaluates the full chain TWICE per input
+    //    row, and predicate pushdown drags it below the
+    //    parallelism-restoring exchange into the scan stage
+    //    (single-task on single-row-group files: q196 3.7 s of 3.9,
+    //    q92 3.3 s of 4.2 at sf0.1). The filter can only drop rows
+    //    whose generator output is empty — rows a non-outer Generate
+    //    drops anyway — so excluding the rule changes cost, never
+    //    results. Measured: q196 3.9→1.1 s, q92 4.2→2.2 s,
+    //    q208 4.4→1.5 s.
+    // 2. AQE coalescing sizes post-shuffle partitions by COMPRESSED
+    //    bytes. Short-string text shuffles (n-gram/token aggregates)
+    //    compress ~10× and carry heavy per-row compute, so the 1 MiB
+    //    default floor coalesces them to ONE task (q244: a 3.7 s
+    //    serial stage in a 4 s query). 64k keeps such stages parallel
+    //    while still folding genuinely empty partitions; at scale
+    //    partitions dwarf either floor and the setting is inert.
+    val inferRule =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val prior = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!prior.exists(_.contains(inferRule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        prior.map(_ + ",").getOrElse("") + inferRule)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "64k")
     spark
   }
 

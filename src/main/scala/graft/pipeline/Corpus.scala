@@ -846,12 +846,24 @@ object Corpus {
       .filter(col("__s").isin(pShingles.map(lit): _*))
       .groupBy(col("id")).agg(countDistinct(col("__s")).as("__hit"))
       .filter(col("__hit") === pShingles.length)
-      .select(col("id"))
+      .select(col("id"), col("__hit"))
     val joined = pTokens.mkString(" ")
+    // the contiguity verify must run on CANDIDATES ONLY: its natural
+    // form references only df's columns, so Catalyst pushes it below
+    // the join into the parquet scan stage and re-tokenizes EVERY
+    // document there (measured r12: 3.7 s on one task of a 4 s query)
+    // — the index probe exists precisely so the verify touches
+    // candidates only. Guarding the predicate with the candidate
+    // side's non-foldable `__hit` column (always non-null on an inner
+    // join, so semantically a no-op) makes it reference both join
+    // sides and pins it above the join; a localCheckpoint barrier
+    // would do the same but runs jobs at plan-build time (the
+    // PlanBuildJobsSpec invariant) and cuts whole-stage codegen.
     df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .join(cand, "id")
-      .filter(concat(lit(" "), array_join(tokens(col("__t")), " "), lit(" "))
-        .contains(s" $joined "))
+      .filter(when(col("__hit").isNotNull,
+        concat(lit(" "), array_join(tokens(col("__t")), " "), lit(" "))
+          .contains(s" $joined ")).otherwise(lit(false)))
       .select(col("id").as(idCol))
   }
 

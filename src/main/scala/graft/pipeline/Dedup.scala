@@ -808,7 +808,15 @@ object Dedup {
     def exploded(d: DataFrame) = shingleSets(d, idCol, textCol, n)
       .select(col("id"), size(col("shingle_set")).as("__sz"),
         explode(col("shingle_set")).as("__s"))
-    val near = jaccardJoin(exploded(batch), exploded(corpus), lit(true))
+    // plan barrier (lazy — plan build must stay job-free) so the corpus
+    // postings materialize distributed BEFORE the probe join: AQE sizes
+    // this side by its pre-explode bytes and converts the join to
+    // broadcast, which otherwise re-runs the whole tokenize+shingle
+    // pipeline inside the single-task broadcast build (measured r12:
+    // 3.3 s of q92's 4.2 s). This is also the operator's 100 TB story —
+    // the corpus index is built once, probes are batch-proportional.
+    val near = jaccardJoin(exploded(batch),
+      exploded(corpus).localCheckpoint(eager = false), lit(true))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a").as("__idb")).agg(count(lit(1)).as("n_near"))
     dedupDecision(exactDupFlags(corpus, batch, idCol, textCol), near, idCol)
