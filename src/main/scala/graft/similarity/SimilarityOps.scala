@@ -915,23 +915,44 @@ object SimilarityOps {
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("__lm")).as("__adc"), min(col("cent_rank")).as("__crank"))
-      .localCheckpoint() // one ADC pass, |nprobes| consumers
+      .localCheckpoint() // one ADC pass, all rungs read it
+    rungTable(scored, exact, idCol, k, nprobes)
+  }
+
+  /** All `nprobes` rungs of one ladder arm in ONE pass (r12, guide §2):
+    * the pre-r12 shape ran a separate window + hit join + total
+    * aggregate PER rung — |nprobes| near-identical subtrees over the
+    * same checkpointed `scored` table, each its own exchange chain.
+    * Because the probe sets are nested prefixes, the rung is just an
+    * extra partition key: cross the (≤nCentroids)-row rung list into
+    * `scored`, rank per (nprobe, query), count hits per rung. Shuffled
+    * bytes are unchanged (|nprobes| × scored either way); the exchange
+    * count drops from 3 per rung to 3 total. Rungs with zero approx
+    * hits survive via the left join (n_hits = 0, as before).
+    */
+  private def rungTable(scored: DataFrame, exact: DataFrame, idCol: String,
+                        k: Int, nprobes: Seq[Int]): DataFrame = {
+    val sess = scored.sparkSession
+    import sess.implicits._
+    val probeDf = nprobes.map(_.toLong).toDF("nprobe")
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    val approx = scored.crossJoin(broadcast(probeDf))
+      .filter(col("__crank") <= col("nprobe"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("nprobe"), col("query_id"), col(idCol).as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
     val exactTot = exact.agg(count_distinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_exact"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").asc, col(idCol).asc)
-    nprobes.map { p =>
-      val approx = scored.filter(col("__crank") <= p)
-        .withColumn("__rank", row_number().over(w))
-        .filter(col("__rank") <= k)
-        .select(col("query_id"), col(idCol).as("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      exactTot.crossJoin(broadcast(hits)) // single row × single row
-        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
-          col("n_hits"), col("n_exact"),
-          expr("(1000 * n_hits) div n_exact").as("recall_permille"))
-    }.reduce(_ unionAll _)
+    probeDf.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(exactTot)) // rung rows × single total row
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        col("n_exact"), expr("(1000 * n_hits) div n_exact")
+          .as("recall_permille"))
   }
 
   /** [[ivfPqRecallLadder]] over the TRAINED index: coarse centroids
@@ -961,9 +982,13 @@ object SimilarityOps {
                                              exact: DataFrame): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
       "every nprobe must be in [1, nCentroids]")
-    val cents = kmeansCentroids(emb, idCol, vecCol, nCentroids, iters)
-      .select(col("centroid"), col("__cvec"))
-    val cb = pqCodebookFit(emb, idCol, vecCol, m, nCodes, iters)
+    // the coarse model and the subspace codebooks train on disjoint
+    // chains (each a Lloyd loop with per-round barriers) — fit them
+    // concurrently; the index build below is the join point
+    val Seq(centsFit, cb) = concurrently(emb.sparkSession, Seq(
+      () => kmeansCentroids(emb, idCol, vecCol, nCentroids, iters),
+      () => pqCodebookFit(emb, idCol, vecCol, m, nCodes, iters)))
+    val cents = centsFit.select(col("centroid"), col("__cvec"))
     val idx = assignToGivenCentroids(emb, idCol, vecCol, cents)
       .select(col(idCol), col("centroid"))
       .join(pqAssignGiven(emb, idCol, vecCol, m, cb)
@@ -1084,23 +1109,8 @@ object SimilarityOps {
     val scored = cand.join(broadcast(lutR), Seq("centroid", "sub", "code"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("__lm")).as("__adc"), min(col("cent_rank")).as("__crank"))
-      .localCheckpoint() // one ADC pass, |nprobes| consumers
-    val exactTot = exact.agg(count_distinct(col("query_id")).as("n_queries"),
-      count(lit(1)).as("n_exact"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").asc, col(idCol).asc)
-    nprobes.map { p =>
-      val approx = scored.filter(col("__crank") <= p)
-        .withColumn("__rank", row_number().over(w))
-        .filter(col("__rank") <= k)
-        .select(col("query_id"), col(idCol).as("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      exactTot.crossJoin(broadcast(hits)) // single row × single row
-        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
-          col("n_hits"), col("n_exact"),
-          expr("(1000 * n_hits) div n_exact").as("recall_permille"))
-    }.reduce(_ unionAll _)
+      .localCheckpoint() // one ADC pass, all rungs read it
+    rungTable(scored, exact, idCol, k, nprobes)
   }
 
   /** Raw vs residual encoding at the same (m, nCodes, nprobe) budget —
@@ -1143,27 +1153,58 @@ object SimilarityOps {
     // brute-force pass once and share it (r12: was recomputed per arm,
     // 2–3 identical batchTopK scans per ladder query)
     val exact = exactTopK(emb, idCol, vecCol, queryPred, k)
-    val rawAndResidual = ivfPqRecallLadderShared(emb, idCol, vecCol,
-        queryPred, nCentroids, m, nCodes, k, nprobes, exact)
-      .select(lit("raw").as("encoding"), col("nprobe"), col("n_queries"),
-        col("n_hits"), col("n_exact"), col("recall_permille"))
-      .unionAll(
-        ivfPqRecallLadderResidualShared(emb, idCol, vecCol, queryPred,
-            nCentroids, m, nCodes, k, nprobes, exact)
-          .select(lit("residual").as("encoding"), col("nprobe"),
-            col("n_queries"), col("n_hits"), col("n_exact"),
-            col("recall_permille")))
-    // third encoding (r11 order sheet #2): Lloyd-TRAINED coarse
-    // centroids + per-subspace codebooks at the same code budget — the
-    // row the r11 measurement said was needed before residual-vs-raw
-    // could be read as more than a seed-sampling artifact
-    if (!includeTrained) rawAndResidual
-    else rawAndResidual.unionAll(
-      ivfPqRecallLadderTrainedShared(emb, idCol, vecCol, queryPred,
-          nCentroids, m, nCodes, k, nprobes, trainIters, exact)
-        .select(lit("trained").as("encoding"), col("nprobe"),
+    // each arm's construction materializes its own barrier chain
+    // (scored-candidate checkpoint; residual table; Lloyd model rounds)
+    // and the chains share NO state — submit them concurrently so the
+    // ladder's wall clock is the slowest arm, not the sum of arms
+    // (r12, guide §2: the serialized chains left the cluster idle
+    // between barriers; results are a deterministic fixed-order union
+    // either way)
+    val arms = Seq(
+      "raw" -> (() => ivfPqRecallLadderShared(emb, idCol, vecCol,
+        queryPred, nCentroids, m, nCodes, k, nprobes, exact)),
+      "residual" -> (() => ivfPqRecallLadderResidualShared(emb, idCol,
+        vecCol, queryPred, nCentroids, m, nCodes, k, nprobes, exact))) ++
+      // third encoding (r11 order sheet #2): Lloyd-TRAINED coarse
+      // centroids + per-subspace codebooks at the same code budget —
+      // the row the r11 measurement said was needed before
+      // residual-vs-raw could be read as more than a seed artifact
+      (if (!includeTrained) Nil
+       else Seq("trained" -> (() =>
+         ivfPqRecallLadderTrainedShared(emb, idCol, vecCol, queryPred,
+           nCentroids, m, nCodes, k, nprobes, trainIters, exact))))
+    concurrently(emb.sparkSession, arms.map(_._2))
+      .zip(arms.map(_._1))
+      .map { case (arm, tag) =>
+        arm.select(lit(tag).as("encoding"), col("nprobe"),
           col("n_queries"), col("n_hits"), col("n_exact"),
-          col("recall_permille")))
+          col("recall_permille"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** Build independent DataFrame chains on concurrent threads so their
+    * plan-time barrier jobs (localCheckpoints, Lloyd rounds) overlap
+    * instead of serializing — the standard concurrent-job-submission
+    * idiom for independent DAGs sharing one session. Purely a
+    * scheduling change: each thunk is self-contained, results come
+    * back in input order, and every job still runs to completion
+    * before this returns (so plan build stays deterministic).
+    */
+  private def concurrently(sess: org.apache.spark.sql.SparkSession,
+                           thunks: Seq[() => DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = thunks.map { t =>
+      Future {
+        // SQLConf lookups resolve through the thread-local active
+        // session — pin it on the worker thread
+        org.apache.spark.sql.SparkSession.setActiveSession(sess)
+        t()
+      }
+    }
+    fs.map(Await.result(_, Duration.Inf))
   }
 
   /** Batch IVF-PQ serving — [[ivfPqTopK]] for a query SET (the shape a
